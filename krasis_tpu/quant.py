@@ -1,0 +1,200 @@
+"""Weight-only quantization: symmetric group-wise INT4 / INT8.
+
+Numerics match the reference quantizer (reference src/weights/marlin.rs:65-200):
+
+* groups of ``group_size`` (default 128) consecutive elements along the
+  input (K) dimension share one scale;
+* INT8: ``scale = amax / 127`` (1.0 if the group is all-zero), values
+  rounded and clamped to [-128, 127];
+* INT4: ``scale = amax / 7`` so the positive range is fully used, values
+  clamped to [-8, 7];
+* scales are stored as **bfloat16**, and quantization uses the bf16-rounded
+  scale (not the f32 one), exactly like the reference.
+
+Storage layout is TPU-native rather than Marlin-tiled: weights live in
+"math" orientation ``[K, N]`` (so forward is ``x[M,K] @ w[K,N]`` — K is the
+reduction dim, N the lane dim, which is what the MXU wants). INT4 values
+are **split-half packed**: byte ``[k, n]`` holds element ``(k, n)`` in its
+low nibble and element ``(k + K/2, n)`` in its high nibble. Unpacking is
+then a concat of two contiguous halves along K — no interleave, which is
+cheap on the TPU's (sublane, lane) register layout. Group boundaries align
+with the halves because K/2 is always a multiple of group_size for the
+supported architectures.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from ml_dtypes import bfloat16
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["q", "scales"],
+    meta_fields=["bits", "group_size"],
+)
+@dataclasses.dataclass
+class QTensor:
+    """A quantized weight tensor.
+
+    q:       int8 [..., K, N] (int8 mode) or [..., K//2, N] (packed int4)
+    scales:  bfloat16 [..., K//group_size, N]
+    """
+
+    q: jax.Array
+    scales: jax.Array
+    bits: int
+    group_size: int
+
+    @property
+    def k_dim(self) -> int:
+        k = self.q.shape[-2]
+        return k * 2 if self.bits == 4 else k
+
+    @property
+    def n_dim(self) -> int:
+        return self.q.shape[-1]
+
+
+# --------------------------------------------------------------------------
+# Host-side (numpy) quantization — used by the checkpoint loader
+# --------------------------------------------------------------------------
+
+def quantize_np(w: np.ndarray, bits: int, group_size: int = 128) -> QTensor:
+    """Quantize a [..., K, N] float array. Returns numpy-backed QTensor."""
+    assert bits in (4, 8)
+    *lead, K, N = w.shape
+    assert K % group_size == 0, f"K={K} not divisible by group_size={group_size}"
+    w = np.asarray(w, dtype=np.float32)
+
+    g = w.reshape(*lead, K // group_size, group_size, N)
+    amax = np.abs(g).max(axis=-2, keepdims=True)  # [..., K/gs, 1, N]
+    qmax = 7.0 if bits == 4 else 127.0
+    scale = np.where(amax == 0.0, np.float32(1.0), amax / qmax)
+    # Round-trip through bf16 first: quantization must use the stored scale.
+    scale_bf16 = scale.astype(bfloat16)
+    inv = 1.0 / scale_bf16.astype(np.float32)
+    lo, hi = (-8, 7) if bits == 4 else (-128, 127)
+    q = np.clip(np.rint(g * inv), lo, hi).astype(np.int8)
+    q = q.reshape(*lead, K, N)
+    scales = scale_bf16.squeeze(-2)  # [..., K/gs, N]
+
+    if bits == 4:
+        q = pack_int4_np(q)
+    return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+
+
+def pack_int4_np(q: np.ndarray) -> np.ndarray:
+    """Split-half pack int8-held int4 values [-8,7]: [..., K, N] → [..., K/2, N]."""
+    *lead, K, N = q.shape
+    assert K % 2 == 0
+    half = K // 2
+    lo = q[..., :half, :].astype(np.uint8) & 0xF
+    hi = (q[..., half:, :].astype(np.uint8) & 0xF) << 4
+    return (lo | hi).astype(np.int8)
+
+
+def unpack_int4_np(packed: np.ndarray) -> np.ndarray:
+    """Inverse of pack_int4_np: [..., K/2, N] int8 → [..., K, N] int8 in [-8,7]."""
+    b = packed.astype(np.uint8)
+    lo = (b & 0xF).astype(np.int8)
+    hi = (b >> 4).astype(np.int8)
+    # Sign-extend 4-bit values: (x ^ 8) - 8 maps 0..15 → -8..7.
+    lo = ((lo ^ 8) - 8).astype(np.int8)
+    hi = ((hi ^ 8) - 8).astype(np.int8)
+    return np.concatenate([lo, hi], axis=-2)
+
+
+def dequantize_np(qt: QTensor) -> np.ndarray:
+    """Dequantize to float32 [..., K, N] (verification / golden tests)."""
+    q = np.asarray(qt.q)
+    if qt.bits == 4:
+        q = unpack_int4_np(q)
+    *lead, K, N = q.shape
+    gs = qt.group_size
+    scales = np.asarray(qt.scales, dtype=np.float32)  # [..., K/gs, N]
+    out = q.astype(np.float32).reshape(*lead, K // gs, gs, N)
+    return (out * scales[..., :, None, :]).reshape(*lead, K, N)
+
+
+# --------------------------------------------------------------------------
+# Device-side (jnp) pack/unpack/dequant — used by kernels and reference paths
+# --------------------------------------------------------------------------
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """jnp version of unpack_int4_np. [..., K/2, N] int8 → [..., K, N] int8."""
+    b = packed.astype(jnp.uint8)
+    lo = ((b & 0xF) ^ 8).astype(jnp.int8) - 8
+    hi = ((b >> 4) ^ 8).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=-2)
+
+
+def dequantize(qt: QTensor, dtype=jnp.bfloat16) -> jax.Array:
+    """Dequantize on device to [..., K, N]. This is the XLA fallback path —
+    the Pallas kernels in ops/ dequantize inside the kernel instead."""
+    q = qt.q
+    if qt.bits == 4:
+        q = unpack_int4(q)
+    *lead, K, N = q.shape
+    gs = qt.group_size
+    w = q.astype(qt.scales.dtype).reshape(*lead, K // gs, gs, N)
+    w = w * qt.scales[..., :, None, :]
+    return w.reshape(*lead, K, N).astype(dtype)
+
+
+def quantize(w: jax.Array, bits: int, group_size: int = 128) -> QTensor:
+    """jnp quantizer (same numerics as quantize_np); used on-device for
+    synthetic weight generation and tests."""
+    assert bits in (4, 8)
+    *lead, K, N = w.shape
+    assert K % group_size == 0
+    g = w.astype(jnp.float32).reshape(*lead, K // group_size, group_size, N)
+    amax = jnp.abs(g).max(axis=-2, keepdims=True)
+    qmax = 7.0 if bits == 4 else 127.0
+    scale = jnp.where(amax == 0.0, 1.0, amax / qmax).astype(jnp.bfloat16)
+    inv = 1.0 / scale.astype(jnp.float32)
+    lo, hi = (-8, 7) if bits == 4 else (-128, 127)
+    q = jnp.clip(jnp.round(g * inv), lo, hi).astype(jnp.int8)
+    q = q.reshape(*lead, K, N)
+    scales = scale.squeeze(-2)
+    if bits == 4:
+        half = K // 2
+        lo_n = q[..., :half, :].astype(jnp.uint8) & 0xF
+        hi_n = (q[..., half:, :].astype(jnp.uint8) & 0xF) << 4
+        q = (lo_n | hi_n).astype(jnp.int8)
+    return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+
+
+def random_qtensor(
+    key: jax.Array,
+    shape: Tuple[int, ...],
+    bits: int,
+    group_size: int = 128,
+    scale_mag: float = 0.02,
+) -> QTensor:
+    """Generate a random quantized tensor directly in quantized form.
+
+    The TPU analog of the reference's xorshift-filled fake weights
+    (reference decode.rs:4480 fake_transposed_weight): real memory layout
+    and access patterns with zero checkpoint load, for synthetic benchmarks.
+    """
+    *lead, K, N = shape
+    kq, ks = jax.random.split(key)
+    lo, hi = (-8, 8) if bits == 4 else (-128, 128)
+    q = jax.random.randint(kq, (*lead, K, N), lo, hi, dtype=jnp.int8)
+    if bits == 4:
+        half = K // 2
+        lo_n = q[..., :half, :].astype(jnp.uint8) & 0xF
+        hi_n = (q[..., half:, :].astype(jnp.uint8) & 0xF) << 4
+        q = (lo_n | hi_n).astype(jnp.int8)
+    scales = (
+        scale_mag
+        * jax.random.uniform(ks, (*lead, K // group_size, N), minval=0.5, maxval=1.5)
+    ).astype(jnp.bfloat16)
+    return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)

@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Benchmark entry: one JSON line for the driver.
+
+Default (TPU): synthetic DeepSeek V2-Lite @ Q4 on one chip — the
+reference's canonical single-box model (BASELINE.md: 1,477 tok/s
+prefill / 20.18 tok/s decode on EPYC+RTX2000Ada). Headline metric is
+decode tok/s; vs_baseline is measured/20.18.
+
+`--preset tiny` runs a CPU-safe smoke config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="v2-lite", choices=["v2-lite", "tiny"])
+    ap.add_argument("--prefill-tokens", type=int, default=2048)
+    ap.add_argument("--decode-tokens", type=int, default=64)
+    ap.add_argument("--max-len", type=int, default=4096)
+    args = ap.parse_args()
+
+    import numpy as np
+
+    from krasis_tpu.config import QuantConfig, preset_config
+    from krasis_tpu.models.synthetic import build_synthetic_engine, tiny_config
+    from krasis_tpu.ops.sampling import SamplingParams
+
+    if args.preset == "tiny":
+        cfg = tiny_config("qwen3-moe")
+        quant = QuantConfig(expert_bits=4, group_size=32)
+        baseline_decode = 20.18  # nominal; tiny preset is a smoke test
+        prefill_tokens = min(args.prefill_tokens, 256)
+    else:
+        cfg = preset_config("deepseek-v2-lite")
+        quant = QuantConfig(expert_bits=4, group_size=128)
+        baseline_decode = 20.18  # BASELINE.md V2-Lite Q4 decode tok/s
+        prefill_tokens = args.prefill_tokens
+
+    eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(100, cfg.vocab_size - 100, size=prefill_tokens).tolist()
+
+    # warmup (compile both prefill + decode)
+    eng.generate(prompt[:128], max_new_tokens=3,
+                 sampling=SamplingParams(temperature=0.0), stop_ids={-1})
+
+    res = eng.generate(
+        prompt, max_new_tokens=args.decode_tokens,
+        sampling=SamplingParams(temperature=0.0), stop_ids={-1},
+    )
+    decode_tok_s = res.decode_tok_s
+    prefill_tok_s = res.prefill_tok_s
+
+    print(json.dumps({
+        "metric": "v2lite_q4_synth_decode",
+        "value": round(decode_tok_s, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(decode_tok_s / baseline_decode, 3),
+        "extra": {
+            "prefill_tok_s": round(prefill_tok_s, 1),
+            "prefill_tokens": prefill_tokens,
+            "decode_tokens": len(res.tokens),
+        },
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,313 @@
+"""Full-model forward: prefill and decode step functions.
+
+TPU-native unification of the reference's split engines: where krasis runs
+prefill on GPU Marlin kernels and decode in a Rust CPU graph
+(reference python/krasis/model.py:2167 forward, src/decode.rs:2690
+decode_step), here ONE jitted function family serves both — prefill is the
+large-batch path, decode the batch=B single-token path — over the same
+quantized weights in HBM (SURVEY §7 architecture stance).
+
+Layer graph (reference python/krasis/layer.py):
+    h += attn(rms_norm(h));  h += mlp(rms_norm(h))
+with attn ∈ {MLA absorbed, GQA (qk-norm / gated / sinks / sliding),
+Gated DeltaNet} and mlp ∈ {routed MoE + shared expert, dense MLP}.
+
+Variable lengths are handled with masks over statically-shaped caches;
+padded query positions are masked out of attention-cache validity and of
+the DeltaNet recurrence (β=0, g=0 ⇒ state unchanged).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import ModelConfig, QuantConfig
+from ..ops.activations import swiglu
+from ..ops.attention import attend, build_mask, mla_absorbed_attention
+from ..ops.deltanet import (
+    DeltaNetDims,
+    causal_conv,
+    fix_qkvz_ordering,
+    gated_delta_rule_chunked,
+    gated_delta_rule_recurrent,
+)
+from ..ops.moe import mlp_forward, moe_forward
+from ..ops.norm import gated_rms_norm, rms_norm
+from ..ops.qmm import linear
+from ..ops.routing import compute_routing
+from ..ops.rope import apply_rope, rope_cos_sin, yarn_softmax_scale
+from .params import layer_specs
+
+
+def _gqa_attention(
+    lp: Dict[str, Any],
+    lc: Dict[str, Any],
+    x: jax.Array,          # [B, S, H] normed input
+    positions: jax.Array,  # [B, S]
+    kv_len: jax.Array,     # [B] total valid tokens incl. this call's
+    cfg: ModelConfig,
+    spec,
+    prefill: bool,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    B, S, H = x.shape
+    d = cfg.qk_head_dim
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    gated = cfg.model_type in ("qwen3_next", "qwen3_5_moe_text")
+
+    q = linear(x, lp["q_proj"])
+    if "q_bias" in lp:
+        q = q + lp["q_bias"].astype(q.dtype)
+    if gated:
+        q = q.reshape(B, S, hq, 2 * d)
+        q, gate = q[..., :d], q[..., d:]
+        gate = gate.reshape(B, S, hq * d)
+    else:
+        q = q.reshape(B, S, hq, d)
+        gate = None
+    k = linear(x, lp["k_proj"])
+    v = linear(x, lp["v_proj"])
+    if "k_bias" in lp:
+        k = k + lp["k_bias"].astype(k.dtype)
+        v = v + lp["v_bias"].astype(v.dtype)
+    k = k.reshape(B, S, hkv, d)
+    v = v.reshape(B, S, hkv, d)
+
+    if cfg.qk_norm:
+        q = rms_norm(q, lp["q_norm"], cfg.rms_norm_eps, plus_one=cfg.norm_plus_one)
+        k = rms_norm(k, lp["k_norm"], cfg.rms_norm_eps, plus_one=cfg.norm_plus_one)
+
+    rot = int(d * cfg.partial_rotary_factor)
+    cos, sin = rope_cos_sin(positions, rot, cfg.rope_theta, cfg.rope_scaling)
+    q = apply_rope(q, cos, sin)
+    k = apply_rope(k, cos, sin)
+
+    kdt = lc["k"].dtype
+    bidx = jnp.arange(B)[:, None]
+    new_k = lc["k"].at[bidx, positions].set(k.astype(kdt))
+    new_v = lc["v"].at[bidx, positions].set(v.astype(kdt))
+    new_lc = {"k": new_k, "v": new_v}
+
+    window = cfg.sliding_window if spec.sliding else 0
+    if prefill:
+        # First-chunk prefill: attend within the freshly projected chunk
+        # (cache holds nothing older); avoids reading the full cache.
+        mask = build_mask(positions, positions[:, :], kv_len, window=window)
+        kk, vv = k, v
+        kv_positions = positions
+    else:
+        Smax = new_k.shape[1]
+        mask = build_mask(positions, jnp.arange(Smax), kv_len, window=window)
+        kk = new_k.astype(q.dtype)
+        vv = new_v.astype(q.dtype)
+
+    scale = d ** -0.5
+    out = attend(q, kk, vv, mask, scale, sinks=lp.get("sinks"))
+    out = out.reshape(B, S, hq * d)
+    if gate is not None:
+        out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
+    o = linear(out, lp["o_proj"])
+    if "o_bias" in lp:
+        o = o + lp["o_bias"].astype(o.dtype)
+    return o, new_lc
+
+
+def _mla_attention(
+    lp, lc, x, positions, kv_len, cfg: ModelConfig, prefill: bool
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    B, S, H = x.shape
+    hq = cfg.num_attention_heads
+    dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+    L = cfg.kv_lora_rank
+
+    if "q_a_proj" in lp:
+        qa = rms_norm(linear(x, lp["q_a_proj"]), lp["q_a_norm"], cfg.rms_norm_eps)
+        q = linear(qa, lp["q_b_proj"])
+    else:
+        q = linear(x, lp["q_proj"])
+    q = q.reshape(B, S, hq, dn + dr)
+    q_nope, q_pe = q[..., :dn], q[..., dn:]
+
+    kv_a = linear(x, lp["kv_a_proj"])               # [B, S, L + dr]
+    ckv = rms_norm(kv_a[..., :L], lp["kv_a_norm"], cfg.rms_norm_eps)
+    kpe = kv_a[..., L:]
+
+    cos, sin = rope_cos_sin(positions, dr, cfg.rope_theta, cfg.rope_scaling)
+    # DeepSeek checkpoints store rope dims pair-interleaved (HF modeling
+    # de-interleaves before rotation).
+    q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
+    kpe = apply_rope(kpe[:, :, None, :], cos, sin, interleaved=True)[:, :, 0, :]
+
+    kdt = lc["ckv"].dtype
+    bidx = jnp.arange(B)[:, None]
+    new_ckv = lc["ckv"].at[bidx, positions].set(ckv.astype(kdt))
+    new_kpe = lc["kpe"].at[bidx, positions].set(kpe.astype(kdt))
+    new_lc = {"ckv": new_ckv, "kpe": new_kpe}
+
+    scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
+    if prefill:
+        mask = build_mask(positions, positions, kv_len)
+        att_ckv, att_kpe = ckv, kpe
+    else:
+        Smax = new_ckv.shape[1]
+        mask = build_mask(positions, jnp.arange(Smax), kv_len)
+        att_ckv = new_ckv.astype(x.dtype)
+        att_kpe = new_kpe.astype(x.dtype)
+
+    out = mla_absorbed_attention(
+        q_nope, q_pe, att_ckv, att_kpe,
+        lp["w_kc"], lp["w_vc"], mask, scale,
+    )  # [B, S, hq, dv]
+    return linear(out.reshape(B, S, -1), lp["o_proj"]), new_lc
+
+
+def _la_attention(
+    lp, lc, x, valid: jax.Array, cfg: ModelConfig, prefill: bool
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """Gated DeltaNet layer. `valid` [B,S] masks padded query positions."""
+    B, S, H = x.shape
+    dims = DeltaNetDims(
+        cfg.linear_num_key_heads, cfg.linear_num_value_heads,
+        cfg.linear_key_head_dim, cfg.linear_value_head_dim,
+        cfg.linear_conv_kernel_dim,
+    )
+    qkvz = linear(x, lp["qkvz_proj"])
+    ba = linear(x, lp["ba_proj"])
+    q, k, v, z, b, a = fix_qkvz_ordering(qkvz, ba, dims)
+
+    mixed = jnp.concatenate(
+        [q.reshape(B, S, -1), k.reshape(B, S, -1), v.reshape(B, S, -1)], axis=-1
+    )
+    # Zero padded inputs so they don't pollute the conv window.
+    mixed = jnp.where(valid[..., None], mixed, 0)
+    conv_out, _ = causal_conv(mixed, lp["conv_w"], lc["conv"])
+    # New conv state = last K-1 *valid* inputs per row (right-padding aware).
+    Kc = dims.conv_kernel
+    hist = jnp.concatenate([lc["conv"].astype(mixed.dtype), mixed], axis=1)
+    n_valid = valid.sum(axis=-1)  # [B]
+    def take_window(row_hist, n):
+        return jax.lax.dynamic_slice_in_dim(row_hist, n, Kc - 1, axis=0)
+    new_conv = jax.vmap(take_window)(hist, n_valid).astype(lc["conv"].dtype)
+
+    kd, vd = dims.key_dim, dims.value_dim
+    qc = conv_out[..., :kd].reshape(B, S, dims.num_k_heads, dims.head_k_dim)
+    kc = conv_out[..., kd : 2 * kd].reshape(B, S, dims.num_k_heads, dims.head_k_dim)
+    vc = conv_out[..., 2 * kd :].reshape(B, S, dims.num_v_heads, dims.head_v_dim)
+
+    beta = jax.nn.sigmoid(b.astype(jnp.float32))
+    g = -jnp.exp(lp["a_log"]) * jax.nn.softplus(a.astype(jnp.float32) + lp["dt_bias"])
+    # Padded tokens must not advance the recurrence: β=0 (no write), g=0 (no decay).
+    beta = jnp.where(valid[..., None], beta, 0.0)
+    g = jnp.where(valid[..., None], g, 0.0)
+
+    rule = gated_delta_rule_chunked if prefill else gated_delta_rule_recurrent
+    core, new_state = rule(qc, kc, vc, g, beta, lc["state"])
+
+    core = gated_rms_norm(
+        core.astype(x.dtype), z, lp["la_norm"], cfg.rms_norm_eps, plus_one=False
+    )
+    out = linear(core.reshape(B, S, -1), lp["la_out_proj"])
+    return out, {"state": new_state, "conv": new_conv}
+
+
+def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec) -> jax.Array:
+    gpt_oss = cfg.model_type == "gpt_oss"
+    if spec.mlp_kind == "dense":
+        return mlp_forward(
+            x2d, lp["mlp_w13"], lp["mlp_w2"],
+            swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+        )
+    routing = compute_routing(x2d, lp["gate_w"], cfg, lp.get("gate_bias"))
+    out = moe_forward(
+        x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
+        swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+        w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
+    )
+    if "shared_w13" in lp:
+        shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
+        if "shared_gate_w" in lp:
+            sg = jax.nn.sigmoid(
+                linear(x2d, lp["shared_gate_w"]).astype(jnp.float32)
+            )
+            shared = shared * sg.astype(shared.dtype)
+        out = out + shared
+    return out
+
+
+def forward(
+    params: Dict[str, Any],
+    tokens: jax.Array,     # [B, S] int32
+    seq_lens: jax.Array,   # [B] valid new tokens per row (<= S)
+    cache: Dict[str, Any],
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    prefill: bool,
+    return_all_logits: bool = False,
+) -> Tuple[jax.Array, Dict[str, Any]]:
+    """One forward pass over `tokens`, updating `cache`.
+
+    Returns (logits, new_cache). logits: [B, V] at each row's last valid
+    token, or [B, S, V] when return_all_logits (perplexity path,
+    reference model.py forward(..., return_all_logits=True)).
+    """
+    B, S = tokens.shape
+    length = cache["length"]                       # [B] tokens already cached
+    positions = length[:, None] + jnp.arange(S)[None, :]
+    valid = jnp.arange(S)[None, :] < seq_lens[:, None]
+    kv_len = length + seq_lens
+
+    x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H] bf16
+    specs = layer_specs(cfg)
+    new_layers = []
+    for i, spec in enumerate(specs):
+        lp = params["layers"][i]
+        lc = cache["layers"][i]
+        normed = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+        if spec.attn_kind == "gqa":
+            attn_out, new_lc = _gqa_attention(
+                lp, lc, normed, positions, kv_len, cfg, spec, prefill
+            )
+        elif spec.attn_kind == "mla":
+            attn_out, new_lc = _mla_attention(
+                lp, lc, normed, positions, kv_len, cfg, prefill
+            )
+        else:
+            attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
+        x = x + attn_out
+        new_layers.append(new_lc)
+
+        normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+        mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec)
+        x = x + mlp_out.reshape(B, S, -1)
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+
+    if not return_all_logits:
+        idx = jnp.maximum(seq_lens - 1, 0)
+        x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, H]
+    logits = linear(x, params["lm_head"], out_dtype=jnp.float32)
+
+    new_cache = {"layers": new_layers, "length": kv_len}
+    return logits, new_cache
+
+
+def make_forward_fns(cfg: ModelConfig, quant: QuantConfig):
+    """(prefill_fn, decode_fn) closures ready for jax.jit."""
+
+    def prefill_fn(params, tokens, seq_lens, cache):
+        return forward(params, tokens, seq_lens, cache, cfg, quant, prefill=True)
+
+    def decode_fn(params, tokens, cache):
+        seq_lens = jnp.ones((tokens.shape[0],), jnp.int32)
+        return forward(params, tokens, seq_lens, cache, cfg, quant, prefill=False)
+
+    def prefill_all_logits_fn(params, tokens, seq_lens, cache):
+        return forward(
+            params, tokens, seq_lens, cache, cfg, quant,
+            prefill=True, return_all_logits=True,
+        )
+
+    return prefill_fn, decode_fn, prefill_all_logits_fn

@@ -1,0 +1,42 @@
+"""Synthetic model builder: config → random-weight engine, no checkpoint.
+
+TPU analog of the reference's synthetic decode benchmark harness
+(reference src/decode.rs:4618 bench_decode_synthetic + fake weights
+:4480): real memory layouts and access patterns from a config alone, for
+benchmarks, dryruns, and tests on machines without model files.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+
+from ..config import ModelConfig, QuantConfig, preset_config
+from ..runtime.engine import Engine
+from .params import init_synthetic_params
+
+TINY_OVERRIDES = dict(
+    hidden_size=128, intermediate_size=256, moe_intermediate_size=64,
+    num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+    vocab_size=512,
+    n_routed_experts=8, num_experts_per_tok=2,
+)
+
+
+def tiny_config(preset: str = "qwen3-moe", **overrides) -> ModelConfig:
+    kw = dict(TINY_OVERRIDES)
+    kw.update(overrides)
+    return preset_config(preset, **kw)
+
+
+def build_synthetic_engine(
+    cfg: ModelConfig,
+    quant: Optional[QuantConfig] = None,
+    max_len: int = 4096,
+    batch_size: int = 1,
+    seed: int = 0,
+) -> Engine:
+    quant = quant or QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(seed))
+    return Engine(cfg, quant, params, max_len=max_len, batch_size=batch_size)

@@ -1,0 +1,163 @@
+"""MoE expert forward: routed top-k expert MLPs + shared expert.
+
+The TPU-native re-design of the reference's expert engine
+(reference src/moe.rs moe_forward_unified / flattened dispatch,
+python/krasis/gpu_prefill.py fused_marlin_moe calls). Instead of the
+reference's per-core rayon fan-out / Marlin GPU kernels, tokens are
+sorted by expert and run through grouped (ragged) GEMMs that keep the
+MXU busy on one expert's contiguous token block at a time.
+
+Two reference paths (both XLA-composable; the Pallas grouped kernel in
+ops/moe_pallas.py replaces the hot path on TPU):
+
+* ``moe_forward_ragged`` — sort (token, expert) pairs by expert,
+  ``jax.lax.ragged_dot`` over dequantized expert stacks. Best when most
+  experts are hit (prefill).
+* ``moe_forward_gathered`` — gather just the selected experts' quantized
+  weights and run per-token small matmuls. Reads only the needed expert
+  bytes (decode: k of E experts), the bandwidth-optimal access pattern.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..quant import QTensor, dequantize
+from .activations import swiglu
+from .qmm import linear, Weight
+
+
+def _deq_stack(w, dtype):
+    """Dequantize an expert stack [E, K, N] (QTensor or plain array)."""
+    if isinstance(w, QTensor):
+        return dequantize(w, dtype=dtype)
+    return w.astype(dtype)
+
+
+def moe_forward_ragged(
+    x: jax.Array,            # [T, H]
+    w13,                     # QTensor/array [E, H, 2I]
+    w2,                      # QTensor/array [E, I, H]
+    topk_idx: jax.Array,     # [T, k] int32
+    topk_weights: jax.Array, # [T, k] f32
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    w13_bias: Optional[jax.Array] = None,  # [E, 2I] (GPT-OSS)
+    w2_bias: Optional[jax.Array] = None,   # [E, H]
+    precision=None,
+) -> jax.Array:
+    T, H = x.shape
+    k = topk_idx.shape[-1]
+    E = w13.shape[0] if not isinstance(w13, QTensor) else w13.q.shape[0]
+
+    flat_expert = topk_idx.reshape(-1)                       # [T*k]
+    order = jnp.argsort(flat_expert)                         # stable
+    x_rep = jnp.repeat(x, k, axis=0)                         # [T*k, H]
+    x_sorted = jnp.take(x_rep, order, axis=0)
+    group_sizes = jnp.bincount(flat_expert, length=E).astype(jnp.int32)
+
+    w13_d = _deq_stack(w13, x.dtype)
+    w2_d = _deq_stack(w2, x.dtype)
+
+    h = jax.lax.ragged_dot(
+        x_sorted, w13_d, group_sizes, precision=precision, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+    if w13_bias is not None:
+        h = h + jnp.take(w13_bias, jnp.take(flat_expert, order), axis=0).astype(h.dtype)
+    a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
+    out_sorted = jax.lax.ragged_dot(
+        a, w2_d, group_sizes, precision=precision, preferred_element_type=jnp.float32
+    )
+    if w2_bias is not None:
+        out_sorted = out_sorted + jnp.take(
+            w2_bias, jnp.take(flat_expert, order), axis=0
+        ).astype(out_sorted.dtype)
+
+    # Unsort and combine with routing weights.
+    out_rep = jnp.zeros_like(out_sorted).at[order].set(out_sorted)
+    out = (out_rep.reshape(T, k, H) * topk_weights[..., None]).sum(axis=1)
+    return out.astype(x.dtype)
+
+
+def _gather_weight(w, idx: jax.Array):
+    """Gather expert slices [T, k, ...] from an expert stack, keeping
+    quantized storage quantized (so HBM reads only touch selected experts)."""
+    if isinstance(w, QTensor):
+        return QTensor(
+            q=jnp.take(w.q, idx, axis=0),
+            scales=jnp.take(w.scales, idx, axis=0),
+            bits=w.bits,
+            group_size=w.group_size,
+        )
+    return jnp.take(w, idx, axis=0)
+
+
+def moe_forward_gathered(
+    x: jax.Array,
+    w13,
+    w2,
+    topk_idx: jax.Array,
+    topk_weights: jax.Array,
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    w13_bias: Optional[jax.Array] = None,
+    w2_bias: Optional[jax.Array] = None,
+    precision=None,
+) -> jax.Array:
+    T, H = x.shape
+    w13_g = _deq_stack(_gather_weight(w13, topk_idx), x.dtype)   # [T,k,H,2I]
+    w2_g = _deq_stack(_gather_weight(w2, topk_idx), x.dtype)     # [T,k,I,H]
+
+    h = jnp.einsum("th,tkhi->tki", x, w13_g, precision=precision, preferred_element_type=jnp.float32)
+    h = h.astype(x.dtype)
+    if w13_bias is not None:
+        h = h + jnp.take(w13_bias, topk_idx, axis=0).astype(h.dtype)
+    a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
+    out = jnp.einsum("tki,tkih->tkh", a, w2_g, precision=precision, preferred_element_type=jnp.float32)
+    if w2_bias is not None:
+        out = out + jnp.take(w2_bias, topk_idx, axis=0).astype(out.dtype)
+    out = (out * topk_weights[..., None].astype(out.dtype)).sum(axis=1)
+    return out.astype(x.dtype)
+
+
+def moe_forward(
+    x: jax.Array,
+    w13,
+    w2,
+    topk_idx: jax.Array,
+    topk_weights: jax.Array,
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    w13_bias: Optional[jax.Array] = None,
+    w2_bias: Optional[jax.Array] = None,
+    precision=None,
+) -> jax.Array:
+    """Routed MoE forward; picks the dispatch strategy by batch size
+    (the TPU analog of the reference's prefill/decode threshold switch,
+    reference python/krasis/layer.py:668-673)."""
+    T = x.shape[0]
+    k = topk_idx.shape[-1]
+    E = w13.q.shape[0] if isinstance(w13, QTensor) else w13.shape[0]
+    kwargs = dict(
+        swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+        w13_bias=w13_bias, w2_bias=w2_bias, precision=precision,
+    )
+    if T * k * 8 >= E:
+        return moe_forward_ragged(x, w13, w2, topk_idx, topk_weights, **kwargs)
+    return moe_forward_gathered(x, w13, w2, topk_idx, topk_weights, **kwargs)
+
+
+def mlp_forward(
+    x: jax.Array,
+    w13: Weight,              # [H, 2I]
+    w2: Weight,               # [I, H]
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+) -> jax.Array:
+    """Dense MLP / shared expert: swiglu(x @ w13) @ w2."""
+    h = linear(x, w13)
+    a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
+    return linear(a, w2)

@@ -1,0 +1,69 @@
+"""Slot-based KV / recurrent-state cache.
+
+TPU-native replacement for the reference's paged KV pool
+(reference python/krasis/kv_cache.py — 16-token pages, free-list alloc):
+XLA wants static shapes, so the cache is a dense per-slot buffer
+``[num_slots, max_len, ...]`` with a per-slot valid length; variable
+sequence length is handled by masking in attention rather than page
+tables. Slot = one concurrent sequence (continuous batching assigns
+sequences to free slots).
+
+Storage formats per layer kind:
+* GQA: K/V ``[B, S, Hkv, D]`` in fp8 e4m3 or bf16 (fp8 halves HBM traffic
+  and capacity — same trade as the reference's FP8 KV, attention.py:320);
+* MLA: compressed latent ``ckv [B, S, L]`` + rope key ``kpe [B, S, Dr]``
+  (576 B/token/layer at fp8 — the MLA memory win);
+* linear attention: recurrent state ``[B, Hv, dk, dv]`` f32 + causal-conv
+  window ``[B, K-1, conv_dim]`` — O(1) per sequence, no KV.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax.numpy as jnp
+
+from ..config import ModelConfig, QuantConfig
+from ..models.params import LayerSpec, layer_specs
+
+
+def kv_dtype(quant: QuantConfig):
+    return jnp.float8_e4m3fn if quant.kv_cache_dtype == "fp8" else jnp.bfloat16
+
+
+def init_cache(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    batch: int,
+    max_len: int,
+) -> Dict[str, Any]:
+    """Zero-initialized cache pytree for `batch` slots of `max_len` tokens."""
+    kdt = kv_dtype(quant)
+    layers: List[Dict[str, Any]] = []
+    for spec in layer_specs(cfg):
+        if spec.attn_kind == "gqa":
+            d = cfg.qk_head_dim
+            layers.append({
+                "k": jnp.zeros((batch, max_len, cfg.num_key_value_heads, d), kdt),
+                "v": jnp.zeros((batch, max_len, cfg.num_key_value_heads, d), kdt),
+            })
+        elif spec.attn_kind == "mla":
+            layers.append({
+                "ckv": jnp.zeros((batch, max_len, cfg.kv_lora_rank), kdt),
+                "kpe": jnp.zeros((batch, max_len, cfg.qk_rope_head_dim), kdt),
+            })
+        else:  # linear attention
+            hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+            dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+            conv_dim = 2 * hk * dk + hv * dv
+            layers.append({
+                "state": jnp.zeros((batch, hv, dk, dv), jnp.float32),
+                "conv": jnp.zeros((batch, cfg.linear_conv_kernel_dim - 1, conv_dim),
+                                  jnp.bfloat16),
+            })
+    return {"layers": layers, "length": jnp.zeros((batch,), jnp.int32)}
+
+
+def cache_bytes(cache) -> int:
+    import jax
+    return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(cache))

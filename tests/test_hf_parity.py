@@ -1,0 +1,136 @@
+"""Full-model parity vs HuggingFace transformers on tiny random checkpoints.
+
+The TPU analog of the reference's verify_hf_* tests
+(reference tests/verify_hf_qwen35.py, verify_hf_v2lite.py): build a tiny
+random HF model per family, save_pretrained() it, load the checkpoint
+through OUR loader + forward path, and compare all-position logits
+against the HF forward. Everything runs f32 + HIGHEST matmul precision so
+a mismatch means a real semantics bug (rope convention, norm order,
+routing, cache layout), not rounding.
+"""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+import torch
+
+torch.set_grad_enabled(False)
+torch.manual_seed(0)
+
+import jax
+import jax.numpy as jnp
+
+from krasis_tpu.config import ModelConfig, QuantConfig
+from krasis_tpu.models.loader import load_params
+from krasis_tpu.models.model import forward
+from krasis_tpu.runtime.kv_cache import init_cache
+
+FP32_QUANT = QuantConfig(
+    expert_bits=16, lm_head="bf16", attention="bf16",
+    shared_expert="bf16", dense_mlp="bf16", kv_cache_dtype="bf16",
+)
+# ("bf16" modes store f32 when the loader dtype is f32.)
+
+
+def _run_ours(model_path, ids):
+    cfg = ModelConfig.from_model_path(model_path)
+    params = load_params(cfg, FP32_QUANT, dtype=jnp.float32)
+    cache = init_cache(cfg, FP32_QUANT, 1, 32)
+    # cache dtype: bf16 KV would round — force f32 KV via a small hack:
+    cache = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x, cache
+    )
+    with jax.default_matmul_precision("highest"):
+        logits, _ = forward(
+            params, jnp.asarray(ids), jnp.asarray([ids.shape[1]]), cache,
+            cfg, FP32_QUANT, prefill=True, return_all_logits=True,
+        )
+    return np.asarray(logits[0])
+
+
+def _run_hf(model, ids):
+    out = model(input_ids=torch.tensor(ids)).logits
+    return out[0].detach().float().numpy()
+
+
+def _save(model, tmp):
+    model.save_pretrained(tmp, safe_serialization=True)
+
+
+def _compare(model_path, model, n=12, atol=2e-2, rtol=2e-2):
+    rng = np.random.default_rng(0)
+    vocab = model.config.vocab_size
+    ids = rng.integers(0, vocab, size=(1, n)).astype(np.int64)
+    want = _run_hf(model, ids)
+    got = _run_ours(model_path, ids.astype(np.int32))
+    # compare logit differences (shift-invariant) and argmax agreement
+    np.testing.assert_allclose(got, want, atol=atol, rtol=rtol)
+    np.testing.assert_array_equal(got.argmax(-1), want.argmax(-1))
+
+
+def test_qwen3_moe_parity():
+    from transformers import Qwen3MoeConfig, Qwen3MoeForCausalLM
+
+    cfg = Qwen3MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=8, num_experts_per_tok=2, decoder_sparse_step=1,
+        norm_topk_prob=True, mlp_only_layers=[], tie_word_embeddings=False,
+        rope_theta=10000.0, max_position_embeddings=512,
+    )
+    model = Qwen3MoeForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model)
+
+
+def test_deepseek_v2_parity():
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    cfg = DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1, moe_layer_freq=1,
+        topk_method="greedy", scoring_func="softmax",
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        aux_loss_alpha=0.0, seq_aux=False,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        max_position_embeddings=512, attention_bias=False,
+    )
+    model = DeepseekV2ForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model)
+
+
+def test_qwen3_next_parity():
+    from transformers import Qwen3NextConfig
+    from transformers.models.qwen3_next.modeling_qwen3_next import (
+        Qwen3NextForCausalLM,
+    )
+
+    cfg = Qwen3NextConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=8, num_experts_per_tok=2, decoder_sparse_step=1,
+        shared_expert_intermediate_size=32, norm_topk_prob=True,
+        mlp_only_layers=[], tie_word_embeddings=False,
+        linear_conv_kernel_dim=4, linear_key_head_dim=16,
+        linear_num_key_heads=2, linear_value_head_dim=16,
+        linear_num_value_heads=4,
+        full_attention_interval=4,
+        rope_theta=10000.0, max_position_embeddings=512,
+        partial_rotary_factor=0.25,
+    )
+    model = Qwen3NextForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model, atol=4e-2, rtol=4e-2)

@@ -42,14 +42,18 @@ def main() -> int:
         baseline_decode = 20.18  # BASELINE.md V2-Lite Q4 decode tok/s
         prefill_tokens = args.prefill_tokens
 
+    t0 = time.time()
     eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+    print(f"[bench] params built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, cfg.vocab_size - 100, size=prefill_tokens).tolist()
 
     # warmup (compile both prefill + decode)
+    t0 = time.time()
     eng.generate(prompt[:128], max_new_tokens=3,
                  sampling=SamplingParams(temperature=0.0), stop_ids={-1})
+    print(f"[bench] warmup (compile) in {time.time() - t0:.1f}s", file=sys.stderr)
 
     res = eng.generate(
         prompt, max_new_tokens=args.decode_tokens,

@@ -1,0 +1,169 @@
+"""Standardized benchmark harness (reference protocol parity).
+
+Reproduces the reference's measurement protocol
+(reference python/krasis/benchmark.py:43,874-899): warmup generate,
+timed prefill at 20K/35K/50K tokens, decode = 3 runs × 64 tokens,
+optional network re-measurement through a temporary HTTP server to
+quantify serving overhead (reference :648,:823). Reports archived as
+JSON under benchmarks/ with system info.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+import numpy as np
+
+PREFILL_LENGTHS = (20_000, 35_000, 50_000)   # reference benchmark.py:43
+DECODE_RUNS = 3
+DECODE_TOKENS = 64
+
+
+def _system_info() -> Dict:
+    import jax
+
+    devs = jax.devices()
+    return {
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in devs],
+        "jax": jax.__version__,
+    }
+
+
+def run_engine_benchmark(
+    engine,
+    prompt_ids: Optional[List[int]] = None,
+    prefill_lengths=PREFILL_LENGTHS,
+    decode_runs: int = DECODE_RUNS,
+    decode_tokens: int = DECODE_TOKENS,
+) -> Dict:
+    """Engine-direct measurement (no network)."""
+    from .ops.sampling import SamplingParams
+
+    greedy = SamplingParams(temperature=0.0)
+    vocab = engine.cfg.vocab_size
+    rng = np.random.default_rng(0)
+
+    def make_prompt(n):
+        if prompt_ids and len(prompt_ids) >= n:
+            return prompt_ids[:n]
+        return rng.integers(100, vocab - 100, size=n).tolist()
+
+    # warmup: full generate compiles prefill + decode
+    engine.generate(make_prompt(min(1024, engine.max_len // 2)),
+                    max_new_tokens=4, sampling=greedy, stop_ids={-1})
+
+    results: Dict = {"prefill": {}, "decode": {}}
+    for n in prefill_lengths:
+        if n + decode_tokens + 8 > engine.max_len:
+            continue
+        res = engine.generate(make_prompt(n), max_new_tokens=2,
+                              sampling=greedy, stop_ids={-1})
+        results["prefill"][str(n)] = {
+            "tok_s": round(res.prefill_tok_s, 1),
+            "ttft_s": round(res.prefill_s, 3),
+        }
+
+    decode_rates = []
+    n_ctx = min(2048, engine.max_len // 2)
+    for r in range(decode_runs):
+        res = engine.generate(make_prompt(n_ctx), max_new_tokens=decode_tokens,
+                              sampling=greedy, stop_ids={-1})
+        decode_rates.append(res.decode_tok_s)
+    results["decode"] = {
+        "tok_s_mean": round(float(np.mean(decode_rates)), 2),
+        "tok_s_runs": [round(r, 2) for r in decode_rates],
+        "context": n_ctx,
+        "tokens_per_run": decode_tokens,
+    }
+    results["best_prefill_tok_s"] = max(
+        (v["tok_s"] for v in results["prefill"].values()), default=0.0
+    )
+    return results
+
+
+def run_network_benchmark(port: int, n_prompt_tokens: int = 2048,
+                          decode_tokens: int = DECODE_TOKENS) -> Dict:
+    """Re-measure through a running HTTP server (overhead check,
+    reference benchmark.py:823)."""
+    import urllib.request
+
+    prompt = "benchmark " * (n_prompt_tokens // 2)
+    t0 = time.time()
+    req = urllib.request.Request(
+        f"http://127.0.0.1:{port}/v1/chat/completions",
+        data=json.dumps({
+            "messages": [{"role": "user", "content": prompt}],
+            "max_tokens": decode_tokens, "temperature": 0.0,
+        }).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req, timeout=1200) as resp:
+        body = json.loads(resp.read())
+    elapsed = time.time() - t0
+    timing = body.get("timing", {})
+    return {
+        "total_s": round(elapsed, 2),
+        "engine_prefill_tok_s": timing.get("prefill_tok_s"),
+        "engine_decode_tok_s": timing.get("decode_tok_s"),
+    }
+
+
+def archive_report(report: Dict, out_dir: str = "benchmarks") -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    name = report.get("model", "model").replace("/", "_")
+    path = os.path.join(out_dir, f"{name}_{stamp}.json")
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    return path
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", help="checkpoint path")
+    ap.add_argument("--synthetic", help="synthetic preset name")
+    ap.add_argument("--expert-bits", type=int, default=4)
+    ap.add_argument("--max-len", type=int, default=65536)
+    ap.add_argument("--prefill-lengths", type=int, nargs="*",
+                    default=list(PREFILL_LENGTHS))
+    ap.add_argument("--archive", action="store_true")
+    args = ap.parse_args()
+
+    from .config import ModelConfig, QuantConfig, preset_config
+
+    quant = QuantConfig(expert_bits=args.expert_bits)
+    if args.synthetic:
+        from .models.synthetic import build_synthetic_engine
+
+        cfg = preset_config(args.synthetic)
+        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+        model_name = f"synthetic/{args.synthetic}"
+    else:
+        from .models.loader import load_params
+        from .runtime.engine import Engine
+
+        cfg = ModelConfig.from_model_path(args.model)
+        params = load_params(cfg, quant)
+        engine = Engine(cfg, quant, params, max_len=args.max_len)
+        model_name = args.model
+
+    report = {
+        "model": model_name,
+        "quant": {"expert_bits": args.expert_bits},
+        "system": _system_info(),
+        "results": run_engine_benchmark(
+            engine, prefill_lengths=tuple(args.prefill_lengths)
+        ),
+    }
+    print(json.dumps(report, indent=2))
+    if args.archive:
+        print("archived:", archive_report(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -180,7 +180,21 @@ class ModelConfig:
 
     @classmethod
     def from_model_path(cls, model_path: str) -> "ModelConfig":
-        with open(os.path.join(model_path, "config.json")) as f:
+        cfg_file = os.path.join(model_path, "config.json")
+        if model_path.endswith(".gguf") or not os.path.exists(cfg_file):
+            # GGUF checkpoint: synthesize the config from its metadata
+            # (reference gguf.rs metadata → config path).
+            from .utils.gguf_source import GgufCheckpoint
+
+            ck = GgufCheckpoint(model_path)
+            try:
+                raw = ck.to_config_dict()
+            finally:
+                ck.close()
+            cfg = cls.from_dict(raw, model_path="")
+            cfg.model_path = model_path
+            return cfg
+        with open(cfg_file) as f:
             raw = json.load(f)
         return cls.from_dict(raw, model_path=model_path)
 

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 from ml_dtypes import bfloat16
 
 from ..config import ModelConfig, QuantConfig
-from ..quant import QTensor, pack_int4_np, quantize_np
+from ..quant import QTensor, pack_int4_np, quantize_host, quantize_np
 from ..utils.safetensors_io import ShardedSafetensors
-from .params import layer_specs
+from .params import layer_specs, stack_layer_list
 
 CACHE_VERSION = 1
 
@@ -74,8 +74,18 @@ class WeightLoader:
         self.quant = quant
         self.dtype = dtype           # storage dtype for non-quantized weights
         self._np_dtype = bfloat16 if dtype == jnp.bfloat16 else np.float32
-        self.st = ShardedSafetensors(cfg.model_path)
-        self.prefix = cfg.layers_prefix
+        if cfg.model_path.endswith(".gguf") or (
+            os.path.isdir(cfg.model_path)
+            and not os.path.exists(os.path.join(cfg.model_path, "config.json"))
+            and any(f.endswith(".gguf") for f in os.listdir(cfg.model_path))
+        ):
+            from ..utils.gguf_source import GgufCheckpoint
+
+            self.st = GgufCheckpoint(cfg.model_path)
+            self.prefix = "model"
+        else:
+            self.st = ShardedSafetensors(cfg.model_path)
+            self.prefix = cfg.layers_prefix
 
     # -- helpers ------------------------------------------------------------
 
@@ -93,7 +103,7 @@ class WeightLoader:
         if mode == "bf16":
             return jnp.asarray(w.astype(self._np_dtype))
         bits = {"int8": 8, "int4": 4}[mode]
-        return _qt_to_device(quantize_np(w, bits=bits, group_size=self.quant.group_size))
+        return _qt_to_device(quantize_host(w, bits=bits, group_size=self.quant.group_size))
 
     def _norm(self, name: str) -> jax.Array:
         return _to_jnp(self._get(name), self.dtype)
@@ -106,7 +116,6 @@ class WeightLoader:
         params: Dict[str, Any] = {
             "embed": _to_jnp(self._get(f"{P}.embed_tokens.weight"), self.dtype),
             "final_norm": self._norm(f"{P}.norm.weight"),
-            "layers": [],
         }
         if cfg.tie_word_embeddings:
             params["lm_head"] = jnp.asarray(
@@ -118,8 +127,10 @@ class WeightLoader:
                 lm_name = f"{P}.lm_head.weight"
             params["lm_head"] = self._linear(lm_name, q.lm_head)
 
-        for i, spec in enumerate(layer_specs(cfg)):
-            params["layers"].append(self._load_layer(i, spec))
+        layers = [
+            self._load_layer(i, spec) for i, spec in enumerate(layer_specs(cfg))
+        ]
+        params.update(stack_layer_list(layers, cfg))
         return params
 
     def _load_layer(self, i: int, spec) -> Dict[str, Any]:
@@ -197,7 +208,7 @@ class WeightLoader:
         if mode == "bf16":
             return jnp.asarray(w13.astype(self._np_dtype))
         bits = {"int8": 8, "int4": 4}[mode]
-        return _qt_to_device(quantize_np(w13, bits=bits, group_size=self.quant.group_size))
+        return _qt_to_device(quantize_host(w13, bits=bits, group_size=self.quant.group_size))
 
     def _load_moe(self, i: int) -> Dict[str, Any]:
         cfg, q = self.cfg, self.quant
@@ -253,8 +264,8 @@ class WeightLoader:
             lp["w13"] = jnp.asarray(w13_np.astype(self._np_dtype))
             lp["w2"] = jnp.asarray(w2_np.astype(self._np_dtype))
         else:
-            lp["w13"] = _qt_to_device(quantize_np(w13_np, bits=bits, group_size=gs))
-            lp["w2"] = _qt_to_device(quantize_np(w2_np, bits=bits, group_size=gs))
+            lp["w13"] = _qt_to_device(quantize_host(w13_np, bits=bits, group_size=gs))
+            lp["w2"] = _qt_to_device(quantize_host(w2_np, bits=bits, group_size=gs))
 
         # Shared expert(s): Qwen3-Next `shared_expert`, DeepSeek `shared_experts`.
         for sh in (f"{M}.shared_expert", f"{M}.shared_experts"):

@@ -40,7 +40,25 @@ from ..ops.norm import gated_rms_norm, rms_norm
 from ..ops.qmm import linear
 from ..ops.routing import compute_routing
 from ..ops.rope import apply_rope, rope_cos_sin, yarn_softmax_scale
-from .params import layer_specs
+from ..ops import flash_attention as fa
+from .params import layer_specs, pattern_info
+
+
+def _attend_dispatch(
+    q, kk, vv, q_off, kv_len, scale, window=0, sinks=None
+):
+    """Pick flash kernel (TPU, prefill-scale) or XLA masked attention.
+
+    q [B,Sq,H,D]; kk/vv [B,Skv,Hkv,D*] with kv positions = arange(Skv).
+    """
+    B, Sq = q.shape[:2]
+    if fa.available() and Sq >= 128:
+        return fa.flash_attention(
+            q, kk, vv, q_off, kv_len, scale, window=window, sinks=sinks
+        )
+    positions = q_off[:, None] + jnp.arange(Sq)[None, :]
+    mask = build_mask(positions, jnp.arange(kk.shape[1]), kv_len, window=window)
+    return attend(q, kk, vv, mask, scale, sinks=sinks)
 
 
 def _gqa_attention(
@@ -92,20 +110,19 @@ def _gqa_attention(
     new_lc = {"k": new_k, "v": new_v}
 
     window = cfg.sliding_window if spec.sliding else 0
+    q_off = positions[:, 0]
     if prefill:
         # First-chunk prefill: attend within the freshly projected chunk
         # (cache holds nothing older); avoids reading the full cache.
-        mask = build_mask(positions, positions[:, :], kv_len, window=window)
         kk, vv = k, v
-        kv_positions = positions
     else:
-        Smax = new_k.shape[1]
-        mask = build_mask(positions, jnp.arange(Smax), kv_len, window=window)
         kk = new_k.astype(q.dtype)
         vv = new_v.astype(q.dtype)
 
     scale = d ** -0.5
-    out = attend(q, kk, vv, mask, scale, sinks=lp.get("sinks"))
+    out = _attend_dispatch(
+        q, kk, vv, q_off, kv_len, scale, window=window, sinks=lp.get("sinks")
+    )
     out = out.reshape(B, S, hq * d)
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
@@ -149,18 +166,27 @@ def _mla_attention(
 
     scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
     if prefill:
-        mask = build_mask(positions, positions, kv_len)
         att_ckv, att_kpe = ckv, kpe
     else:
-        Smax = new_ckv.shape[1]
-        mask = build_mask(positions, jnp.arange(Smax), kv_len)
         att_ckv = new_ckv.astype(x.dtype)
         att_kpe = new_kpe.astype(x.dtype)
 
-    out = mla_absorbed_attention(
-        q_nope, q_pe, att_ckv, att_kpe,
-        lp["w_kc"], lp["w_vc"], mask, scale,
-    )  # [B, S, hq, dv]
+    # Absorbed MQA form: q_eff = q_nope @ w_kc joins q_pe against the
+    # single-"head" [ckv ; kpe] key and ckv value (attention.py docstring).
+    q_eff = jnp.einsum(
+        "bshd,hdl->bshl", q_nope.astype(jnp.float32),
+        lp["w_kc"].astype(jnp.float32),
+    ).astype(x.dtype)
+    q_cat = jnp.concatenate([q_eff, q_pe.astype(x.dtype)], axis=-1)
+    k_cat = jnp.concatenate([att_ckv, att_kpe], axis=-1)[:, :, None, :]
+    v_lat = att_ckv[:, :, None, :]
+
+    q_off = positions[:, 0]
+    ctx = _attend_dispatch(q_cat, k_cat, v_lat, q_off, kv_len, scale)
+    out = jnp.einsum(
+        "bshl,hlv->bshv", ctx.astype(jnp.float32),
+        lp["w_vc"].astype(jnp.float32),
+    ).astype(x.dtype)  # [B, S, hq, dv]
     return linear(out.reshape(B, S, -1), lp["o_proj"]), new_lc
 
 
@@ -261,10 +287,9 @@ def forward(
 
     x = jnp.take(params["embed"], tokens, axis=0)  # [B, S, H] bf16
     specs = layer_specs(cfg)
-    new_layers = []
-    for i, spec in enumerate(specs):
-        lp = params["layers"][i]
-        lc = cache["layers"][i]
+    info = pattern_info(cfg)
+
+    def layer_step(x, lp, lc, spec):
         normed = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         if spec.attn_kind == "gqa":
             attn_out, new_lc = _gqa_attention(
@@ -277,11 +302,32 @@ def forward(
         else:
             attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
         x = x + attn_out
-        new_layers.append(new_lc)
-
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec)
-        x = x + mlp_out.reshape(B, S, -1)
+        return x + mlp_out.reshape(B, S, -1), new_lc
+
+    new_prefix = []
+    for i, lp in enumerate(params["prefix_layers"]):
+        x, new_lc = layer_step(x, lp, cache["prefix_layers"][i], specs[i])
+        new_prefix.append(new_lc)
+
+    new_pattern = cache["pattern"]
+    if info.reps:
+        pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
+
+        def scan_body(x, xs):
+            lps, lcs = xs
+            new_lcs = []
+            for t in range(info.period):
+                x, nlc = layer_step(x, lps[t], lcs[t], pat_specs[t])
+                new_lcs.append(nlc)
+            return x, tuple(new_lcs)
+
+        x, new_pattern = jax.lax.scan(
+            scan_body, x,
+            (tuple(params["pattern"]), tuple(cache["pattern"])),
+        )
+        new_pattern = list(new_pattern)
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
 
@@ -290,7 +336,11 @@ def forward(
         x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, H]
     logits = linear(x, params["lm_head"], out_dtype=jnp.float32)
 
-    new_cache = {"layers": new_layers, "length": kv_len}
+    new_cache = {
+        "prefix_layers": new_prefix,
+        "pattern": new_pattern,
+        "length": kv_len,
+    }
     return logits, new_cache
 
 

@@ -1,24 +1,29 @@
 """Parameter schema + synthetic initialization.
 
-Parameters are plain nested dicts (pytrees) of jax Arrays / QTensors, one
-dict per layer, so the whole model jits and shards uniformly. The schema
-covers every architecture the reference supports (SURVEY §2.2):
+Parameters are nested dicts (pytrees) of jax Arrays / QTensors in a
+**pattern-stacked** layout: the layer stack is decomposed into a small
+unrolled ``prefix`` (e.g. DeepSeek's first dense layer) plus a repeating
+``pattern`` of layer kinds (QCN: [LA, LA, LA, GQA] × 12); parameters for
+each pattern position are stacked along a leading ``reps`` axis so the
+model forward can ``lax.scan`` over repetitions. Compile time and HLO
+size scale with the pattern period (1-4), not the layer count (27-94) —
+the TPU-native answer to the reference's per-layer static graph
+(reference src/decode.rs DecodeGraph builds 48+ explicit layers; XLA
+would choke compiling that unrolled).
 
-* attention kinds: ``mla`` (DeepSeek/Kimi, optional q-LoRA), ``gqa``
-  (Qwen3 / Qwen3-235B / GPT-OSS sliding+sinks; optional per-head output
-  gate for Qwen3-Next), ``linear_attention`` (Gated DeltaNet);
-* mlp kinds: ``moe`` (routed experts + optional (gated) shared expert +
-  per-expert biases for GPT-OSS) and ``dense``.
+Schema covers every architecture the reference supports (SURVEY §2.2):
+MLA (optional q-LoRA), GQA (qk-norm / gated / sinks / sliding), Gated
+DeltaNet, routed MoE (+ shared expert, per-expert biases), dense MLP.
 
 ``init_synthetic_params`` builds a full random-weight model directly in
-quantized form — the TPU analog of the reference's xorshift fake-weight
-benchmark graph (reference src/decode.rs:4480 fake_transposed_weight) —
-so engines can be built and benchmarked from a config alone.
+quantized stacked form — the analog of the reference's xorshift fake
+weights (reference src/decode.rs:4480) — so engines can be built and
+benchmarked from a config alone.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, NamedTuple
+from typing import Any, Dict, List, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -49,11 +54,164 @@ def layer_specs(cfg: ModelConfig) -> List[LayerSpec]:
     return specs
 
 
+class PatternInfo(NamedTuple):
+    prefix_n: int       # leading layers kept unrolled
+    period: int         # layers per repeating block (0 when reps == 0)
+    reps: int           # number of repetitions scanned
+
+    @property
+    def total(self) -> int:
+        return self.prefix_n + self.period * self.reps
+
+
+def pattern_info(cfg: ModelConfig) -> PatternInfo:
+    """Smallest (prefix, period) so specs = prefix ++ pattern × reps."""
+    specs = layer_specs(cfg)
+    L = len(specs)
+    best = PatternInfo(L, 0, 0)
+    for prefix_n in range(0, min(L, 4) + 1):
+        rest = L - prefix_n
+        for period in range(1, rest + 1):
+            if rest % period:
+                continue
+            reps = rest // period
+            if reps < 2:
+                continue
+            pat = specs[prefix_n : prefix_n + period]
+            if all(
+                specs[prefix_n + r * period + t] == pat[t]
+                for r in range(reps)
+                for t in range(period)
+            ):
+                cand = PatternInfo(prefix_n, period, reps)
+                if (cand.period, cand.prefix_n) < (
+                    best.period if best.reps else L + 1, best.prefix_n
+                ):
+                    best = cand
+                break  # smallest period for this prefix found
+    if best.reps == 0:
+        return PatternInfo(L, 0, 0)  # fully unrolled fallback
+    return best
+
+
+def pattern_layer_index(info: PatternInfo, t: int, r: int) -> int:
+    """Global layer index of pattern position t at repetition r."""
+    return info.prefix_n + r * info.period + t
+
+
+# --------------------------------------------------------------------------
+# Synthetic init
+# --------------------------------------------------------------------------
+
 def _maybe_quant(w: jax.Array, mode: str, group_size: int):
     if mode == "bf16":
         return w.astype(jnp.bfloat16)
     bits = {"int8": 8, "int4": 4}[mode]
     return quantize(w, bits=bits, group_size=group_size)
+
+
+def _init_layer(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    spec: LayerSpec,
+    key: jax.Array,
+    stack_n: Optional[int] = None,
+    dtype=jnp.bfloat16,
+) -> Dict[str, Any]:
+    """One layer's params; with stack_n, leaves get a leading reps dim."""
+    H = cfg.hidden_size
+    gs = quant.group_size
+    lead: Tuple[int, ...] = (stack_n,) if stack_n else ()
+    keys = iter(jax.random.split(key, 24))
+
+    def rnd(shape, scale=0.02, dt=dtype):
+        return (
+            jax.random.normal(next(keys), lead + shape, jnp.float32) * scale
+        ).astype(dt)
+
+    def ones(n):
+        base = jnp.zeros if cfg.norm_plus_one else jnp.ones
+        return base(lead + (n,), dtype)
+
+    def plain_ones(n):
+        return jnp.ones(lead + (n,), dtype)
+
+    lp: Dict[str, Any] = {"input_norm": ones(H), "post_norm": ones(H)}
+
+    if spec.attn_kind == "gqa":
+        d = cfg.qk_head_dim
+        hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+        gated = cfg.model_type in ("qwen3_next", "qwen3_5_moe_text")
+        lp["q_proj"] = rnd((H, hq * d * (2 if gated else 1)))
+        lp["k_proj"] = rnd((H, hkv * d))
+        lp["v_proj"] = rnd((H, hkv * d))
+        lp["o_proj"] = rnd((hq * d, H))
+        if cfg.attention_bias:
+            lp["q_bias"] = jnp.zeros(lead + (hq * d * (2 if gated else 1),), dtype)
+            lp["k_bias"] = jnp.zeros(lead + (hkv * d,), dtype)
+            lp["v_bias"] = jnp.zeros(lead + (hkv * d,), dtype)
+            lp["o_bias"] = jnp.zeros(lead + (H,), dtype)
+        if cfg.qk_norm:
+            lp["q_norm"] = ones(d)
+            lp["k_norm"] = ones(d)
+        if cfg.model_type == "gpt_oss":
+            lp["sinks"] = jnp.zeros(lead + (hq,), jnp.float32)
+    elif spec.attn_kind == "mla":
+        hq = cfg.num_attention_heads
+        dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
+        L, dv = cfg.kv_lora_rank, cfg.v_head_dim
+        if cfg.q_lora_rank:
+            lp["q_a_proj"] = rnd((H, cfg.q_lora_rank))
+            lp["q_a_norm"] = plain_ones(cfg.q_lora_rank)
+            lp["q_b_proj"] = rnd((cfg.q_lora_rank, hq * (dn + dr)))
+        else:
+            lp["q_proj"] = rnd((H, hq * (dn + dr)))
+        lp["kv_a_proj"] = rnd((H, L + dr))
+        lp["kv_a_norm"] = plain_ones(L)
+        lp["w_kc"] = rnd((hq, dn, L))
+        lp["w_vc"] = rnd((hq, L, dv))
+        lp["o_proj"] = rnd((hq * dv, H))
+    else:  # linear_attention
+        hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+        dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+        key_dim, value_dim = hk * dk, hv * dv
+        conv_dim = 2 * key_dim + value_dim
+        lp["qkvz_proj"] = rnd((H, 2 * key_dim + 2 * value_dim))
+        lp["ba_proj"] = rnd((H, 2 * hv))
+        lp["conv_w"] = rnd((conv_dim, cfg.linear_conv_kernel_dim), scale=0.2)
+        lp["dt_bias"] = jnp.ones(lead + (hv,), jnp.float32)
+        lp["a_log"] = jnp.zeros(lead + (hv,), jnp.float32)
+        lp["la_norm"] = jnp.ones(lead + (dv,), dtype)  # gated norm: plain weight
+        lp["la_out_proj"] = rnd((value_dim, H))
+
+    if spec.mlp_kind == "moe":
+        E, I = cfg.n_routed_experts, cfg.moe_intermediate_size
+        lp["gate_w"] = rnd((H, E), dt=jnp.float32)
+        if cfg.has_router_bias:
+            lp["gate_bias"] = jnp.zeros(lead + (E,), jnp.float32)
+        k13, k2 = jax.random.split(next(keys))
+        lp["w13"] = random_qtensor(k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
+        lp["w2"] = random_qtensor(k2, lead + (E, I, H), quant.expert_bits, gs)
+        if cfg.model_type == "gpt_oss":
+            lp["w13_bias"] = jnp.zeros(lead + (E, 2 * I), jnp.float32)
+            lp["w2_bias"] = jnp.zeros(lead + (E, H), jnp.float32)
+        if cfg.n_shared_experts > 0:
+            Is = cfg.shared_expert_intermediate_size or (
+                cfg.moe_intermediate_size * cfg.n_shared_experts
+            )
+            lp["shared_w13"] = _maybe_quant(
+                rnd((H, 2 * Is), dt=jnp.float32), quant.shared_expert, gs
+            )
+            lp["shared_w2"] = _maybe_quant(
+                rnd((Is, H), dt=jnp.float32), quant.shared_expert, gs
+            )
+            if cfg.model_type in ("qwen3_next", "qwen3_5_moe_text"):
+                lp["shared_gate_w"] = rnd((H, 1))
+    else:
+        I = cfg.intermediate_size
+        lp["mlp_w13"] = _maybe_quant(rnd((H, 2 * I), dt=jnp.float32), quant.dense_mlp, gs)
+        lp["mlp_w2"] = _maybe_quant(rnd((I, H), dt=jnp.float32), quant.dense_mlp, gs)
+    return lp
 
 
 def init_synthetic_params(
@@ -62,104 +220,50 @@ def init_synthetic_params(
     key: jax.Array,
     dtype=jnp.bfloat16,
 ) -> Dict[str, Any]:
-    """Random parameters with the exact production layout/dtypes."""
+    """Random parameters in the production (pattern-stacked) layout."""
+    specs = layer_specs(cfg)
+    info = pattern_info(cfg)
     H = cfg.hidden_size
-    gs = quant.group_size
-    keys = iter(jax.random.split(key, 16 + 8 * cfg.num_hidden_layers))
+    keys = iter(jax.random.split(key, 8 + info.prefix_n + max(info.period, 0)))
 
     def rnd(shape, scale=0.02, dt=dtype):
         return (jax.random.normal(next(keys), shape, jnp.float32) * scale).astype(dt)
 
     params: Dict[str, Any] = {
         "embed": rnd((cfg.vocab_size, H)),
-        "final_norm": jnp.zeros((H,), dtype) if cfg.norm_plus_one else jnp.ones((H,), dtype),
-        "lm_head": _maybe_quant(
-            rnd((H, cfg.vocab_size), dt=jnp.float32), quant.lm_head, gs
+        "final_norm": (
+            jnp.zeros((H,), dtype) if cfg.norm_plus_one else jnp.ones((H,), dtype)
         ),
-        "layers": [],
+        "lm_head": _maybe_quant(
+            rnd((H, cfg.vocab_size), dt=jnp.float32), quant.lm_head, quant.group_size
+        ),
+        "prefix_layers": [
+            _init_layer(cfg, quant, specs[i], next(keys), dtype=dtype)
+            for i in range(info.prefix_n)
+        ],
+        "pattern": [
+            _init_layer(
+                cfg, quant, specs[info.prefix_n + t], next(keys),
+                stack_n=info.reps, dtype=dtype,
+            )
+            for t in range(info.period)
+        ],
     }
-
-    ones = lambda n: (jnp.zeros if cfg.norm_plus_one else jnp.ones)((n,), dtype)
-
-    for i, spec in enumerate(layer_specs(cfg)):
-        lp: Dict[str, Any] = {"input_norm": ones(H), "post_norm": ones(H)}
-
-        if spec.attn_kind == "gqa":
-            d = cfg.qk_head_dim
-            hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
-            gated = cfg.model_type in ("qwen3_next", "qwen3_5_moe_text")
-            lp["q_proj"] = rnd((H, hq * d * (2 if gated else 1)))
-            lp["k_proj"] = rnd((H, hkv * d))
-            lp["v_proj"] = rnd((H, hkv * d))
-            lp["o_proj"] = rnd((hq * d, H))
-            if cfg.attention_bias:
-                lp["q_bias"] = jnp.zeros((hq * d * (2 if gated else 1),), dtype)
-                lp["k_bias"] = jnp.zeros((hkv * d,), dtype)
-                lp["v_bias"] = jnp.zeros((hkv * d,), dtype)
-                lp["o_bias"] = jnp.zeros((H,), dtype)
-            if cfg.qk_norm:
-                lp["q_norm"] = ones(d)
-                lp["k_norm"] = ones(d)
-            if cfg.model_type == "gpt_oss":
-                lp["sinks"] = jnp.zeros((hq,), jnp.float32)
-        elif spec.attn_kind == "mla":
-            hq = cfg.num_attention_heads
-            dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
-            L, dv = cfg.kv_lora_rank, cfg.v_head_dim
-            if cfg.q_lora_rank:
-                lp["q_a_proj"] = rnd((H, cfg.q_lora_rank))
-                lp["q_a_norm"] = jnp.ones((cfg.q_lora_rank,), dtype)
-                lp["q_b_proj"] = rnd((cfg.q_lora_rank, hq * (dn + dr)))
-            else:
-                lp["q_proj"] = rnd((H, hq * (dn + dr)))
-            lp["kv_a_proj"] = rnd((H, L + dr))
-            lp["kv_a_norm"] = jnp.ones((L,), dtype)
-            lp["w_kc"] = rnd((hq, dn, L))
-            lp["w_vc"] = rnd((hq, L, dv))
-            lp["o_proj"] = rnd((hq * dv, H))
-        else:  # linear_attention
-            hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
-            dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
-            key_dim, value_dim = hk * dk, hv * dv
-            conv_dim = 2 * key_dim + value_dim
-            lp["qkvz_proj"] = rnd((H, 2 * key_dim + 2 * value_dim))
-            lp["ba_proj"] = rnd((H, 2 * hv))
-            lp["conv_w"] = rnd((conv_dim, cfg.linear_conv_kernel_dim), scale=0.2)
-            lp["dt_bias"] = jnp.ones((hv,), jnp.float32)
-            lp["a_log"] = jnp.zeros((hv,), jnp.float32)
-            lp["la_norm"] = jnp.ones((dv,), dtype)  # gated norm: plain weight
-            lp["la_out_proj"] = rnd((value_dim, H))
-
-        if spec.mlp_kind == "moe":
-            E, I = cfg.n_routed_experts, cfg.moe_intermediate_size
-            lp["gate_w"] = rnd((H, E), dt=jnp.float32)
-            if cfg.has_router_bias:
-                lp["gate_bias"] = jnp.zeros((E,), jnp.float32)
-            k13, k2 = jax.random.split(next(keys))
-            lp["w13"] = random_qtensor(k13, (E, H, 2 * I), quant.expert_bits, gs)
-            lp["w2"] = random_qtensor(k2, (E, I, H), quant.expert_bits, gs)
-            if cfg.model_type == "gpt_oss":
-                lp["w13_bias"] = jnp.zeros((E, 2 * I), jnp.float32)
-                lp["w2_bias"] = jnp.zeros((E, H), jnp.float32)
-            if cfg.n_shared_experts > 0:
-                Is = cfg.shared_expert_intermediate_size or (
-                    cfg.moe_intermediate_size * cfg.n_shared_experts
-                )
-                lp["shared_w13"] = _maybe_quant(
-                    rnd((H, 2 * Is), dt=jnp.float32), quant.shared_expert, gs
-                )
-                lp["shared_w2"] = _maybe_quant(
-                    rnd((Is, H), dt=jnp.float32), quant.shared_expert, gs
-                )
-                if cfg.model_type in ("qwen3_next", "qwen3_5_moe_text"):
-                    lp["shared_gate_w"] = rnd((H, 1))
-        else:
-            I = cfg.intermediate_size
-            lp["mlp_w13"] = _maybe_quant(rnd((H, 2 * I), dt=jnp.float32), quant.dense_mlp, gs)
-            lp["mlp_w2"] = _maybe_quant(rnd((I, H), dt=jnp.float32), quant.dense_mlp, gs)
-
-        params["layers"].append(lp)
     return params
+
+
+def stack_layer_list(layers: List[Dict[str, Any]], cfg: ModelConfig):
+    """Stack a list of same-structure per-layer dicts into pattern layout
+    (used by the checkpoint loader)."""
+    info = pattern_info(cfg)
+    prefix = layers[: info.prefix_n]
+    pattern = []
+    for t in range(info.period):
+        group = [layers[pattern_layer_index(info, t, r)] for r in range(info.reps)]
+        pattern.append(
+            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
+        )
+    return {"prefix_layers": prefix, "pattern": pattern}
 
 
 def param_bytes(params) -> int:

@@ -1,0 +1,104 @@
+"""ctypes bindings for the native C++ quantizer (lazy self-build).
+
+Compiles quant.cpp with g++ on first use (cached in
+$KRASIS_TPU_HOME/native/); falls back transparently to the numpy
+quantizer when no compiler is available. Numerics are bit-exact with
+krasis_tpu.quant.quantize_np (verified in tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+import numpy as np
+from ml_dtypes import bfloat16
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+_SRC = os.path.join(os.path.dirname(__file__), "quant.cpp")
+
+
+def _build_dir() -> str:
+    home = os.environ.get("KRASIS_TPU_HOME", os.path.expanduser("~/.krasis_tpu"))
+    d = os.path.join(home, "native")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _build_failed
+    with _lock:
+        if _lib is not None or _build_failed:
+            return _lib
+        so_path = os.path.join(_build_dir(), "libkrasisq.so")
+        try:
+            src_mtime = os.path.getmtime(_SRC)
+            if not os.path.exists(so_path) or os.path.getmtime(so_path) < src_mtime:
+                cmd = [
+                    "g++", "-O3", "-march=native", "-fopenmp",
+                    "-shared", "-fPIC", _SRC, "-o", so_path + ".tmp",
+                ]
+                subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+                os.replace(so_path + ".tmp", so_path)
+            lib = ctypes.CDLL(so_path)
+            lib.krasisq_quantize.restype = ctypes.c_int
+            lib.krasisq_quantize.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            lib.krasisq_quantize_batch.restype = ctypes.c_int
+            lib.krasisq_quantize_batch.argtypes = [
+                ctypes.c_void_p, ctypes.c_int,
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int,
+                ctypes.c_void_p, ctypes.c_void_p,
+            ]
+            _lib = lib
+        except Exception:
+            _build_failed = True
+        return _lib
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def quantize_native(w: np.ndarray, bits: int, group_size: int = 128):
+    """Quantize [..., K, N] (f32 or bf16, C-contiguous) with the native
+    kernel. Returns (q int8, scales bf16) numpy arrays, or None if the
+    native library is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = np.ascontiguousarray(w)
+    if w.dtype == np.float32:
+        is_f32 = 1
+    elif w.dtype == bfloat16:
+        is_f32 = 0
+    else:
+        w = w.astype(np.float32)
+        is_f32 = 1
+
+    *lead, K, N = w.shape
+    E = int(np.prod(lead)) if lead else 1
+    q_rows = K // 2 if bits == 4 else K
+    q = np.zeros((*lead, q_rows, N), np.int8)
+    scales = np.empty((*lead, K // group_size, N), bfloat16)
+
+    rc = lib.krasisq_quantize_batch(
+        w.ctypes.data_as(ctypes.c_void_p), is_f32,
+        E, K, N, bits, group_size,
+        q.ctypes.data_as(ctypes.c_void_p),
+        scales.ctypes.data_as(ctypes.c_void_p),
+    )
+    if rc != 0:
+        raise ValueError(f"krasisq_quantize failed rc={rc}")
+    return q, scales

@@ -146,7 +146,37 @@ def moe_forward(
         w13_bias=w13_bias, w2_bias=w2_bias, precision=precision,
     )
     if T * k * 8 >= E:
+        from . import gmm_pallas, moe_pallas as mp
+
+        if (
+            w13_bias is None and w2_bias is None
+            and gmm_pallas.available()
+            and isinstance(w13, QTensor) and isinstance(w2, QTensor)
+            and mp.gathered_qmm_supported(w13)
+            and mp.gathered_qmm_supported(w2)
+        ):
+            return gmm_pallas.moe_prefill_pallas(
+                x, w13, w2, topk_idx, topk_weights,
+                swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+            )
         return moe_forward_ragged(x, w13, w2, topk_idx, topk_weights, **kwargs)
+    from . import moe_pallas  # deferred: keeps CPU-only paths pallas-free
+
+    if w13_bias is None and w2_bias is None and moe_pallas.available():
+        if moe_pallas.supported(x, w13, w2):
+            return moe_pallas.moe_gathered_pallas(
+                x, w13, w2, topk_idx, topk_weights,
+                swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+            )
+        if (
+            isinstance(w13, QTensor) and isinstance(w2, QTensor)
+            and moe_pallas.gathered_qmm_supported(w13)
+            and moe_pallas.gathered_qmm_supported(w2)
+        ):
+            return moe_pallas.moe_gathered_tiled(
+                x, w13, w2, topk_idx, topk_weights,
+                swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+            )
     return moe_forward_gathered(x, w13, w2, topk_idx, topk_weights, **kwargs)
 
 

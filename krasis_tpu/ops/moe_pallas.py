@@ -1,0 +1,266 @@
+"""Pallas TPU kernel: gathered expert MLP for decode (M=1 per expert).
+
+The decode-side half of the reference's expert engine (reference
+src/moe.rs expert_forward_unified: per selected expert, read its packed
+weights once, run gate/up → SiLU → down): one grid step per
+(token, top-k expert) pair. Scalar-prefetched expert ids drive the
+BlockSpec index maps, so the Pallas pipeline double-buffers the *next*
+selected expert's packed INT4/INT8 weights from HBM while the current
+expert computes — the TPU analog of the reference's NTA-prefetch
+sequential path (moe.rs:513-531). HBM traffic per step is exactly the
+selected expert's packed bytes: the bandwidth-optimal decode pattern.
+
+The whole fused chain (dequant w13 → GEMV → SwiGLU → dequant w2 → GEMV
+→ route-weight scale) runs in one kernel; the caller just sums the k
+partial outputs per token.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..quant import QTensor
+
+_MAX_W_BYTES = 4 * 1024 * 1024  # per-expert packed bytes budget (VMEM)
+
+
+def available() -> bool:
+    if os.environ.get("KRASIS_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def supported(x: jax.Array, w13: QTensor, w2: QTensor) -> bool:
+    if not (isinstance(w13, QTensor) and isinstance(w2, QTensor)):
+        return False
+    if w13.q.ndim != 3 or w2.q.ndim != 3:
+        return False
+    H, I2 = w13.k_dim, w13.n_dim
+    I, H2 = w2.k_dim, w2.n_dim
+    if H != H2 or I * 2 != I2:
+        return False
+    if I2 % 128 or H % 128:
+        return False
+    if w13.q.shape[-2] * w13.q.shape[-1] + w2.q.shape[-2] * w2.q.shape[-1] > _MAX_W_BYTES:
+        return False
+    return True
+
+
+def _unpack_scale(q, s, bits, gs):
+    """[rows, N] packed int → [K, N] bf16 dequantized."""
+    if bits == 4:
+        b = q.astype(jnp.int32)
+        lo = ((b & 0xF) ^ 8) - 8
+        hi = (((b >> 4) & 0xF) ^ 8) - 8
+        w = jnp.concatenate([lo, hi], axis=0)
+    else:
+        w = q.astype(jnp.int32)
+    K, N = w.shape
+    wf = w.astype(jnp.float32).reshape(K // gs, gs, N)
+    wf = wf * s.astype(jnp.float32)[:, None, :]
+    return wf.reshape(K, N).astype(jnp.bfloat16)
+
+
+def _kernel(
+    # scalar prefetch
+    expert_ref, token_ref, wt_ref,
+    # tensor inputs
+    x_ref, q13_ref, s13_ref, q2_ref, s2_ref,
+    # output
+    o_ref,
+    *, bits: int, gs: int, I: int,
+    swiglu_limit: float, gpt_oss: bool,
+):
+    p = pl.program_id(0)
+    t = token_ref[p]
+    xr = x_ref[pl.ds(t, 1), :]                          # [1, H] bf16
+
+    w13 = _unpack_scale(q13_ref[0], s13_ref[0], bits, gs)   # [H, 2I]
+    h = jnp.dot(xr, w13, preferred_element_type=jnp.float32)  # [1, 2I]
+    g, u = h[:, :I], h[:, I:]
+    if gpt_oss:
+        g = jnp.minimum(g, swiglu_limit)
+        u = jnp.clip(u, -swiglu_limit, swiglu_limit)
+        a = g * jax.nn.sigmoid(1.702 * g) * (u + 1.0)
+    else:
+        a = g * jax.nn.sigmoid(g) * u
+
+    w2 = _unpack_scale(q2_ref[0], s2_ref[0], bits, gs)      # [I, H]
+    o = jnp.dot(a.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
+    o_ref[0, :] = (o[0] * wt_ref[p]).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("swiglu_limit", "gpt_oss", "interpret")
+)
+def moe_gathered_pallas(
+    x: jax.Array,            # [T, H] bf16
+    w13: QTensor,            # [E, H(/2), 2I] + scales [E, H/gs, 2I]
+    w2: QTensor,             # [E, I(/2), H] + scales [E, I/gs, H]
+    topk_idx: jax.Array,     # [T, k] int32
+    topk_weights: jax.Array, # [T, k] f32
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    T, H = x.shape
+    k = topk_idx.shape[-1]
+    P = T * k
+    I = w2.k_dim
+    gs = w13.group_size
+    bits = w13.bits
+
+    expert_ids = topk_idx.reshape(-1).astype(jnp.int32)
+    token_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    weights = topk_weights.reshape(-1).astype(jnp.float32)
+
+    r13 = w13.q.shape[-2]
+    r2 = w2.q.shape[-2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((T, H), lambda p, e, t, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r13, 2 * I), lambda p, e, t, w: (e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, H // gs, 2 * I), lambda p, e, t, w: (e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, r2, H), lambda p, e, t, w: (e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, I // gs, H), lambda p, e, t, w: (e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, H), lambda p, e, t, w: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+
+    partial_out = pl.pallas_call(
+        functools.partial(
+            _kernel, bits=bits, gs=gs, I=I,
+            swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * H * 3 * I,
+            bytes_accessed=P * (r13 * 2 * I + r2 * H) + T * H * 2 + P * H * 4,
+            transcendentals=P * I,
+        ),
+        interpret=interpret,
+    )(expert_ids, token_ids, weights, x.astype(jnp.bfloat16),
+      w13.q, w13.scales, w2.q, w2.scales)
+
+    return partial_out.reshape(T, k, H).sum(axis=1).astype(x.dtype)
+
+
+# --------------------------------------------------------------------------
+# General gathered expert matmul (N-tiled: any expert size)
+# --------------------------------------------------------------------------
+
+_TN = 512
+
+
+def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
+    p = pl.program_id(0)
+    w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, TN]
+    o_ref[0] = jnp.dot(
+        x_ref[pl.ds(p, 1), :], w, preferred_element_type=jnp.float32
+    )[0]
+
+
+def gathered_qmm_supported(w: QTensor) -> bool:
+    if not isinstance(w, QTensor) or w.q.ndim != 3:
+        return False
+    K, N = w.k_dim, w.n_dim
+    if N % _TN and N % 128:
+        return False
+    rows = w.q.shape[-2]
+    # per-step VMEM: packed tile + unpacked bf16 tile (×2 for pipelining)
+    tn = _TN if N % _TN == 0 else N
+    return rows * tn * 3 + (K // w.group_size) * tn * 2 < 8 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gathered_qmm_pallas(
+    x_rows: jax.Array,       # [P, K] bf16 — row p multiplies expert e[p]
+    w: QTensor,              # [E, K(/2), N] + scales
+    expert_ids: jax.Array,   # [P] int32
+    interpret: bool = False,
+) -> jax.Array:
+    """out[p] = x_rows[p] @ W[expert_ids[p]] with in-kernel dequant.
+
+    The N-tiled building block for decode MoE on experts of any size
+    (w13 and w2 run as two calls with XLA-fused SwiGLU between): per
+    grid step only a [K, TN] weight tile is resident, so V2-Lite-scale
+    experts (up to ~12 MB unpacked) stream through VMEM tile by tile.
+    """
+    P, K = x_rows.shape
+    N = w.n_dim
+    gs = w.group_size
+    rows = w.q.shape[-2]
+    TN = _TN if N % _TN == 0 else N
+    nn = N // TN
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(P, nn),
+        in_specs=[
+            pl.BlockSpec((P, K), lambda p, j, e: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, TN), lambda p, j, e: (e[p], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K // gs, TN), lambda p, j, e: (e[p], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TN), lambda p, j, e: (p, j),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gq_kernel, bits=w.bits, gs=gs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * K * N,
+            bytes_accessed=P * (rows * N + (K // gs) * N * 2) + P * K * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(expert_ids.astype(jnp.int32), x_rows.astype(jnp.bfloat16),
+      w.q, w.scales)
+
+
+def moe_gathered_tiled(
+    x: jax.Array,            # [T, H]
+    w13: QTensor,
+    w2: QTensor,
+    topk_idx: jax.Array,     # [T, k]
+    topk_weights: jax.Array, # [T, k]
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    interpret: bool = False,
+) -> jax.Array:
+    """Decode MoE via two gathered matmul kernels + fused activation."""
+    from .activations import swiglu
+
+    T, H = x.shape
+    k = topk_idx.shape[-1]
+    eids = topk_idx.reshape(-1)
+    x_rep = jnp.repeat(x, k, axis=0)                     # [P, H]
+    h = gathered_qmm_pallas(x_rep, w13, eids, interpret=interpret)
+    a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
+               gpt_oss=gpt_oss)
+    o = gathered_qmm_pallas(a, w2, eids, interpret=interpret)
+    o = o.reshape(T, k, H) * topk_weights[..., None]
+    return o.sum(axis=1).astype(x.dtype)

@@ -1,25 +1,110 @@
 """Pallas TPU kernel: dequant-fused weight-only-quantized matmul.
 
-Placeholder module during bring-up: `available()` gates kernel use so the
-XLA reference path serves until the kernel lands. The real kernel streams
-packed int4/int8 weight tiles into VMEM, unpacks + scales on the VPU, and
-feeds bf16 tiles to the MXU.
+``x[T,K] @ W`` where W is INT4 (split-half packed [K/2, N]) or INT8
+[K, N] with bf16 group scales [K/gs, N]. The kernel streams packed
+weight tiles HBM→VMEM, unpacks + scales on the VPU, and feeds bf16
+tiles to the MXU — so HBM traffic is the *packed* bytes (4×/2× less
+than bf16), which is the whole game on bandwidth-bound decode
+(reference src/kernel/avx2.rs plays the same card with AVX2 integer
+kernels; here the MXU does the FLOPs and the VPU the dequant).
+
+Grid: one program per N-tile; x stays resident in VMEM across the
+grid, weight tiles double-buffer automatically via the BlockSpec
+pipeline. K is kept whole per tile (all supported shapes have
+K ≤ ~12k → tile VMEM ≤ ~6 MB).
 """
 
 from __future__ import annotations
 
+import functools
+import os
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QTensor
 
+_TN = 256          # N-tile (lane-dim multiple of 128)
+_MAX_K = 16384     # keep K-whole tiles within VMEM
+
 
 def available() -> bool:
-    return False
+    if os.environ.get("KRASIS_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
 
 
 def supported(x: jax.Array, qt: QTensor) -> bool:
-    return False
+    if x.ndim != 2 or qt.q.ndim != 2:
+        return False
+    K, N = qt.k_dim, qt.n_dim
+    if K > _MAX_K or K % qt.group_size or (qt.bits == 4 and K % 2):
+        return False
+    if N % 128:
+        return False
+    return True
 
 
-def qmm_pallas(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
-    raise NotImplementedError
+def _kernel_int4(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
+    b = q_ref[:].astype(jnp.int32)                 # [K/2, TN] packed
+    lo = ((b & 0xF) ^ 8) - 8                       # sign-extend low nibble
+    hi = (((b >> 4) & 0xF) ^ 8) - 8
+    w = jnp.concatenate([lo, hi], axis=0)          # [K, TN] int32
+    Kh2, TN = b.shape
+    K = Kh2 * 2
+    wf = w.astype(jnp.float32).reshape(K // gs, gs, TN)
+    wf = wf * s_ref[:].astype(jnp.float32)[:, None, :]
+    wb = wf.reshape(K, TN).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(
+        x_ref[:], wb, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+def _kernel_int8(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
+    w = q_ref[:].astype(jnp.float32)               # [K, TN]
+    K, TN = w.shape
+    wf = w.reshape(K // gs, gs, TN) * s_ref[:].astype(jnp.float32)[:, None, :]
+    wb = wf.reshape(K, TN).astype(jnp.bfloat16)
+    o_ref[:] = jnp.dot(
+        x_ref[:], wb, preferred_element_type=jnp.float32
+    ).astype(out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def qmm_pallas(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16,
+               interpret: bool = False) -> jax.Array:
+    T, K = x.shape
+    N = qt.n_dim
+    gs = qt.group_size
+    Tp = max(8, -(-T // 8) * 8)                    # pad sublane dim
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    kern = _kernel_int4 if qt.bits == 4 else _kernel_int8
+    rows = K // 2 if qt.bits == 4 else K
+    grid = (pl.cdiv(N, _TN),)
+
+    out = pl.pallas_call(
+        functools.partial(kern, gs=gs, out_dtype=out_dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((Tp, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // gs, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Tp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=rows * N + (K // gs) * N * 2 + Tp * K * 2 + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, qt.q, qt.scales)
+    return out[:T]

@@ -12,8 +12,10 @@ Mesh axes:
   reference's EP-only multi-GPU strategy, SURVEY §2.3) — tensor-parallel
   attention is layered on later via head sharding on the same axis.
 
-GSPMD inserts the all-reduce of partial MoE outputs (the analog of the
-reference's masked-expert partial-sum across GPUs).
+Params use the pattern-stacked layout (models/params.py): pattern expert
+leaves are [reps, E, ...] → sharded on dim 1; prefix expert leaves
+[E, ...] → dim 0. GSPMD inserts the all-reduce of partial MoE outputs
+(the analog of the reference's masked-expert partial-sum across GPUs).
 """
 
 from __future__ import annotations
@@ -25,82 +27,89 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import ModelConfig
-from ..models.params import layer_specs
 from ..quant import QTensor
+
+EXPERT_KEYS = ("w13", "w2")
+EXPERT_BIAS_KEYS = ("w13_bias", "w2_bias")
 
 
 def make_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
     devs = jax.devices()
     n = n_devices or len(devs)
+    if len(devs) < n:
+        raise ValueError(
+            f"need {n} devices, have {len(devs)} "
+            "(for CPU testing set XLA_FLAGS=--xla_force_host_platform_device_count)"
+        )
     ep = n // dp
     return Mesh(np.asarray(devs[:n]).reshape(dp, ep), ("dp", "ep"))
 
 
-def param_shardings(cfg: ModelConfig, mesh: Mesh) -> Dict[str, Any]:
-    """PartitionSpec pytree matching the params pytree: experts sharded on
-    the expert dim over `ep`, everything else replicated."""
-    rep = P()
-    exp3 = P("ep", None, None)   # [E, K, N] expert stacks
-    exp2 = P("ep", None)         # [E, N] scales-lead / biases
+def _put(leaf, mesh: Mesh, spec: P):
+    return jax.device_put(leaf, NamedSharding(mesh, spec))
 
-    def qspec(spec3, spec2):
-        return QTensor(q=spec3, scales=spec3, bits=0, group_size=0)  # type: ignore
 
-    out: Dict[str, Any] = {
-        "embed": rep, "final_norm": rep,
-        "lm_head": rep, "layers": [],
-    }
-    params_template_keys = None  # layer dicts are built per spec below
+def _shard_layer(lp: Dict[str, Any], mesh: Mesh, stacked: bool) -> Dict[str, Any]:
+    """Experts over ep (dim 1 when pattern-stacked, else 0); rest replicated."""
+    e_dim = 1 if stacked else 0
 
-    for i, spec in enumerate(layer_specs(cfg)):
-        lp: Dict[str, Any] = {}
-        # everything defaults to replicated; experts get the ep shard
-        if spec.mlp_kind == "moe":
-            lp["w13"] = QTensor(q=exp3, scales=exp3, bits=0, group_size=0)
-            lp["w2"] = QTensor(q=exp3, scales=exp3, bits=0, group_size=0)
-            if cfg.model_type == "gpt_oss":
-                lp["w13_bias"] = exp2
-                lp["w2_bias"] = exp2
-        out["layers"].append(lp)
+    def espec(ndim):
+        s = [None] * ndim
+        s[e_dim] = "ep"
+        return P(*s)
+
+    out = {}
+    for name, w in lp.items():
+        if name in EXPERT_KEYS and isinstance(w, QTensor):
+            out[name] = QTensor(
+                q=_put(w.q, mesh, espec(w.q.ndim)),
+                scales=_put(w.scales, mesh, espec(w.scales.ndim)),
+                bits=w.bits, group_size=w.group_size,
+            )
+        elif name in EXPERT_BIAS_KEYS:
+            out[name] = _put(w, mesh, espec(w.ndim))
+        else:
+            out[name] = jax.tree_util.tree_map(
+                lambda l: _put(l, mesh, P()), w
+            )
     return out
 
 
 def shard_params(params: Dict[str, Any], cfg: ModelConfig, mesh: Mesh):
-    """device_put each leaf with its sharding (experts over ep)."""
-    def put(leaf, s):
-        return jax.device_put(leaf, NamedSharding(mesh, s))
-
-    specs = param_shardings(cfg, mesh)
-    out = {
-        "embed": put(params["embed"], P()),
-        "final_norm": put(params["final_norm"], P()),
+    return {
+        "embed": _put(params["embed"], mesh, P()),
+        "final_norm": _put(params["final_norm"], mesh, P()),
         "lm_head": jax.tree_util.tree_map(
-            lambda l: put(l, P()), params["lm_head"]
+            lambda l: _put(l, mesh, P()), params["lm_head"]
         ),
-        "layers": [],
+        "prefix_layers": [
+            _shard_layer(lp, mesh, stacked=False)
+            for lp in params["prefix_layers"]
+        ],
+        "pattern": [
+            _shard_layer(lp, mesh, stacked=True) for lp in params["pattern"]
+        ],
     }
-    for lp, ls in zip(params["layers"], specs["layers"]):
-        new_lp = {}
-        for name, w in lp.items():
-            if name in ("w13", "w2") and isinstance(w, QTensor):
-                new_lp[name] = QTensor(
-                    q=put(w.q, P("ep", None, None)),
-                    scales=put(w.scales, P("ep", None, None)),
-                    bits=w.bits, group_size=w.group_size,
-                )
-            elif name in ("w13_bias", "w2_bias"):
-                new_lp[name] = put(w, P("ep", None))
-            else:
-                new_lp[name] = jax.tree_util.tree_map(lambda l: put(l, P()), w)
-        out["layers"].append(new_lp)
-    return out
 
 
 def cache_shardings(cache, mesh: Mesh):
-    """Cache sharded over dp on the batch (slot) dim."""
-    def spec_for(leaf):
-        return NamedSharding(mesh, P("dp", *([None] * (leaf.ndim - 1))))
+    """Cache sharded over dp on the slot (batch) dim: dim 0 for prefix
+    layers and `length`, dim 1 for pattern-stacked leaves."""
 
-    return jax.tree_util.tree_map(
-        lambda l: jax.device_put(l, spec_for(l)), cache
-    )
+    def put_with_batch_dim(leaf, b_dim):
+        s = [None] * leaf.ndim
+        s[b_dim] = "dp"
+        return _put(leaf, mesh, P(*s))
+
+    out = {
+        "prefix_layers": [
+            jax.tree_util.tree_map(lambda l: put_with_batch_dim(l, 0), lc)
+            for lc in cache["prefix_layers"]
+        ],
+        "pattern": [
+            jax.tree_util.tree_map(lambda l: put_with_batch_dim(l, 1), lc)
+            for lc in cache["pattern"]
+        ],
+        "length": put_with_batch_dim(cache["length"], 0),
+    }
+    return out

@@ -66,11 +66,23 @@ class QTensor:
 # Host-side (numpy) quantization — used by the checkpoint loader
 # --------------------------------------------------------------------------
 
+def pick_group_size(K: int, group_size: int) -> int:
+    """Largest divisor of K that is <= group_size (halving), falling back
+    to per-channel (gs=K). The reference quantizes non-expert weights
+    per-channel (reference weight_loader.py:25 quantize_to_int8); here any
+    K that group 128 doesn't divide (e.g. V2-Lite dense I=10944) degrades
+    gracefully to gs=64/32/... instead of failing."""
+    g = group_size
+    while g >= 16 and K % g:
+        g //= 2
+    return g if (g >= 16 and K % g == 0) else K
+
+
 def quantize_np(w: np.ndarray, bits: int, group_size: int = 128) -> QTensor:
     """Quantize a [..., K, N] float array. Returns numpy-backed QTensor."""
     assert bits in (4, 8)
     *lead, K, N = w.shape
-    assert K % group_size == 0, f"K={K} not divisible by group_size={group_size}"
+    group_size = pick_group_size(K, group_size)
     w = np.asarray(w, dtype=np.float32)
 
     g = w.reshape(*lead, K // group_size, group_size, N)
@@ -88,6 +100,23 @@ def quantize_np(w: np.ndarray, bits: int, group_size: int = 128) -> QTensor:
     if bits == 4:
         q = pack_int4_np(q)
     return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+
+
+def quantize_host(w: np.ndarray, bits: int, group_size: int = 128) -> QTensor:
+    """Host-side quantization, preferring the OpenMP C++ kernel
+    (krasis_tpu/native/quant.cpp — bit-exact with quantize_np, tested in
+    tests/test_native.py); numpy fallback when no toolchain."""
+    group_size = pick_group_size(w.shape[-2], group_size)
+    try:
+        from . import native
+
+        res = native.quantize_native(w, bits=bits, group_size=group_size)
+        if res is not None:
+            q, scales = res
+            return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+    except Exception:
+        pass
+    return quantize_np(np.asarray(w, dtype=np.float32), bits, group_size)
 
 
 def pack_int4_np(q: np.ndarray) -> np.ndarray:
@@ -155,7 +184,7 @@ def quantize(w: jax.Array, bits: int, group_size: int = 128) -> QTensor:
     synthetic weight generation and tests."""
     assert bits in (4, 8)
     *lead, K, N = w.shape
-    assert K % group_size == 0
+    group_size = pick_group_size(K, group_size)
     g = w.astype(jnp.float32).reshape(*lead, K // group_size, group_size, N)
     amax = jnp.abs(g).max(axis=-2, keepdims=True)
     qmax = 7.0 if bits == 4 else 127.0
@@ -187,14 +216,15 @@ def random_qtensor(
     and access patterns with zero checkpoint load, for synthetic benchmarks.
     """
     *lead, K, N = shape
+    group_size = pick_group_size(K, group_size)
     kq, ks = jax.random.split(key)
-    lo, hi = (-8, 8) if bits == 4 else (-128, 128)
-    q = jax.random.randint(kq, (*lead, K, N), lo, hi, dtype=jnp.int8)
-    if bits == 4:
-        half = K // 2
-        lo_n = q[..., :half, :].astype(jnp.uint8) & 0xF
-        hi_n = (q[..., half:, :].astype(jnp.uint8) & 0xF) << 4
-        q = (lo_n | hi_n).astype(jnp.int8)
+    # Generate directly in storage layout (any random byte is a valid
+    # packed int4 pair), from uint32 bits bitcast to bytes — randint would
+    # materialize a 4× uint32 transient and OOM full-size synthetic models.
+    rows = K // 2 if bits == 4 else K
+    assert N % 4 == 0
+    bits32 = jax.random.bits(kq, (*lead, rows, N // 4), dtype=jnp.uint32)
+    q = jax.lax.bitcast_convert_type(bits32, jnp.int8).reshape(*lead, rows, N)
     scales = (
         scale_mag
         * jax.random.uniform(ks, (*lead, K // group_size, N), minval=0.5, maxval=1.5)

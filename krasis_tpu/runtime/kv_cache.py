@@ -1,4 +1,4 @@
-"""Slot-based KV / recurrent-state cache.
+"""Slot-based KV / recurrent-state cache (pattern-stacked layout).
 
 TPU-native replacement for the reference's paged KV pool
 (reference python/krasis/kv_cache.py — 16-token pages, free-list alloc):
@@ -7,6 +7,11 @@ XLA wants static shapes, so the cache is a dense per-slot buffer
 sequence length is handled by masking in attention rather than page
 tables. Slot = one concurrent sequence (continuous batching assigns
 sequences to free slots).
+
+Layout mirrors the params pattern layout (models/params.py): an unrolled
+``prefix_layers`` list plus ``pattern`` entries whose leaves carry a
+leading ``reps`` dim, so the model's lax.scan slices one layer's cache
+per repetition.
 
 Storage formats per layer kind:
 * GQA: K/V ``[B, S, Hkv, D]`` in fp8 e4m3 or bf16 (fp8 halves HBM traffic
@@ -19,16 +24,43 @@ Storage formats per layer kind:
 
 from __future__ import annotations
 
-from typing import Any, Dict, List
+from typing import Any, Dict
 
 import jax.numpy as jnp
 
 from ..config import ModelConfig, QuantConfig
-from ..models.params import LayerSpec, layer_specs
+from ..models.params import LayerSpec, layer_specs, pattern_info
 
 
 def kv_dtype(quant: QuantConfig):
     return jnp.float8_e4m3fn if quant.kv_cache_dtype == "fp8" else jnp.bfloat16
+
+
+def _layer_cache(
+    cfg: ModelConfig, quant: QuantConfig, spec: LayerSpec,
+    batch: int, max_len: int, lead=(),
+) -> Dict[str, Any]:
+    kdt = kv_dtype(quant)
+    if spec.attn_kind == "gqa":
+        d = cfg.qk_head_dim
+        return {
+            "k": jnp.zeros(lead + (batch, max_len, cfg.num_key_value_heads, d), kdt),
+            "v": jnp.zeros(lead + (batch, max_len, cfg.num_key_value_heads, d), kdt),
+        }
+    if spec.attn_kind == "mla":
+        return {
+            "ckv": jnp.zeros(lead + (batch, max_len, cfg.kv_lora_rank), kdt),
+            "kpe": jnp.zeros(lead + (batch, max_len, cfg.qk_rope_head_dim), kdt),
+        }
+    hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
+    dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
+    conv_dim = 2 * hk * dk + hv * dv
+    return {
+        "state": jnp.zeros(lead + (batch, hv, dk, dv), jnp.float32),
+        "conv": jnp.zeros(
+            lead + (batch, cfg.linear_conv_kernel_dim - 1, conv_dim), jnp.bfloat16
+        ),
+    }
 
 
 def init_cache(
@@ -38,30 +70,22 @@ def init_cache(
     max_len: int,
 ) -> Dict[str, Any]:
     """Zero-initialized cache pytree for `batch` slots of `max_len` tokens."""
-    kdt = kv_dtype(quant)
-    layers: List[Dict[str, Any]] = []
-    for spec in layer_specs(cfg):
-        if spec.attn_kind == "gqa":
-            d = cfg.qk_head_dim
-            layers.append({
-                "k": jnp.zeros((batch, max_len, cfg.num_key_value_heads, d), kdt),
-                "v": jnp.zeros((batch, max_len, cfg.num_key_value_heads, d), kdt),
-            })
-        elif spec.attn_kind == "mla":
-            layers.append({
-                "ckv": jnp.zeros((batch, max_len, cfg.kv_lora_rank), kdt),
-                "kpe": jnp.zeros((batch, max_len, cfg.qk_rope_head_dim), kdt),
-            })
-        else:  # linear attention
-            hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
-            dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
-            conv_dim = 2 * hk * dk + hv * dv
-            layers.append({
-                "state": jnp.zeros((batch, hv, dk, dv), jnp.float32),
-                "conv": jnp.zeros((batch, cfg.linear_conv_kernel_dim - 1, conv_dim),
-                                  jnp.bfloat16),
-            })
-    return {"layers": layers, "length": jnp.zeros((batch,), jnp.int32)}
+    specs = layer_specs(cfg)
+    info = pattern_info(cfg)
+    return {
+        "prefix_layers": [
+            _layer_cache(cfg, quant, specs[i], batch, max_len)
+            for i in range(info.prefix_n)
+        ],
+        "pattern": [
+            _layer_cache(
+                cfg, quant, specs[info.prefix_n + t], batch, max_len,
+                lead=(info.reps,),
+            )
+            for t in range(info.period)
+        ],
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
 
 
 def cache_bytes(cache) -> int:

@@ -33,10 +33,11 @@ REGISTRY_DIR = os.path.join(
 
 
 class ServerState:
-    def __init__(self, engine, tokenizer, model_name: str):
+    def __init__(self, engine, tokenizer, model_name: str, scheduler=None):
         self.engine = engine
         self.tokenizer = tokenizer  # may be None for synthetic models
         self.model_name = model_name
+        self.scheduler = scheduler  # continuous batching (None = serialized)
         self.lock = threading.Lock()
 
 
@@ -105,6 +106,15 @@ class Handler(BaseHTTPRequestHandler):
         rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
         created = int(time.time())
 
+        if STATE.scheduler is not None:
+            # continuous batching: no lock — scheduler multiplexes slots
+            if stream:
+                self._stream_response_batched(rid, created, prompt_ids,
+                                              max_tokens, sampling)
+            else:
+                self._full_response_batched(rid, created, prompt_ids,
+                                            max_tokens, sampling)
+            return
         with STATE.lock:
             if stream:
                 self._stream_response(rid, created, prompt_ids, max_tokens, sampling)
@@ -193,6 +203,67 @@ class Handler(BaseHTTPRequestHandler):
         })
 
 
+    def _stream_response_batched(self, rid, created, prompt_ids,
+                                 max_tokens, sampling):
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+
+        def write_chunk(b: bytes):
+            self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
+            self.wfile.flush()
+
+        write_chunk(self._chunk(rid, created, {"role": "assistant"}))
+        dec = None
+        if STATE.tokenizer is not None:
+            from .runtime.tokenizer import IncrementalDecoder
+            dec = IncrementalDecoder(STATE.tokenizer)
+
+        req = STATE.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
+                                     sampling=sampling)
+        try:
+            while True:
+                tok = req.out_queue.get()
+                if tok is None:
+                    break
+                text = dec.push(tok) if dec is not None else f"<{tok}>"
+                if text:
+                    write_chunk(self._chunk(rid, created, {"content": text}))
+            write_chunk(self._chunk(rid, created, {}, finish="stop"))
+            write_chunk(b"data: [DONE]\n\n")
+            self.wfile.write(b"0\r\n\r\n")
+            self.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            req.cancelled.set()
+
+    def _full_response_batched(self, rid, created, prompt_ids,
+                               max_tokens, sampling):
+        req = STATE.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
+                                     sampling=sampling)
+        toks = []
+        while True:
+            t = req.out_queue.get()
+            if t is None:
+                break
+            toks.append(t)
+        if STATE.tokenizer is not None:
+            text = STATE.tokenizer.decode(toks)
+        else:
+            text = " ".join(str(t) for t in toks)
+        self._json(200, {
+            "id": rid, "object": "chat.completion", "created": created,
+            "model": STATE.model_name,
+            "choices": [{"index": 0,
+                         "message": {"role": "assistant", "content": text},
+                         "finish_reason": "stop"}],
+            "usage": {"prompt_tokens": len(prompt_ids),
+                      "completion_tokens": len(toks),
+                      "total_tokens": len(prompt_ids) + len(toks)},
+        })
+
+
 def register_server(port: int, model_name: str):
     """Server discovery registry (reference server.py:160-187)."""
     os.makedirs(REGISTRY_DIR, exist_ok=True)
@@ -203,9 +274,10 @@ def register_server(port: int, model_name: str):
     return path
 
 
-def run_server(engine, tokenizer, model_name: str, host="127.0.0.1", port=8399):
+def run_server(engine, tokenizer, model_name: str, host="127.0.0.1",
+               port=8399, scheduler=None):
     global STATE
-    STATE = ServerState(engine, tokenizer, model_name)
+    STATE = ServerState(engine, tokenizer, model_name, scheduler=scheduler)
     reg = register_server(port, model_name)
     httpd = ThreadingHTTPServer((host, port), Handler)
     print(f"krasis-tpu serving {model_name} on http://{host}:{port}")
@@ -226,6 +298,8 @@ def main():
     ap.add_argument("--port", type=int, default=8399)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--expert-bits", type=int, default=4)
+    ap.add_argument("--slots", type=int, default=0,
+                    help="continuous-batching slots (0 = single-request)")
     args = ap.parse_args()
 
     if args.synthetic:
@@ -238,8 +312,13 @@ def main():
             cfg = preset_config(args.synthetic)
             quant = QuantConfig(expert_bits=args.expert_bits)
         engine = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+        sched = None
+        if args.slots > 0:
+            from .runtime.scheduler import BatchScheduler
+            sched = BatchScheduler(cfg, quant, engine.params,
+                                   max_len=args.max_len, num_slots=args.slots)
         run_server(engine, None, f"synthetic/{args.synthetic}",
-                   args.host, args.port)
+                   args.host, args.port, scheduler=sched)
     else:
         from .models.loader import load_params
         from .runtime.engine import Engine
@@ -250,8 +329,13 @@ def main():
         params = load_params(cfg, quant)
         engine = Engine(cfg, quant, params, max_len=args.max_len)
         tok = Tokenizer(args.model)
+        sched = None
+        if args.slots > 0:
+            from .runtime.scheduler import BatchScheduler
+            sched = BatchScheduler(cfg, quant, params,
+                                   max_len=args.max_len, num_slots=args.slots)
         run_server(engine, tok, os.path.basename(args.model),
-                   args.host, args.port)
+                   args.host, args.port, scheduler=sched)
 
 
 if __name__ == "__main__":

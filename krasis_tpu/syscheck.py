@@ -1,0 +1,88 @@
+"""Startup environment checks (reference src/syscheck.rs re-derived for TPU).
+
+Reports: jax backend + device inventory, HBM capacity per chip, host RAM,
+CPU count, native-quantizer availability, and a model-fit check against
+the budget model. The serving entry calls `run_startup_checks` before
+loading (reference syscheck.rs:17 run_startup_checks / model.py:145
+RAM-budget refusal)."""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+
+def _host_mem_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return 0.0
+
+
+def device_report() -> Dict:
+    import jax
+
+    devs = jax.devices()
+    per_dev = []
+    for d in devs:
+        stats = {}
+        try:
+            ms = d.memory_stats() or {}
+            stats = {
+                "hbm_limit_gb": round(ms.get("bytes_limit", 0) / (1 << 30), 2),
+                "hbm_in_use_gb": round(ms.get("bytes_in_use", 0) / (1 << 30), 2),
+            }
+        except Exception:
+            pass
+        per_dev.append({"id": d.id, "kind": getattr(d, "device_kind", "?"),
+                        "platform": d.platform, **stats})
+    return {
+        "backend": jax.default_backend(),
+        "n_devices": len(devs),
+        "devices": per_dev,
+        "host_ram_gb": round(_host_mem_gb(), 1),
+        "cpus": os.cpu_count(),
+    }
+
+
+def run_startup_checks(cfg=None, quant=None, verbose: bool = True) -> Dict:
+    """Environment + (optional) model-fit check. Returns the report;
+    raises RuntimeError if the model cannot fit (refuse-to-start,
+    reference model.py:145)."""
+    rep = device_report()
+    try:
+        from . import native
+
+        rep["native_quantizer"] = native.available()
+    except Exception:
+        rep["native_quantizer"] = False
+
+    if cfg is not None and quant is not None:
+        from .budget import compute_budget
+
+        b = compute_budget(cfg, quant)
+        n = rep["n_devices"]
+        hbm = 0
+        for d in rep["devices"]:
+            hbm = max(hbm, int(d.get("hbm_limit_gb", 0) * (1 << 30)))
+        if hbm == 0:
+            hbm = 16 << 30  # assume v5e
+        per_chip = b.per_chip(n)
+        rep["model_weight_gb"] = round(b.total_weight_bytes / (1 << 30), 2)
+        rep["per_chip_gb"] = round(per_chip / (1 << 30), 2)
+        rep["max_context"] = b.max_context_tokens(n, hbm)
+        if per_chip > hbm * 0.92:
+            raise RuntimeError(
+                f"model needs {per_chip / (1 << 30):.1f} GiB/chip but HBM is "
+                f"{hbm / (1 << 30):.1f} GiB — refusing to start "
+                f"(shard over more chips or lower expert_bits)"
+            )
+    if verbose:
+        import json
+
+        print("[syscheck]", json.dumps(rep, indent=2))
+    return rep

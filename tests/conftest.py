@@ -3,16 +3,16 @@
 Multi-chip TPU hardware is not available in CI; sharding logic is
 validated on host-platform virtual devices instead (the driver separately
 dry-run-compiles the multi-chip path via __graft_entry__.dryrun_multichip).
-Must run before jax initializes — and the axon TPU plugin ignores
-JAX_PLATFORMS, so its env hooks are removed explicitly.
+
+The machine's sitecustomize imports jax (via axon.register) at EVERY
+interpreter start, so env-var scrubbing here is too late to stop the
+import — but the backend is still chosen lazily, so overriding
+jax.config before the first device use forces the CPU mesh.
 """
 
 import os
 
-for var in ("AXON_LOOPBACK_RELAY", "PALLAS_AXON_TPU_GEN",
-            "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
-    os.environ.pop(var, None)
-os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ.pop("PALLAS_AXON_REMOTE_COMPILE", None)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -20,6 +20,13 @@ if "host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import jax  # noqa: E402
+import jax  # noqa: E402 (already imported by sitecustomize anyway)
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_threefry_partitionable", True)
+
+assert jax.default_backend() == "cpu", (
+    "tests must run on the CPU backend; jax was initialized before "
+    "conftest could override the platform"
+)
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,212 @@
+"""Pallas kernel tests (interpret mode on CPU; compiled on TPU).
+
+Each kernel is pinned against its XLA reference implementation — the
+same reference-vs-optimized strategy as the reference's kernel unit
+tests (reference src/moe.rs:3298 quantize→forward vs scalar)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krasis_tpu.ops.qmm import qmm_ref
+from krasis_tpu.ops.qmm_pallas import qmm_pallas
+from krasis_tpu.quant import quantize
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("T,K,N", [(1, 256, 256), (8, 512, 384), (17, 256, 128)])
+def test_qmm_pallas_matches_ref(bits, T, K, N):
+    key = jax.random.PRNGKey(0)
+    kx, kw = jax.random.split(key)
+    w = jax.random.normal(kw, (K, N), jnp.float32) * 0.05
+    qt = quantize(w, bits=bits, group_size=128)
+    x = jax.random.normal(kx, (T, K), jnp.float32) * 0.5
+
+    want = qmm_ref(x.astype(jnp.bfloat16), qt, out_dtype=jnp.float32)
+    got = qmm_pallas(x, qt, out_dtype=jnp.float32, interpret=True)
+    assert got.shape == (T, N)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
+from krasis_tpu.ops.moe import moe_forward_gathered
+from krasis_tpu.ops.moe_pallas import moe_gathered_pallas
+from krasis_tpu.quant import random_qtensor
+
+HI = jax.lax.Precision.HIGHEST
+
+
+@pytest.mark.parametrize("bits", [4, 8])
+def test_moe_gathered_pallas_matches_ref(bits):
+    E, H, I, T, k = 8, 256, 128, 2, 3
+    key = jax.random.PRNGKey(1)
+    k13, k2, kx, ki, kw = jax.random.split(key, 5)
+    # keep weight magnitude ~0.25 so intermediates stay O(1): the paths
+    # differ only in bf16 rounding points, which atol can then bound
+    mag = 0.03 if bits == 4 else 0.002
+    w13 = random_qtensor(k13, (E, H, 2 * I), bits, group_size=128, scale_mag=mag)
+    w2 = random_qtensor(k2, (E, I, H), bits, group_size=128, scale_mag=mag)
+    x = jax.random.normal(kx, (T, H), jnp.float32) * 0.5
+    idx = jax.random.randint(ki, (T, k), 0, E, dtype=jnp.int32)
+    wts = jax.random.uniform(kw, (T, k), jnp.float32, 0.1, 1.0)
+
+    want = moe_forward_gathered(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts, precision=HI
+    )
+    got = moe_gathered_pallas(x, w13, w2, idx, wts, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=3e-2,
+    )
+
+
+def test_moe_gathered_pallas_gptoss_activation():
+    E, H, I, T, k = 4, 128, 128, 1, 2
+    key = jax.random.PRNGKey(2)
+    k13, k2, kx, ki, kw = jax.random.split(key, 5)
+    w13 = random_qtensor(k13, (E, H, 2 * I), 4, group_size=128, scale_mag=0.03)
+    w2 = random_qtensor(k2, (E, I, H), 4, group_size=128, scale_mag=0.03)
+    x = jax.random.normal(kx, (T, H), jnp.float32)
+    idx = jax.random.randint(ki, (T, k), 0, E, dtype=jnp.int32)
+    wts = jnp.ones((T, k), jnp.float32)
+
+    want = moe_forward_gathered(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts,
+        swiglu_limit=7.0, gpt_oss=True, precision=HI,
+    )
+    got = moe_gathered_pallas(
+        x, w13, w2, idx, wts, swiglu_limit=7.0, gpt_oss=True, interpret=True
+    )
+    # kernel applies the activation on f32 h; the reference rounds h to
+    # bf16 first — allow that one-rounding difference
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=3e-2, atol=5e-2,
+    )
+
+
+from krasis_tpu.ops.attention import attend, build_mask, mla_absorbed_attention
+from krasis_tpu.ops.flash_attention import flash_attention
+
+
+def _flash_vs_ref(B, Sq, Skv, Hq, Hkv, D, Dv, q_off, kv_len, window=0,
+                  sinks=None, BQ=64, BK=64, seed=0):
+    key = jax.random.PRNGKey(seed)
+    kq, kk, kv = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (B, Sq, Hq, D), jnp.float32)
+    k = jax.random.normal(kk, (B, Skv, Hkv, D), jnp.float32)
+    v = jax.random.normal(kv, (B, Skv, Hkv, Dv), jnp.float32)
+    scale = D ** -0.5
+    q_off_a = jnp.asarray(q_off, jnp.int32)
+    kv_len_a = jnp.asarray(kv_len, jnp.int32)
+
+    q_pos = q_off_a[:, None] + jnp.arange(Sq)[None, :]
+    mask = build_mask(q_pos, jnp.arange(Skv), kv_len_a, window=window)
+    want = attend(q, k, v, mask, scale, sinks=sinks, precision=HI)
+    got = flash_attention(
+        q, k, v, q_off_a, kv_len_a, scale, window=window, sinks=sinks,
+        block_q=BQ, block_k=BK, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_flash_causal_basic():
+    _flash_vs_ref(1, 128, 128, 4, 4, 64, 64, [0], [128])
+
+
+def test_flash_gqa_groups():
+    _flash_vs_ref(2, 128, 128, 8, 2, 64, 64, [0, 0], [128, 100])
+
+
+def test_flash_offset_and_kvlen():
+    # chunked-prefill style: q starts at position 64 against 256-slot cache
+    _flash_vs_ref(1, 64, 256, 4, 2, 64, 64, [64], [128])
+
+
+def test_flash_ragged_blocks():
+    _flash_vs_ref(1, 100, 200, 4, 4, 64, 64, [0], [100], BQ=64, BK=64)
+
+
+def test_flash_sliding_window():
+    _flash_vs_ref(1, 128, 128, 4, 4, 64, 64, [0], [128], window=32)
+
+
+def test_flash_sinks():
+    sinks = jnp.asarray(np.linspace(-1, 1, 4), jnp.float32)
+    _flash_vs_ref(1, 64, 64, 4, 4, 64, 64, [0], [64], sinks=sinks)
+
+
+def test_flash_mla_shape():
+    # MLA absorbed: MQA with D=96 latent+rope, Dv=64 latent
+    _flash_vs_ref(1, 64, 128, 4, 1, 128, 64, [32], [96])
+
+
+from krasis_tpu.ops.moe_pallas import gathered_qmm_pallas, moe_gathered_tiled
+
+
+def test_gathered_qmm_pallas_matches_gather():
+    E, K, N, P = 4, 256, 512, 5
+    key = jax.random.PRNGKey(3)
+    kw, kx, ke = jax.random.split(key, 3)
+    w = random_qtensor(kw, (E, K, N), 4, group_size=128)
+    x = jax.random.normal(kx, (P, K), jnp.float32) * 0.5
+    eids = jax.random.randint(ke, (P,), 0, E, dtype=jnp.int32)
+    got = gathered_qmm_pallas(x, w, eids, interpret=True)
+    from krasis_tpu.quant import dequantize
+    wd = dequantize(w, dtype=jnp.bfloat16)
+    want = jnp.einsum("pk,pkn->pn", x.astype(jnp.bfloat16),
+                      jnp.take(wd, eids, axis=0), precision=HI,
+                      preferred_element_type=jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-2, atol=3e-2)
+
+
+def test_moe_gathered_tiled_matches_ref():
+    E, H, I, T, k = 6, 256, 256, 2, 3
+    key = jax.random.PRNGKey(4)
+    k13, k2, kx, ki, kw = jax.random.split(key, 5)
+    w13 = random_qtensor(k13, (E, H, 2 * I), 4, group_size=128)
+    w2 = random_qtensor(k2, (E, I, H), 4, group_size=128)
+    x = jax.random.normal(kx, (T, H), jnp.float32) * 0.5
+    idx = jax.random.randint(ki, (T, k), 0, E, dtype=jnp.int32)
+    wts = jax.random.uniform(kw, (T, k), jnp.float32, 0.1, 1.0)
+    want = moe_forward_gathered(x.astype(jnp.bfloat16), w13, w2, idx, wts,
+                                precision=HI)
+    got = moe_gathered_tiled(x, w13, w2, idx, wts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
+from krasis_tpu.ops.gmm_pallas import gmm, moe_prefill_pallas, _plan_tiles
+
+
+def test_gmm_plan_tiles():
+    idx = jnp.asarray([[0, 2], [2, 1], [2, 0]], jnp.int32)  # T=3, k=2
+    dest, tile_e, order, n_tiles = _plan_tiles(idx, 3, 2, 4)
+    # groups: e0:2, e1:1, e2:3 → padded to 128 each → offsets 0,128,256
+    assert int(dest.max()) < n_tiles * 128
+    d = np.asarray(dest)
+    assert len(set(d.tolist())) == 6  # unique scatter positions
+
+
+def test_moe_prefill_pallas_matches_ref():
+    E, H, I, T, k = 8, 256, 128, 12, 2
+    key = jax.random.PRNGKey(5)
+    k13, k2, kx, ki, kw = jax.random.split(key, 5)
+    w13 = random_qtensor(k13, (E, H, 2 * I), 4, group_size=128)
+    w2 = random_qtensor(k2, (E, I, H), 4, group_size=128)
+    x = jax.random.normal(kx, (T, H), jnp.float32) * 0.5
+    idx = jax.random.randint(ki, (T, k), 0, E, dtype=jnp.int32)
+    wts = jax.random.uniform(kw, (T, k), jnp.float32, 0.1, 1.0)
+    want = moe_forward_gathered(x.astype(jnp.bfloat16), w13, w2, idx, wts,
+                                precision=HI)
+    got = moe_prefill_pallas(x, w13, w2, idx, wts, interpret=True)
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=3e-2, atol=3e-2)

@@ -281,6 +281,83 @@ class WeightLoader:
         return lp
 
 
-def load_params(cfg: ModelConfig, quant: QuantConfig, dtype=jnp.bfloat16) -> Dict[str, Any]:
-    """Load (and quantize) a checkpoint into device memory."""
-    return WeightLoader(cfg, quant, dtype=dtype).load()
+def _save_cache(d: str, params: Dict[str, Any]):
+    """Persist quantized params: one pickle per top-level entry
+    (versioned dir name carries the config hash — reference "KRAS" cache,
+    mod.rs:857-894). Arrays are stored as numpy so reloads skip both the
+    checkpoint parse and the quantization pass."""
+    import pickle
+
+    os.makedirs(d, exist_ok=True)
+    tmp = d + ".tmp"
+    os.makedirs(tmp, exist_ok=True)
+
+    def to_host(tree):
+        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+    entries = {"embed": params["embed"], "final_norm": params["final_norm"],
+               "lm_head": params["lm_head"],
+               "prefix_layers": params["prefix_layers"]}
+    for name, sub in entries.items():
+        with open(os.path.join(tmp, f"{name}.pkl"), "wb") as f:
+            pickle.dump(to_host(sub), f, protocol=4)
+    for t, lp in enumerate(params["pattern"]):
+        with open(os.path.join(tmp, f"pattern_{t}.pkl"), "wb") as f:
+            pickle.dump(to_host(lp), f, protocol=4)
+    with open(os.path.join(tmp, "meta.json"), "w") as f:
+        json.dump({"version": CACHE_VERSION,
+                   "n_pattern": len(params["pattern"])}, f)
+    # atomic-ish publish
+    if os.path.exists(d):
+        import shutil
+
+        shutil.rmtree(d)
+    os.replace(tmp, d)
+
+
+def _load_cache(d: str) -> Optional[Dict[str, Any]]:
+    import pickle
+
+    meta_path = os.path.join(d, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get("version") != CACHE_VERSION:
+            return None
+
+        def to_device(tree):
+            return jax.tree_util.tree_map(lambda x: jnp.asarray(x), tree)
+
+        params: Dict[str, Any] = {}
+        for name in ("embed", "final_norm", "lm_head", "prefix_layers"):
+            with open(os.path.join(d, f"{name}.pkl"), "rb") as f:
+                params[name] = to_device(pickle.load(f))
+        params["pattern"] = []
+        for t in range(meta["n_pattern"]):
+            with open(os.path.join(d, f"pattern_{t}.pkl"), "rb") as f:
+                params["pattern"].append(to_device(pickle.load(f)))
+        return params
+    except Exception:
+        return None
+
+
+def load_params(
+    cfg: ModelConfig, quant: QuantConfig, dtype=jnp.bfloat16,
+    use_cache: bool = True,
+) -> Dict[str, Any]:
+    """Load (and quantize) a checkpoint into device memory, going through
+    the versioned quantized-weight disk cache when possible."""
+    d = _cache_dir(cfg, quant)
+    if use_cache and dtype == jnp.bfloat16:
+        cached = _load_cache(d)
+        if cached is not None:
+            return cached
+    params = WeightLoader(cfg, quant, dtype=dtype).load()
+    if use_cache and dtype == jnp.bfloat16:
+        try:
+            _save_cache(d, params)
+        except OSError:
+            pass
+    return params

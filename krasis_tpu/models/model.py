@@ -70,6 +70,7 @@ def _gqa_attention(
     cfg: ModelConfig,
     spec,
     prefill: bool,
+    history: int = 0,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, H = x.shape
     d = cfg.qk_head_dim
@@ -111,10 +112,15 @@ def _gqa_attention(
 
     window = cfg.sliding_window if spec.sliding else 0
     q_off = positions[:, 0]
-    if prefill:
+    if prefill and history == 0:
         # First-chunk prefill: attend within the freshly projected chunk
         # (cache holds nothing older); avoids reading the full cache.
         kk, vv = k, v
+    elif prefill:
+        # Chunked prefill: attend over the cache prefix bucket + this
+        # chunk (cache already updated, so slot index == position).
+        kk = new_k[:, : history + k.shape[1]].astype(q.dtype)
+        vv = new_v[:, : history + k.shape[1]].astype(q.dtype)
     else:
         kk = new_k.astype(q.dtype)
         vv = new_v.astype(q.dtype)
@@ -133,7 +139,8 @@ def _gqa_attention(
 
 
 def _mla_attention(
-    lp, lc, x, positions, kv_len, cfg: ModelConfig, prefill: bool
+    lp, lc, x, positions, kv_len, cfg: ModelConfig, prefill: bool,
+    history: int = 0,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, H = x.shape
     hq = cfg.num_attention_heads
@@ -165,8 +172,11 @@ def _mla_attention(
     new_lc = {"ckv": new_ckv, "kpe": new_kpe}
 
     scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
-    if prefill:
+    if prefill and history == 0:
         att_ckv, att_kpe = ckv, kpe
+    elif prefill:
+        att_ckv = new_ckv[:, : history + S].astype(x.dtype)
+        att_kpe = new_kpe[:, : history + S].astype(x.dtype)
     else:
         att_ckv = new_ckv.astype(x.dtype)
         att_kpe = new_kpe.astype(x.dtype)
@@ -272,8 +282,12 @@ def forward(
     quant: QuantConfig,
     prefill: bool,
     return_all_logits: bool = False,
+    history: int = 0,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
+
+    `history` (static): cache-prefix bucket visible to this prefill chunk
+    (0 = first chunk; attention reads cache[:, :history+S]).
 
     Returns (logits, new_cache). logits: [B, V] at each row's last valid
     token, or [B, S, V] when return_all_logits (perplexity path,
@@ -293,11 +307,13 @@ def forward(
         normed = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         if spec.attn_kind == "gqa":
             attn_out, new_lc = _gqa_attention(
-                lp, lc, normed, positions, kv_len, cfg, spec, prefill
+                lp, lc, normed, positions, kv_len, cfg, spec, prefill,
+                history=history,
             )
         elif spec.attn_kind == "mla":
             attn_out, new_lc = _mla_attention(
-                lp, lc, normed, positions, kv_len, cfg, prefill
+                lp, lc, normed, positions, kv_len, cfg, prefill,
+                history=history,
             )
         else:
             attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
@@ -361,3 +377,47 @@ def make_forward_fns(cfg: ModelConfig, quant: QuantConfig):
         )
 
     return prefill_fn, decode_fn, prefill_all_logits_fn
+
+
+def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int):
+    """Prefill-continuation step seeing a `history`-bucket cache prefix."""
+
+    def fn(params, tokens, seq_lens, cache):
+        return forward(
+            params, tokens, seq_lens, cache, cfg, quant,
+            prefill=True, history=history,
+        )
+
+    return fn
+
+
+def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
+                         sampling, steps: int):
+    """Fused decode+sample loop: `steps` tokens per device call.
+
+    Per-token eager dispatch costs a host↔device round trip each op —
+    ruinous through a remote tunnel; one jitted lax.scan emits a block of
+    tokens per call (the analog of the reference's whole-decode-loop-in-
+    one-Rust-call, decode.rs:3525 generate_batch)."""
+    from ..ops.sampling import sample
+
+    def fn(params, tok, cache, key, seen):
+        B = tok.shape[0]
+        seq1 = jnp.ones((B,), jnp.int32)
+
+        def body(carry, _):
+            tok, cache, key, seen = carry
+            logits, cache = forward(
+                params, tok[:, None], seq1, cache, cfg, quant, prefill=False
+            )
+            key, sk = jax.random.split(key)
+            nxt = sample(sk, logits, sampling, seen)
+            seen = seen.at[jnp.arange(B), nxt].set(True)
+            return (nxt, cache, key, seen), nxt
+
+        (tok, cache, key, seen), toks = jax.lax.scan(
+            body, (tok, cache, key, seen), None, length=steps
+        )
+        return toks, cache, key, seen   # toks: [steps, B]
+
+    return fn

@@ -20,18 +20,49 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, QuantConfig
-from ..models.model import make_forward_fns
+from ..models.model import make_chunk_prefill_fn, make_forward_fns
+
+
+def enable_persistent_compilation_cache():
+    """Compiles on this machine round-trip a remote-compile tunnel and can
+    take minutes for full-size models; the persistent jit cache makes
+    every recompile of an unchanged graph a disk hit (the TPU analog of
+    the reference's quantized-weight disk cache philosophy: pay once)."""
+    import os
+
+    d = os.path.join(
+        os.environ.get("KRASIS_TPU_HOME", os.path.expanduser("~/.krasis_tpu")),
+        "jit_cache",
+    )
+    os.makedirs(d, exist_ok=True)
+    try:
+        jax.config.update("jax_compilation_cache_dir", d)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
 from ..ops.sampling import SamplingParams, sample
 from .kv_cache import init_cache
 
-PREFILL_BUCKETS = (128, 256, 512, 1024, 2048, 4096, 8192, 16384, 32768, 65536)
+# Single-shot prefill buckets; prompts beyond CHUNK go through chunked
+# prefill (reference model.py:2752 token chunking, here with cache-prefix
+# history buckets so a handful of compiled programs cover any length).
+PREFILL_BUCKETS = (128, 256, 512, 1024, 2048)
+CHUNK = 2048
+HISTORY_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
 
 
 def pick_bucket(n: int) -> int:
     for b in PREFILL_BUCKETS:
         if n <= b:
             return b
-    raise ValueError(f"prompt too long: {n}")
+    return PREFILL_BUCKETS[-1]
+
+
+def pick_history_bucket(hist: int) -> int:
+    for b in HISTORY_BUCKETS:
+        if hist <= b:
+            return b
+    raise ValueError(f"history too long: {hist}")
 
 
 @dataclass
@@ -68,17 +99,65 @@ class Engine:
         self.params = params
         self.max_len = max_len
         self.batch_size = batch_size
+        enable_persistent_compilation_cache()
 
         prefill_fn, decode_fn, prefill_all_fn = make_forward_fns(cfg, quant)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._prefill_all = jax.jit(prefill_all_fn, donate_argnums=(3,))
-        self._sample = jax.jit(
-            lambda key, logits, seen: sample(key, logits, self.sampling, seen),
-            static_argnums=(),
-        )
+        self._chunk_fns = {}  # history bucket → jitted continuation prefill
+        self._multi_decode_fns = {}  # (sampling, steps) → jitted block decode
+        self.decode_block = 8       # tokens per device call
         self.sampling = SamplingParams()
         self.cache = init_cache(cfg, quant, batch_size, max_len)
+
+    def _multi_decode_fn(self, sampling: SamplingParams, steps: int):
+        from ..models.model import make_multi_decode_fn
+
+        key = (sampling, steps)
+        if key not in self._multi_decode_fns:
+            self._multi_decode_fns[key] = jax.jit(
+                make_multi_decode_fn(self.cfg, self.quant, sampling, steps),
+                donate_argnums=(2,),
+            )
+        return self._multi_decode_fns[key]
+
+    def _chunk_fn(self, hist_bucket: int):
+        if hist_bucket not in self._chunk_fns:
+            self._chunk_fns[hist_bucket] = jax.jit(
+                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket),
+                donate_argnums=(3,),
+            )
+        return self._chunk_fns[hist_bucket]
+
+    def _prefill_prompt(self, prompt_ids):
+        """Prefill a prompt of any length (chunked beyond CHUNK).
+        Returns last-position logits."""
+        n = len(prompt_ids)
+        B = self.batch_size
+        first = min(n, CHUNK)
+        bucket = pick_bucket(first)
+        tokens = np.zeros((B, bucket), np.int32)
+        tokens[0, :first] = prompt_ids[:first]
+        seq_lens = np.zeros((B,), np.int32)
+        seq_lens[0] = first
+        logits, self.cache = self._prefill(
+            self.params, jnp.asarray(tokens), jnp.asarray(seq_lens), self.cache
+        )
+        pos = first
+        while pos < n:
+            m = min(CHUNK, n - pos)
+            tokens = np.zeros((B, CHUNK), np.int32)
+            tokens[0, :m] = prompt_ids[pos : pos + m]
+            seq_lens = np.zeros((B,), np.int32)
+            seq_lens[0] = m
+            fn = self._chunk_fn(pick_history_bucket(pos))
+            logits, self.cache = fn(
+                self.params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+                self.cache,
+            )
+            pos += m
+        return logits
 
     def reset(self):
         self.cache = init_cache(self.cfg, self.quant, self.batch_size, self.max_len)
@@ -100,40 +179,42 @@ class Engine:
         self.reset()
 
         n = len(prompt_ids)
-        bucket = pick_bucket(n)
-        B = self.batch_size
-        tokens = np.zeros((B, bucket), np.int32)
-        tokens[0, :n] = prompt_ids
-        seq_lens = np.zeros((B,), np.int32)
-        seq_lens[0] = n
-
         t0 = time.perf_counter()
-        logits, self.cache = self._prefill(
-            self.params, jnp.asarray(tokens), jnp.asarray(seq_lens), self.cache
-        )
+        logits = self._prefill_prompt(prompt_ids)
         logits.block_until_ready()
         t1 = time.perf_counter()
+        B = self.batch_size
 
         key = jax.random.PRNGKey(seed)
         seen = jnp.zeros((B, self.cfg.vocab_size), jnp.bool_)
         out_tokens: List[int] = []
         key, sk = jax.random.split(key)
         next_tok = sample(sk, logits, sampling, seen)
+        seen = seen.at[0, next_tok[0]].set(True)
 
+        # first (prefill) token
+        first = int(next_tok[0])
+        out_tokens.append(first)
+        if on_token is not None:
+            on_token(first)
+        stopped = first in stop_ids
+
+        # decode in fused blocks (one device call per `decode_block` tokens)
         t2 = time.perf_counter()
-        for _ in range(max_new_tokens):
-            tok = int(next_tok[0])
-            out_tokens.append(tok)
-            if on_token is not None:
-                on_token(tok)
-            if tok in stop_ids:
-                break
-            seen = seen.at[0, tok].set(True)
-            logits, self.cache = self._decode(
-                self.params, next_tok[:, None], self.cache
+        block = self.decode_block
+        fn = self._multi_decode_fn(sampling, block)
+        while not stopped and len(out_tokens) < max_new_tokens:
+            toks, self.cache, key, seen = fn(
+                self.params, next_tok, self.cache, key, seen
             )
-            key, sk = jax.random.split(key)
-            next_tok = sample(sk, logits, sampling, seen)
+            next_tok = toks[-1]
+            for tok in np.asarray(toks[:, 0]).tolist():
+                out_tokens.append(tok)
+                if on_token is not None:
+                    on_token(tok)
+                if tok in stop_ids or len(out_tokens) >= max_new_tokens:
+                    stopped = True
+                    break
         jax.block_until_ready(next_tok)
         t3 = time.perf_counter()
 

@@ -168,3 +168,41 @@ def test_layer_specs_hybrid_pattern():
     assert sum(s.attn_kind == "linear_attention" for s in specs) == 36
     assert sum(s.attn_kind == "gqa" for s in specs) == 12
     assert all(s.mlp_kind == "moe" for s in specs)
+
+
+def test_chunked_prefill_matches_single_shot():
+    """Prefill in 3 chunks with history buckets == one-shot prefill
+    (the long-context path, reference model.py:2752 token chunking)."""
+    cfg = tiny_hybrid_cfg()
+    params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(5))
+    rng = np.random.default_rng(5)
+    n = 24
+    ids = rng.integers(0, cfg.vocab_size, size=n).astype(np.int32)
+
+    # single shot
+    cache = init_cache(cfg, QUANT, 1, 64)
+    logits_a, cache_a = forward(
+        params, jnp.asarray(ids[None]), jnp.asarray([n]), cache,
+        cfg, QUANT, prefill=True,
+    )
+
+    # chunked: 8 + 8 (hist bucket 8) + 8 (hist bucket 16)
+    cache = init_cache(cfg, QUANT, 1, 64)
+    _, cache = forward(params, jnp.asarray(ids[None, :8]), jnp.asarray([8]),
+                       cache, cfg, QUANT, prefill=True)
+    _, cache = forward(params, jnp.asarray(ids[None, 8:16]), jnp.asarray([8]),
+                       cache, cfg, QUANT, prefill=True, history=8)
+    logits_b, cache_b = forward(params, jnp.asarray(ids[None, 16:24]),
+                                jnp.asarray([8]), cache, cfg, QUANT,
+                                prefill=True, history=16)
+    np.testing.assert_allclose(np.asarray(logits_a), np.asarray(logits_b),
+                               atol=5e-2, rtol=0.1)
+
+    # decode continuation from both caches must agree
+    tok = jnp.asarray([[7]], jnp.int32)
+    da, _ = forward(params, tok, jnp.asarray([1]), cache_a, cfg, QUANT,
+                    prefill=False)
+    db, _ = forward(params, tok, jnp.asarray([1]), cache_b, cfg, QUANT,
+                    prefill=False)
+    np.testing.assert_allclose(np.asarray(da), np.asarray(db),
+                               atol=5e-2, rtol=0.1)

@@ -44,6 +44,7 @@ def main() -> int:
 
     t0 = time.time()
     eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+    eng.decode_block = 32  # amortize per-call tunnel latency over 32 tokens
     print(f"[bench] params built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)

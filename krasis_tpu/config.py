@@ -315,6 +315,7 @@ class ModelConfig:
             # Qwen3.5 renormalizes top-k softmax weights even though its
             # config.json omits norm_topk_prob (hardcoded in HF modeling code).
             norm_topk_prob=cfg.get("norm_topk_prob", arch == "qwen3_5_moe_text"),
+            moe_router_softmax_before_topk=arch == "gpt_oss",
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             hidden_act=cfg.get("hidden_act", "silu"),
             norm_plus_one=norm_plus_one,
@@ -513,3 +514,28 @@ def preset_config(name: str, **overrides: Any) -> ModelConfig:
     kw.update(overrides)
     kw.setdefault("model_path", f"synthetic://{name}")
     return ModelConfig(**kw)
+
+
+# --------------------------------------------------------------------------
+# Pipeline-parallel partition helpers (reference config.py:529-581)
+# --------------------------------------------------------------------------
+
+def compute_pp_partition(num_layers: int, pp_size: int) -> List[int]:
+    """Split `num_layers` into pp_size near-equal contiguous stages
+    (reference compute_pp_partition). The reference deprecates PP in favor
+    of EP in practice (launcher.py:971); these helpers keep config parity
+    for PP-style layer-stage sharding."""
+    base = num_layers // pp_size
+    rem = num_layers % pp_size
+    return [base + (1 if i < rem else 0) for i in range(pp_size)]
+
+
+def build_pp_ranks(partition: List[int]) -> List[Tuple[int, int]]:
+    """[(start_layer, end_layer)) per stage from a partition list
+    (reference build_pp_ranks)."""
+    ranks = []
+    start = 0
+    for n in partition:
+        ranks.append((start, start + n))
+        start += n
+    return ranks

@@ -224,11 +224,52 @@ class WeightLoader:
         bias = self._get(f"{M}.gate.e_score_correction_bias", required=False)
         if bias is not None:
             lp["gate_bias"] = _to_jnp(bias, jnp.float32)
+        rbias = self._get(f"{M}.router.bias", required=False)
+        if rbias is not None:  # GPT-OSS: bias inside the routed logits
+            lp["gate_logit_bias"] = _to_jnp(rbias, jnp.float32)
 
         E = cfg.n_routed_experts
         H, I = cfg.hidden_size, cfg.moe_intermediate_size
         gs = q.group_size
         bits = q.expert_bits
+
+        mxfp4 = f"{M}.experts.gate_up_proj_blocks" in self.st
+        if mxfp4:
+            # GPT-OSS MXFP4 prequantized experts (reference mod.rs:4682):
+            # dequant e2m1 blocks + e8m0 scales, then requantize into the
+            # uniform TPU cache format.
+            from ..quant import dequant_mxfp4_np
+
+            def deq(name):
+                b = np.asarray(self._get(f"{M}.experts.{name}_blocks"))
+                sc = np.asarray(self._get(f"{M}.experts.{name}_scales"))
+                return dequant_mxfp4_np(b, sc).transpose(0, 2, 1)  # [E, in, out]
+
+            gu = deq("gate_up_proj")                    # [E, H, 2I] interleaved
+            gate, up = gu[..., ::2], gu[..., 1::2]
+            w13_np = np.concatenate([gate, up], axis=-1)
+            w2_np = deq("down_proj")                    # [E, I, H]
+            for bias_name, pn in [("gate_up_proj_bias", "w13_bias"),
+                                  ("down_proj_bias", "w2_bias")]:
+                t = self._get(f"{M}.experts.{bias_name}", required=False)
+                if t is not None:
+                    t = np.asarray(t, np.float32)
+                    if pn == "w13_bias":
+                        t = np.concatenate([t[..., ::2], t[..., 1::2]], axis=-1)
+                    lp[pn] = jnp.asarray(t)
+            lp["w13"] = _qt_to_device(quantize_host(w13_np, bits=bits, group_size=gs))
+            lp["w2"] = _qt_to_device(quantize_host(w2_np, bits=bits, group_size=gs))
+            for sh in (f"{M}.shared_expert", f"{M}.shared_experts"):
+                if f"{sh}.gate_proj.weight" in self.st:
+                    lp["shared_w13"] = self._fused_w13(
+                        f"{sh}.gate_proj.weight", f"{sh}.up_proj.weight",
+                        q.shared_expert,
+                    )
+                    lp["shared_w2"] = self._linear(
+                        f"{sh}.down_proj.weight", q.shared_expert
+                    )
+                    break
+            return lp
 
         fused = f"{M}.experts.gate_up_proj" in self.st  # GPT-OSS fused layout
         if fused:

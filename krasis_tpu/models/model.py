@@ -256,7 +256,10 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec) -> jax.Array:
             x2d, lp["mlp_w13"], lp["mlp_w2"],
             swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
         )
-    routing = compute_routing(x2d, lp["gate_w"], cfg, lp.get("gate_bias"))
+    routing = compute_routing(
+        x2d, lp["gate_w"], cfg, lp.get("gate_bias"),
+        logit_bias=lp.get("gate_logit_bias"),
+    )
     out = moe_forward(
         x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
         swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,

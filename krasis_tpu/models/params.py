@@ -189,6 +189,8 @@ def _init_layer(
         lp["gate_w"] = rnd((H, E), dt=jnp.float32)
         if cfg.has_router_bias:
             lp["gate_bias"] = jnp.zeros(lead + (E,), jnp.float32)
+        if cfg.model_type == "gpt_oss":
+            lp["gate_logit_bias"] = jnp.zeros(lead + (E,), jnp.float32)
         k13, k2 = jax.random.split(next(keys))
         lp["w13"] = random_qtensor(k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
         lp["w2"] = random_qtensor(k2, lead + (E, I, H), quant.expert_bits, gs)

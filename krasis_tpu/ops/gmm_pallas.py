@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QTensor
-from .moe_pallas import _unpack_scale, available  # shared dequant helper
+from .moe_pallas import _unpack_scale, available, pick_tile  # shared helpers
 
 TM = 128      # token-tile rows
 TN = 512      # output-tile lanes
@@ -50,7 +50,7 @@ def gmm(
     N = w.n_dim
     gs = w.group_size
     rows = w.q.shape[-2]
-    tn = TN if N % TN == 0 else N
+    tn = pick_tile(N, TN)
     grid = (Mp // TM, N // tn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

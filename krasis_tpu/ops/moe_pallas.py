@@ -172,6 +172,15 @@ def moe_gathered_pallas(
 _TN = 512
 
 
+def pick_tile(N: int, max_tile: int = _TN) -> int:
+    """Largest multiple-of-128 divisor of N up to max_tile (V2-Lite's
+    2I=2816 → 256; falls back to whole-N for shapes under 128)."""
+    for t in range(max_tile, 127, -128):
+        if N % t == 0:
+            return t
+    return N
+
+
 def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
     p = pl.program_id(0)
     w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, TN]
@@ -184,12 +193,12 @@ def gathered_qmm_supported(w: QTensor) -> bool:
     if not isinstance(w, QTensor) or w.q.ndim != 3:
         return False
     K, N = w.k_dim, w.n_dim
-    if N % _TN and N % 128:
+    if N % 128:
         return False
     rows = w.q.shape[-2]
-    # per-step VMEM: packed tile + unpacked bf16 tile (×2 for pipelining)
-    tn = _TN if N % _TN == 0 else N
-    return rows * tn * 3 + (K // w.group_size) * tn * 2 < 8 * 1024 * 1024
+    # per-step VMEM: packed tile (×2 buffered) + unpacked bf16 tile
+    tn = pick_tile(N)
+    return rows * tn * 2 + K * tn * 2 + (K // w.group_size) * tn * 2 < 10 * 1024 * 1024
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -210,7 +219,7 @@ def gathered_qmm_pallas(
     N = w.n_dim
     gs = w.group_size
     rows = w.q.shape[-2]
-    TN = _TN if N % _TN == 0 else N
+    TN = pick_tile(N)
     nn = N // TN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(

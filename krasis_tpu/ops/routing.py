@@ -38,7 +38,8 @@ def compute_routing(
     x: jax.Array,                    # [T, H]
     gate_w: jax.Array,               # [H, E] (stored transposed for x @ w)
     cfg: ModelConfig,
-    correction_bias: Optional[jax.Array] = None,  # [E] f32
+    correction_bias: Optional[jax.Array] = None,  # [E] f32 (DeepSeek V3)
+    logit_bias: Optional[jax.Array] = None,       # [E] f32 (GPT-OSS router.bias)
 ) -> RoutingResult:
     # Router matmul in true f32 (HIGHEST): routing is precision-critical and
     # tiny; the reference keeps gate weights FP32 (decode.rs:181-190).
@@ -47,6 +48,8 @@ def compute_routing(
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )  # [T, E]
+    if logit_bias is not None:
+        logits = logits + logit_bias.astype(jnp.float32)
     k = cfg.num_experts_per_tok
     E = cfg.n_routed_experts
 

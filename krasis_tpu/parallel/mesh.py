@@ -49,14 +49,37 @@ def _put(leaf, mesh: Mesh, spec: P):
     return jax.device_put(leaf, NamedSharding(mesh, spec))
 
 
-def _shard_layer(lp: Dict[str, Any], mesh: Mesh, stacked: bool) -> Dict[str, Any]:
-    """Experts over ep (dim 1 when pattern-stacked, else 0); rest replicated."""
+# attention weights sharded over heads when divisible (tensor parallel on
+# the same mesh axis as EP — the natural TPU upgrade the reference lacks,
+# SURVEY §2.3 "TP ... ABSENT")
+_TP_OUT = ("q_proj", "k_proj", "v_proj", "q_b_proj")   # shard output dim
+_TP_IN = ("o_proj",)                                   # shard input dim
+_TP_HEAD0 = ("w_kc", "w_vc")                           # shard head dim 0
+
+
+def _shard_layer(
+    lp: Dict[str, Any], mesh: Mesh, stacked: bool, cfg: ModelConfig,
+    shard_attention: bool = True,
+) -> Dict[str, Any]:
+    """Experts over ep (dim 1 when pattern-stacked, else 0); attention
+    head-sharded over the same axis when head counts divide; rest
+    replicated."""
     e_dim = 1 if stacked else 0
+    off = 1 if stacked else 0
+    mp = mesh.shape["ep"]
 
     def espec(ndim):
         s = [None] * ndim
         s[e_dim] = "ep"
         return P(*s)
+
+    def dimspec(ndim, dim):
+        s = [None] * ndim
+        s[dim] = "ep"
+        return P(*s)
+
+    hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    tp_ok = shard_attention and hq % mp == 0 and hkv % mp == 0
 
     out = {}
     for name, w in lp.items():
@@ -68,6 +91,12 @@ def _shard_layer(lp: Dict[str, Any], mesh: Mesh, stacked: bool) -> Dict[str, Any
             )
         elif name in EXPERT_BIAS_KEYS:
             out[name] = _put(w, mesh, espec(w.ndim))
+        elif tp_ok and name in _TP_OUT and not isinstance(w, QTensor):
+            out[name] = _put(w, mesh, dimspec(w.ndim, w.ndim - 1))
+        elif tp_ok and name in _TP_IN and not isinstance(w, QTensor):
+            out[name] = _put(w, mesh, dimspec(w.ndim, off))
+        elif tp_ok and name in _TP_HEAD0:
+            out[name] = _put(w, mesh, dimspec(w.ndim, off))
         else:
             out[name] = jax.tree_util.tree_map(
                 lambda l: _put(l, mesh, P()), w
@@ -83,11 +112,12 @@ def shard_params(params: Dict[str, Any], cfg: ModelConfig, mesh: Mesh):
             lambda l: _put(l, mesh, P()), params["lm_head"]
         ),
         "prefix_layers": [
-            _shard_layer(lp, mesh, stacked=False)
+            _shard_layer(lp, mesh, stacked=False, cfg=cfg)
             for lp in params["prefix_layers"]
         ],
         "pattern": [
-            _shard_layer(lp, mesh, stacked=True) for lp in params["pattern"]
+            _shard_layer(lp, mesh, stacked=True, cfg=cfg)
+            for lp in params["pattern"]
         ],
     }
 

@@ -230,3 +230,35 @@ def random_qtensor(
         * jax.random.uniform(ks, (*lead, K // group_size, N), minval=0.5, maxval=1.5)
     ).astype(jnp.bfloat16)
     return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
+
+
+# --------------------------------------------------------------------------
+# MXFP4 (OCP microscaling fp4) dequantization — GPT-OSS prequantized experts
+# --------------------------------------------------------------------------
+
+# e2m1 nibble value table (sign bit in the high nibble bit)
+_FP4_VALUES = np.array(
+    [0.0, 0.5, 1.0, 1.5, 2.0, 3.0, 4.0, 6.0,
+     -0.0, -0.5, -1.0, -1.5, -2.0, -3.0, -4.0, -6.0],
+    dtype=np.float32,
+)
+
+
+def dequant_mxfp4_np(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
+    """Dequantize MXFP4 expert tensors (reference src/weights/mod.rs:4682
+    MXFP4 path; numerics match transformers.integrations.mxfp4).
+
+    blocks: uint8 [..., G, B] — 2 fp4 values per byte, lo nibble first,
+            lo/hi INTERLEAVED in the output (out[0::2]=lo, out[1::2]=hi);
+    scales: uint8 [..., G] — power-of-two exponents, bias 127.
+    Returns float32 [..., G * 2B].
+    """
+    *lead, G, B = blocks.shape
+    lo = _FP4_VALUES[(blocks & 0x0F).astype(np.int64)]
+    hi = _FP4_VALUES[(blocks >> 4).astype(np.int64)]
+    out = np.empty((*lead, G, 2 * B), np.float32)
+    out[..., 0::2] = lo
+    out[..., 1::2] = hi
+    exp = scales.astype(np.int32) - 127
+    out *= np.exp2(exp.astype(np.float32))[..., None]
+    return out.reshape(*lead, G * 2 * B)

@@ -134,3 +134,22 @@ def test_qwen3_next_parity():
     with tempfile.TemporaryDirectory() as tmp:
         _save(model, tmp)
         _compare(tmp, model, atol=4e-2, rtol=4e-2)
+
+
+def test_gpt_oss_parity():
+    from transformers import GptOssConfig
+    from transformers.models.gpt_oss.modeling_gpt_oss import GptOssForCausalLM
+
+    cfg = GptOssConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        head_dim=16, num_local_experts=4, num_experts_per_tok=2,
+        sliding_window=8, swiglu_limit=7.0, attention_bias=True,
+        layer_types=["sliding_attention", "full_attention"],
+        tie_word_embeddings=False, rope_theta=10000.0,
+        max_position_embeddings=512, rope_scaling=None,
+    )
+    model = GptOssForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model, atol=4e-2, rtol=4e-2)

@@ -95,3 +95,22 @@ def test_random_qtensor_dequantizes():
     w = dequantize(qt, dtype=jnp.float32)
     assert w.shape == (256, 128)
     assert np.isfinite(np.asarray(w)).all()
+
+
+def test_mxfp4_matches_transformers():
+    """MXFP4 dequant vs the HF torch reference (GPT-OSS expert format)."""
+    import torch
+
+    from krasis_tpu.quant import dequant_mxfp4_np
+    from transformers.integrations.mxfp4 import convert_moe_packed_tensors
+
+    rng = np.random.default_rng(0)
+    blocks = rng.integers(0, 256, size=(2, 3, 4, 16), dtype=np.uint8)
+    scales = rng.integers(117, 137, size=(2, 3, 4), dtype=np.uint8)
+    got = dequant_mxfp4_np(blocks, scales)
+    # HF returns [E, rows, cols].transpose(1, 2) (forward-ready layout);
+    # undo that to compare raw dequant values
+    want = convert_moe_packed_tensors(
+        torch.tensor(blocks), torch.tensor(scales), dtype=torch.float32
+    ).transpose(1, 2).reshape(2, 3, -1)
+    np.testing.assert_allclose(got, want.detach().cpu().numpy(), rtol=1e-6)

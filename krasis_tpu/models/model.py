@@ -333,18 +333,30 @@ def forward(
     new_pattern = cache["pattern"]
     if info.reps:
         pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
+        pattern_params = params["pattern"]
 
         def scan_body(x, xs):
-            lps, lcs = xs
+            # Only the rep index and this rep's CACHE ride through scan xs;
+            # the stacked weights are closed over and dynamic-sliced inside
+            # the body — passing them as xs makes XLA materialize a full
+            # layout-copy of every stacked weight (≈ the whole model again)
+            # and OOMs at 27+ layers.
+            r, lcs = xs
             new_lcs = []
             for t in range(info.period):
-                x, nlc = layer_step(x, lps[t], lcs[t], pat_specs[t])
+                lp = jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, r, 0, keepdims=False
+                    ),
+                    pattern_params[t],
+                )
+                x, nlc = layer_step(x, lp, lcs[t], pat_specs[t])
                 new_lcs.append(nlc)
             return x, tuple(new_lcs)
 
         x, new_pattern = jax.lax.scan(
             scan_body, x,
-            (tuple(params["pattern"]), tuple(cache["pattern"])),
+            (jnp.arange(info.reps), tuple(cache["pattern"])),
         )
         new_pattern = list(new_pattern)
 

@@ -42,12 +42,22 @@ def available() -> bool:
 def supported(x: jax.Array, qt: QTensor) -> bool:
     if x.ndim != 2 or qt.q.ndim != 2:
         return False
+    # The dequant-fused kernel wins only in the bandwidth-bound regime
+    # (decode: few rows, weights read once). At prefill scale the XLA
+    # dequant+matmul is compute-bound and the whole-x-resident kernel
+    # would blow VMEM.
+    if x.shape[0] > 32:
+        return False
     K, N = qt.k_dim, qt.n_dim
     if K > _MAX_K or K % qt.group_size or (qt.bits == 4 and K % 2):
         return False
     if N % 128:
         return False
-    return True
+    # per-step VMEM: x + packed tile (×2 buffers) + unpacked bf16 tile
+    rows = K // 2 if qt.bits == 4 else K
+    Tp = max(8, -(-x.shape[0] // 8) * 8)
+    vmem = Tp * K * 2 + rows * _TN * 2 + K * _TN * 2 + (K // qt.group_size) * _TN * 2
+    return vmem < 10 * 1024 * 1024
 
 
 def _kernel_int4(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):

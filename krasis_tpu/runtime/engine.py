@@ -107,9 +107,17 @@ class Engine:
         self._prefill_all = jax.jit(prefill_all_fn, donate_argnums=(3,))
         self._chunk_fns = {}  # history bucket → jitted continuation prefill
         self._multi_decode_fns = {}  # (sampling, steps) → jitted block decode
+        self._sample_fns = {}        # sampling → jitted first-token sampler
         self.decode_block = 8       # tokens per device call
         self.sampling = SamplingParams()
         self.cache = init_cache(cfg, quant, batch_size, max_len)
+
+    def _sample_fn(self, sampling: SamplingParams):
+        if sampling not in self._sample_fns:
+            self._sample_fns[sampling] = jax.jit(
+                lambda key, logits, seen: sample(key, logits, sampling, seen)
+            )
+        return self._sample_fns[sampling]
 
     def _multi_decode_fn(self, sampling: SamplingParams, steps: int):
         from ..models.model import make_multi_decode_fn
@@ -189,7 +197,7 @@ class Engine:
         seen = jnp.zeros((B, self.cfg.vocab_size), jnp.bool_)
         out_tokens: List[int] = []
         key, sk = jax.random.split(key)
-        next_tok = sample(sk, logits, sampling, seen)
+        next_tok = self._sample_fn(sampling)(sk, logits, seen)
         seen = seen.at[0, next_tok[0]].set(True)
 
         # first (prefill) token

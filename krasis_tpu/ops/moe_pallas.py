@@ -81,12 +81,18 @@ def _kernel(
     *, bits: int, gs: int, I: int,
     swiglu_limit: float, gpt_oss: bool,
 ):
+    # Mosaic forbids dynamically-indexed sublane rows, so each step runs
+    # ALL T rows through the expert and masks to row token_ref[p] on
+    # accumulate — decode is bandwidth-bound, the extra MXU rows are free.
     p = pl.program_id(0)
     t = token_ref[p]
-    xr = x_ref[pl.ds(t, 1), :]                          # [1, H] bf16
+
+    @pl.when(p == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
 
     w13 = _unpack_scale(q13_ref[0], s13_ref[0], bits, gs)   # [H, 2I]
-    h = jnp.dot(xr, w13, preferred_element_type=jnp.float32)  # [1, 2I]
+    h = jnp.dot(x_ref[:], w13, preferred_element_type=jnp.float32)  # [T, 2I]
     g, u = h[:, :I], h[:, I:]
     if gpt_oss:
         g = jnp.minimum(g, swiglu_limit)
@@ -97,7 +103,8 @@ def _kernel(
 
     w2 = _unpack_scale(q2_ref[0], s2_ref[0], bits, gs)      # [I, H]
     o = jnp.dot(a.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
-    o_ref[0, :] = (o[0] * wt_ref[p]).astype(o_ref.dtype)
+    rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+    o_ref[:] += jnp.where(rows == t, o * wt_ref[p], 0.0).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -142,7 +149,9 @@ def moe_gathered_pallas(
             pl.BlockSpec((1, I // gs, H), lambda p, e, t, w: (e[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, H), lambda p, e, t, w: (p, 0),
+        # single [T, H] accumulator block: every (token, expert) step adds
+        # its masked contribution; flushed once at grid end
+        out_specs=pl.BlockSpec((T, H), lambda p, e, t, w: (0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -152,17 +161,17 @@ def moe_gathered_pallas(
             swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((P, H), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((T, H), jnp.float32),
         cost_estimate=pl.CostEstimate(
-            flops=2 * P * H * 3 * I,
-            bytes_accessed=P * (r13 * 2 * I + r2 * H) + T * H * 2 + P * H * 4,
-            transcendentals=P * I,
+            flops=2 * P * T * H * 3 * I,
+            bytes_accessed=P * (r13 * 2 * I + r2 * H) + T * H * 2 + T * H * 4,
+            transcendentals=P * T * I,
         ),
         interpret=interpret,
     )(expert_ids, token_ids, weights, x.astype(jnp.bfloat16),
       w13.q, w13.scales, w2.q, w2.scales)
 
-    return partial_out.reshape(T, k, H).sum(axis=1).astype(x.dtype)
+    return partial_out.astype(x.dtype)
 
 
 # --------------------------------------------------------------------------
@@ -181,12 +190,19 @@ def pick_tile(N: int, max_tile: int = _TN) -> int:
     return N
 
 
-def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
+def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
     p = pl.program_id(0)
-    w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, TN]
-    o_ref[0] = jnp.dot(
-        x_ref[pl.ds(p, 1), :], w, preferred_element_type=jnp.float32
-    )[0]
+    j = pl.program_id(1)
+
+    @pl.when((p == 0) & (j == 0))
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, tn]
+    full = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)  # [P, tn]
+    rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+    col = pl.multiple_of(j * tn, 128)
+    o_ref[:, pl.ds(col, tn)] += jnp.where(rows == p, full, 0.0)
 
 
 def gathered_qmm_supported(w: QTensor) -> bool:
@@ -233,11 +249,11 @@ def gathered_qmm_pallas(
             pl.BlockSpec((1, K // gs, TN), lambda p, j, e: (e[p], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, TN), lambda p, j, e: (p, j),
+        out_specs=pl.BlockSpec((P, N), lambda p, j, e: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        functools.partial(_gq_kernel, bits=w.bits, gs=gs),
+        functools.partial(_gq_kernel, bits=w.bits, gs=gs, tn=TN),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
         cost_estimate=pl.CostEstimate(

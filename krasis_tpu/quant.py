@@ -217,18 +217,42 @@ def random_qtensor(
     """
     *lead, K, N = shape
     group_size = pick_group_size(K, group_size)
-    kq, ks = jax.random.split(key)
-    # Generate directly in storage layout (any random byte is a valid
-    # packed int4 pair), from uint32 bits bitcast to bytes — randint would
-    # materialize a 4× uint32 transient and OOM full-size synthetic models.
     rows = K // 2 if bits == 4 else K
     assert N % 4 == 0
-    bits32 = jax.random.bits(kq, (*lead, rows, N // 4), dtype=jnp.uint32)
-    q = jax.lax.bitcast_convert_type(bits32, jnp.int8).reshape(*lead, rows, N)
-    scales = (
-        scale_mag
-        * jax.random.uniform(ks, (*lead, K // group_size, N), minval=0.5, maxval=1.5)
-    ).astype(jnp.bfloat16)
+    kq, ks = jax.random.split(key)
+
+    # Generate inside one jitted program; for large stacked tensors, scan
+    # over the leading dim so the uint32 rng transient is one slice, not
+    # the whole tensor (XLA materializes a 4× u32 buffer otherwise, which
+    # OOMs full-size synthetic models).
+    def gen_slice(k, shape):
+        return jax.lax.bitcast_convert_type(
+            jax.random.bits(k, (*shape[:-1], shape[-1] // 4), dtype=jnp.uint32),
+            jnp.int8,
+        ).reshape(shape)
+
+    total_bytes = rows * N
+    for d in lead:
+        total_bytes *= d
+    if lead and total_bytes > (512 << 20):
+        L0 = lead[0]
+
+        def gen_scanned(k):
+            keys = jax.random.split(k, L0)
+            return jax.lax.map(
+                lambda kk: gen_slice(kk, (*lead[1:], rows, N)), keys
+            )
+
+        q = jax.jit(gen_scanned)(kq)
+    else:
+        q = jax.jit(lambda k: gen_slice(k, (*lead, rows, N)))(kq)
+    scales = jax.jit(
+        lambda k: (
+            scale_mag
+            * jax.random.uniform(k, (*lead, K // group_size, N),
+                                 minval=0.5, maxval=1.5)
+        ).astype(jnp.bfloat16)
+    )(ks)
     return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
 
 

@@ -50,9 +50,10 @@ def main() -> int:
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, cfg.vocab_size - 100, size=prefill_tokens).tolist()
 
-    # warmup (compile both prefill + decode)
+    # warmup at the FULL measured length (compiles prefill buckets, chunk
+    # fns, and the decode block — first-call timings are compile-bound)
     t0 = time.time()
-    eng.generate(prompt[:128], max_new_tokens=3,
+    eng.generate(prompt, max_new_tokens=3,
                  sampling=SamplingParams(temperature=0.0), stop_ids={-1})
     print(f"[bench] warmup (compile) in {time.time() - t0:.1f}s", file=sys.stderr)
 

@@ -264,6 +264,7 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec) -> jax.Array:
         x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
         swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
         w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
+        layer_idx=lp.get("_layer_idx"),
     )
     if "shared_w13" in lp:
         shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
@@ -335,21 +336,29 @@ def forward(
         pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
         pattern_params = params["pattern"]
 
+        # Expert stacks stay WHOLE through the scan: the MoE kernels index
+        # [L, E, ...] with the rep scalar in-kernel. Slicing them per rep
+        # (dynamic-slice) copies ~the active expert bytes × layers × steps
+        # — profiled as the decode bottleneck. Everything else (attention,
+        # norms, gates — 100× smaller) is sliced per rep as before.
+        STACKED_KEYS = ("w13", "w2")
+
         def scan_body(x, xs):
-            # Only the rep index and this rep's CACHE ride through scan xs;
-            # the stacked weights are closed over and dynamic-sliced inside
-            # the body — passing them as xs makes XLA materialize a full
-            # layout-copy of every stacked weight (≈ the whole model again)
-            # and OOMs at 27+ layers.
             r, lcs = xs
             new_lcs = []
             for t in range(info.period):
-                lp = jax.tree_util.tree_map(
-                    lambda l: jax.lax.dynamic_index_in_dim(
-                        l, r, 0, keepdims=False
-                    ),
-                    pattern_params[t],
-                )
+                lp = {}
+                for name, w in pattern_params[t].items():
+                    if name in STACKED_KEYS:
+                        lp[name] = w  # stays [L, E, ...]; kernel indexes
+                    else:
+                        lp[name] = jax.tree_util.tree_map(
+                            lambda l: jax.lax.dynamic_index_in_dim(
+                                l, r, 0, keepdims=False
+                            ),
+                            w,
+                        )
+                lp["_layer_idx"] = r
                 x, nlc = layer_step(x, lp, lcs[t], pat_specs[t])
                 new_lcs.append(nlc)
             return x, tuple(new_lcs)

@@ -32,8 +32,8 @@ TM = 128      # token-tile rows
 TN = 512      # output-tile lanes
 
 
-def _gmm_kernel(tile_e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
-    w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, TN] bf16
+def _gmm_kernel(l_ref, tile_e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
+    w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)   # [K, TN] bf16
     o_ref[:] = jnp.dot(
         x_ref[:], w, preferred_element_type=jnp.float32
     )
@@ -42,29 +42,34 @@ def _gmm_kernel(tile_e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gmm(
     x_tiles: jax.Array,       # [Mp, K] bf16 — tile-aligned (Mp % TM == 0)
-    w: QTensor,               # [E, K(/2), N]
+    w: QTensor,               # [(L,) E, K(/2), N]
     tile_experts: jax.Array,  # [Mp // TM] int32 expert id per tile
+    layer_idx=None,           # traced scalar into the stacked L dim
     interpret: bool = False,
 ) -> jax.Array:
     Mp, K = x_tiles.shape
     N = w.n_dim
     gs = w.group_size
-    rows = w.q.shape[-2]
+    q4, s4 = (w.q, w.scales) if w.q.ndim == 4 else (w.q[None], w.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+    rows = q4.shape[-2]
     tn = pick_tile(N, TN)
     grid = (Mp // TM, N // tn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, K), lambda t, j, e: (t, 0),
+            pl.BlockSpec((TM, K), lambda t, j, l, e: (t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, tn), lambda t, j, e: (e[t], 0, j),
+            pl.BlockSpec((1, 1, rows, tn), lambda t, j, l, e: (l[0], e[t], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K // gs, tn), lambda t, j, e: (e[t], 0, j),
+            pl.BlockSpec((1, 1, K // gs, tn), lambda t, j, l, e: (l[0], e[t], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, tn), lambda t, j, e: (t, j),
+        out_specs=pl.BlockSpec((TM, tn), lambda t, j, l, e: (t, j),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -78,8 +83,8 @@ def gmm(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(tile_experts.astype(jnp.int32), x_tiles.astype(jnp.bfloat16),
-      w.q, w.scales)
+    )(layer_arr, tile_experts.astype(jnp.int32), x_tiles.astype(jnp.bfloat16),
+      q4, s4)
 
 
 def _plan_tiles(
@@ -116,19 +121,20 @@ def _plan_tiles(
 
 def moe_prefill_pallas(
     x: jax.Array,             # [T, H]
-    w13: QTensor,             # [E, H(/2), 2I]
-    w2: QTensor,              # [E, I(/2), H]
+    w13: QTensor,             # [(L,) E, H(/2), 2I]
+    w2: QTensor,              # [(L,) E, I(/2), H]
     topk_idx: jax.Array,      # [T, k]
     topk_weights: jax.Array,  # [T, k]
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
+    layer_idx=None,
     interpret: bool = False,
 ) -> jax.Array:
     from .activations import swiglu
 
     T, H = x.shape
     k = topk_idx.shape[-1]
-    E = w13.q.shape[0]
+    E = w13.q.shape[-3]
     M = T * k
 
     dest, tile_experts, order, n_tiles = _plan_tiles(topk_idx, T, k, E)
@@ -138,10 +144,12 @@ def moe_prefill_pallas(
     x_sorted = jnp.take(x_rep, order, axis=0)
     x_tiles = jnp.zeros((Mp, H), x.dtype).at[dest].set(x_sorted)
 
-    h = gmm(x_tiles, w13, tile_experts, interpret=interpret)
+    h = gmm(x_tiles, w13, tile_experts, layer_idx=layer_idx,
+            interpret=interpret)
     a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
                gpt_oss=gpt_oss)
-    o = gmm(a, w2, tile_experts, interpret=interpret)      # [Mp, H]
+    o = gmm(a, w2, tile_experts, layer_idx=layer_idx,
+            interpret=interpret)                           # [Mp, H]
 
     o_sorted = jnp.take(o, dest, axis=0)                   # [M, H]
     o_rep = jnp.zeros_like(o_sorted).at[order].set(o_sorted)

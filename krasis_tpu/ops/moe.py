@@ -123,6 +123,25 @@ def moe_forward_gathered(
     return out.astype(x.dtype)
 
 
+def _slice_layer(w, layer_idx):
+    """Materialize one layer from a pattern-stacked weight (XLA fallback
+    paths only — the Pallas kernels index the stack in-kernel)."""
+    if layer_idx is None:
+        return w
+    if isinstance(w, QTensor):
+        if w.q.ndim != 4:
+            return w
+        return QTensor(
+            q=jax.lax.dynamic_index_in_dim(w.q, layer_idx, 0, keepdims=False),
+            scales=jax.lax.dynamic_index_in_dim(
+                w.scales, layer_idx, 0, keepdims=False),
+            bits=w.bits, group_size=w.group_size,
+        )
+    if w is not None and getattr(w, "ndim", 0) >= 1 and w.ndim == 4:
+        return jax.lax.dynamic_index_in_dim(w, layer_idx, 0, keepdims=False)
+    return w
+
+
 def moe_forward(
     x: jax.Array,
     w13,
@@ -134,13 +153,16 @@ def moe_forward(
     w13_bias: Optional[jax.Array] = None,
     w2_bias: Optional[jax.Array] = None,
     precision=None,
+    layer_idx=None,
 ) -> jax.Array:
     """Routed MoE forward; picks the dispatch strategy by batch size
     (the TPU analog of the reference's prefill/decode threshold switch,
-    reference python/krasis/layer.py:668-673)."""
+    reference python/krasis/layer.py:668-673). With pattern-stacked
+    weights ([L, E, ...]) pass `layer_idx`; the Pallas paths index the
+    stack in-kernel (no per-layer weight copy)."""
     T = x.shape[0]
     k = topk_idx.shape[-1]
-    E = w13.q.shape[0] if isinstance(w13, QTensor) else w13.shape[0]
+    E = w13.q.shape[-3] if isinstance(w13, QTensor) else w13.shape[-3]
     kwargs = dict(
         swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
         w13_bias=w13_bias, w2_bias=w2_bias, precision=precision,
@@ -158,8 +180,11 @@ def moe_forward(
             return gmm_pallas.moe_prefill_pallas(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                layer_idx=layer_idx,
             )
-        return moe_forward_ragged(x, w13, w2, topk_idx, topk_weights, **kwargs)
+        return moe_forward_ragged(
+            x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),
+            topk_idx, topk_weights, **kwargs)
     from . import moe_pallas  # deferred: keeps CPU-only paths pallas-free
 
     if w13_bias is None and w2_bias is None and moe_pallas.available():
@@ -167,6 +192,7 @@ def moe_forward(
             return moe_pallas.moe_gathered_pallas(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                layer_idx=layer_idx,
             )
         if (
             isinstance(w13, QTensor) and isinstance(w2, QTensor)
@@ -176,8 +202,11 @@ def moe_forward(
             return moe_pallas.moe_gathered_tiled(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                layer_idx=layer_idx,
             )
-    return moe_forward_gathered(x, w13, w2, topk_idx, topk_weights, **kwargs)
+    return moe_forward_gathered(
+        x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),
+        topk_idx, topk_weights, **kwargs)
 
 
 def mlp_forward(

@@ -43,7 +43,7 @@ def available() -> bool:
 def supported(x: jax.Array, w13: QTensor, w2: QTensor) -> bool:
     if not (isinstance(w13, QTensor) and isinstance(w2, QTensor)):
         return False
-    if w13.q.ndim != 3 or w2.q.ndim != 3:
+    if w13.q.ndim not in (3, 4) or w2.q.ndim != w13.q.ndim:
         return False
     H, I2 = w13.k_dim, w13.n_dim
     I, H2 = w2.k_dim, w2.n_dim
@@ -73,7 +73,7 @@ def _unpack_scale(q, s, bits, gs):
 
 def _kernel(
     # scalar prefetch
-    expert_ref, token_ref, wt_ref,
+    layer_ref, expert_ref, token_ref, wt_ref,
     # tensor inputs
     x_ref, q13_ref, s13_ref, q2_ref, s2_ref,
     # output
@@ -91,7 +91,7 @@ def _kernel(
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    w13 = _unpack_scale(q13_ref[0], s13_ref[0], bits, gs)   # [H, 2I]
+    w13 = _unpack_scale(q13_ref[0, 0], s13_ref[0, 0], bits, gs)   # [H, 2I]
     h = jnp.dot(x_ref[:], w13, preferred_element_type=jnp.float32)  # [T, 2I]
     g, u = h[:, :I], h[:, I:]
     if gpt_oss:
@@ -101,7 +101,7 @@ def _kernel(
     else:
         a = g * jax.nn.sigmoid(g) * u
 
-    w2 = _unpack_scale(q2_ref[0], s2_ref[0], bits, gs)      # [I, H]
+    w2 = _unpack_scale(q2_ref[0, 0], s2_ref[0, 0], bits, gs)      # [I, H]
     o = jnp.dot(a.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
     rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
     o_ref[:] += jnp.where(rows == t, o * wt_ref[p], 0.0).astype(o_ref.dtype)
@@ -112,12 +112,13 @@ def _kernel(
 )
 def moe_gathered_pallas(
     x: jax.Array,            # [T, H] bf16
-    w13: QTensor,            # [E, H(/2), 2I] + scales [E, H/gs, 2I]
-    w2: QTensor,             # [E, I(/2), H] + scales [E, I/gs, H]
+    w13: QTensor,            # [(L,) E, H(/2), 2I] + scales
+    w2: QTensor,             # [(L,) E, I(/2), H] + scales
     topk_idx: jax.Array,     # [T, k] int32
     topk_weights: jax.Array, # [T, k] f32
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
+    layer_idx=None,          # traced scalar into the stacked L dim
     interpret: bool = False,
 ) -> jax.Array:
     T, H = x.shape
@@ -127,31 +128,46 @@ def moe_gathered_pallas(
     gs = w13.group_size
     bits = w13.bits
 
+    # Uniform 4D stacked view [L, E, rows, N]: pattern-stacked weights are
+    # indexed IN the kernel via the layer scalar, so no per-layer slice of
+    # the expert stack is ever materialized (the profiled decode bottleneck).
+    q13, s13 = (w13.q, w13.scales) if w13.q.ndim == 4 else (
+        w13.q[None], w13.scales[None])
+    q2, s2 = (w2.q, w2.scales) if w2.q.ndim == 4 else (
+        w2.q[None], w2.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+
     expert_ids = topk_idx.reshape(-1).astype(jnp.int32)
     token_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
     weights = topk_weights.reshape(-1).astype(jnp.float32)
 
-    r13 = w13.q.shape[-2]
-    r2 = w2.q.shape[-2]
+    r13 = q13.shape[-2]
+    r2 = q2.shape[-2]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(P,),
         in_specs=[
-            pl.BlockSpec((T, H), lambda p, e, t, w: (0, 0),
+            pl.BlockSpec((T, H), lambda p, l, e, t, w: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r13, 2 * I), lambda p, e, t, w: (e[p], 0, 0),
+            pl.BlockSpec((1, 1, r13, 2 * I),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, H // gs, 2 * I), lambda p, e, t, w: (e[p], 0, 0),
+            pl.BlockSpec((1, 1, H // gs, 2 * I),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, r2, H), lambda p, e, t, w: (e[p], 0, 0),
+            pl.BlockSpec((1, 1, r2, H),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, I // gs, H), lambda p, e, t, w: (e[p], 0, 0),
+            pl.BlockSpec((1, 1, I // gs, H),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # single [T, H] accumulator block: every (token, expert) step adds
         # its masked contribution; flushed once at grid end
-        out_specs=pl.BlockSpec((T, H), lambda p, e, t, w: (0, 0),
+        out_specs=pl.BlockSpec((T, H), lambda p, l, e, t, w: (0, 0),
                                memory_space=pltpu.VMEM),
     )
 
@@ -168,8 +184,8 @@ def moe_gathered_pallas(
             transcendentals=P * T * I,
         ),
         interpret=interpret,
-    )(expert_ids, token_ids, weights, x.astype(jnp.bfloat16),
-      w13.q, w13.scales, w2.q, w2.scales)
+    )(layer_arr, expert_ids, token_ids, weights, x.astype(jnp.bfloat16),
+      q13, s13, q2, s2)
 
     return partial_out.astype(x.dtype)
 
@@ -190,7 +206,7 @@ def pick_tile(N: int, max_tile: int = _TN) -> int:
     return N
 
 
-def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
+def _gq_kernel(l_ref, e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
     p = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -198,7 +214,7 @@ def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    w = _unpack_scale(q_ref[0], s_ref[0], bits, gs)      # [K, tn]
+    w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)      # [K, tn]
     full = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)  # [P, tn]
     rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
     col = pl.multiple_of(j * tn, 128)
@@ -206,7 +222,7 @@ def _gq_kernel(e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
 
 
 def gathered_qmm_supported(w: QTensor) -> bool:
-    if not isinstance(w, QTensor) or w.q.ndim != 3:
+    if not isinstance(w, QTensor) or w.q.ndim not in (3, 4):
         return False
     K, N = w.k_dim, w.n_dim
     if N % 128:
@@ -220,8 +236,9 @@ def gathered_qmm_supported(w: QTensor) -> bool:
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def gathered_qmm_pallas(
     x_rows: jax.Array,       # [P, K] bf16 — row p multiplies expert e[p]
-    w: QTensor,              # [E, K(/2), N] + scales
+    w: QTensor,              # [(L,) E, K(/2), N] + scales
     expert_ids: jax.Array,   # [P] int32
+    layer_idx=None,          # traced scalar into the stacked L dim
     interpret: bool = False,
 ) -> jax.Array:
     """out[p] = x_rows[p] @ W[expert_ids[p]] with in-kernel dequant.
@@ -234,22 +251,26 @@ def gathered_qmm_pallas(
     P, K = x_rows.shape
     N = w.n_dim
     gs = w.group_size
-    rows = w.q.shape[-2]
+    q4, s4 = (w.q, w.scales) if w.q.ndim == 4 else (w.q[None], w.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+    rows = q4.shape[-2]
     TN = pick_tile(N)
     nn = N // TN
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(P, nn),
         in_specs=[
-            pl.BlockSpec((P, K), lambda p, j, e: (0, 0),
+            pl.BlockSpec((P, K), lambda p, j, l, e: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, rows, TN), lambda p, j, e: (e[p], 0, j),
+            pl.BlockSpec((1, 1, rows, TN), lambda p, j, l, e: (l[0], e[p], 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, K // gs, TN), lambda p, j, e: (e[p], 0, j),
+            pl.BlockSpec((1, 1, K // gs, TN), lambda p, j, l, e: (l[0], e[p], 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P, N), lambda p, j, e: (0, 0),
+        out_specs=pl.BlockSpec((P, N), lambda p, j, l, e: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -262,8 +283,8 @@ def gathered_qmm_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(expert_ids.astype(jnp.int32), x_rows.astype(jnp.bfloat16),
-      w.q, w.scales)
+    )(layer_arr, expert_ids.astype(jnp.int32), x_rows.astype(jnp.bfloat16),
+      q4, s4)
 
 
 def moe_gathered_tiled(
@@ -274,6 +295,7 @@ def moe_gathered_tiled(
     topk_weights: jax.Array, # [T, k]
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
+    layer_idx=None,
     interpret: bool = False,
 ) -> jax.Array:
     """Decode MoE via two gathered matmul kernels + fused activation."""
@@ -283,9 +305,11 @@ def moe_gathered_tiled(
     k = topk_idx.shape[-1]
     eids = topk_idx.reshape(-1)
     x_rep = jnp.repeat(x, k, axis=0)                     # [P, H]
-    h = gathered_qmm_pallas(x_rep, w13, eids, interpret=interpret)
+    h = gathered_qmm_pallas(x_rep, w13, eids, layer_idx=layer_idx,
+                            interpret=interpret)
     a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
                gpt_oss=gpt_oss)
-    o = gathered_qmm_pallas(a, w2, eids, interpret=interpret)
+    o = gathered_qmm_pallas(a, w2, eids, layer_idx=layer_idx,
+                            interpret=interpret)
     o = o.reshape(T, k, H) * topk_weights[..., None]
     return o.sum(axis=1).astype(x.dtype)

@@ -47,3 +47,32 @@ def sample(
         vals = jnp.where(keep, vals, -jnp.inf)
     choice = jax.random.categorical(key, vals, axis=-1)   # index into top-k
     return jnp.take_along_axis(idx, choice[..., None], axis=-1)[..., 0].astype(jnp.int32)
+
+
+def sample_batched(
+    key: jax.Array,
+    logits: jax.Array,                 # [B, V] f32
+    temperature: jax.Array,            # [B] f32 (0 = greedy per row)
+    top_p: jax.Array,                  # [B] f32
+    presence_penalty: jax.Array,       # [B] f32
+    seen_mask: jax.Array,              # [B, V] bool
+    top_k: int = 64,                   # static truncation (max of requests)
+) -> jax.Array:
+    """Per-row sampling parameters in ONE traced program — the batched
+    scheduler samples every slot per step without per-slot dispatches
+    (each eager dispatch costs a host round trip)."""
+    logits = logits.astype(jnp.float32)
+    logits = logits - presence_penalty[:, None] * seen_mask.astype(jnp.float32)
+
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    vals, idx = jax.lax.top_k(logits / t, min(top_k, logits.shape[-1]))
+    probs = jax.nn.softmax(vals, axis=-1)
+    cum = jnp.cumsum(probs, axis=-1)
+    keep = (cum - probs) < top_p[:, None]
+    vals = jnp.where(keep, vals, -jnp.inf)
+    choice = jax.random.categorical(key, vals, axis=-1)
+    sampled = jnp.take_along_axis(idx, choice[:, None], axis=-1)[:, 0].astype(jnp.int32)
+
+    return jnp.where(temperature <= 0.0, greedy, sampled)

@@ -29,9 +29,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, QuantConfig
-from ..models.model import make_forward_fns
-from ..ops.sampling import SamplingParams, sample
-from .engine import PREFILL_BUCKETS, pick_bucket
+from ..models.model import make_chunk_prefill_fn, make_forward_fns
+from ..ops.sampling import SamplingParams, sample, sample_batched
+from .engine import CHUNK, PREFILL_BUCKETS, pick_bucket, pick_history_bucket
 from .kv_cache import init_cache
 
 
@@ -103,13 +103,33 @@ class BatchScheduler:
         self._insert = jax.jit(insert_slot, static_argnums=(2,),
                                donate_argnums=(0,))
 
+        # one fused decode+sample step for ALL slots (per-slot eager
+        # sampling would cost a host round trip per slot per token)
+        def decode_sample(params, tok, cache, key, seen, temp, top_p, pres):
+            logits, cache = decode_fn(params, tok[:, None], cache)
+            key, sk = jax.random.split(key)
+            nxt = sample_batched(sk, logits, temp, top_p, pres, seen)
+            seen = seen.at[jnp.arange(tok.shape[0]), nxt].set(True)
+            return nxt, cache, key, seen
+
+        self._decode_sample = jax.jit(decode_sample, donate_argnums=(2,))
+        self._chunk_fns = {}
+        self._first_sample = jax.jit(
+            lambda key, logits, temp, top_p, pres, seen: sample_batched(
+                key, logits, temp, top_p, pres, seen
+            )
+        )
+
         self.decode_cache = init_cache(cfg, quant, num_slots, max_len)
         # one reusable batch-1 prefill cache (length reset per admission;
         # stale KV beyond `length` is masked and later overwritten)
         self.prefill_cache = init_cache(cfg, quant, 1, max_len)
         self._active: List[Optional[Request]] = [None] * num_slots
-        self._tokens = np.zeros((num_slots, 1), np.int32)
+        self._tokens = np.zeros((num_slots,), np.int32)
         self._seen = jnp.zeros((num_slots, cfg.vocab_size), jnp.bool_)
+        self._temp = np.zeros((num_slots,), np.float32)
+        self._top_p = np.ones((num_slots,), np.float32)
+        self._pres = np.zeros((num_slots,), np.float32)
         self._key = jax.random.PRNGKey(0)
 
         self._in_queue: "queue.Queue[Request]" = queue.Queue()
@@ -142,6 +162,14 @@ class BatchScheduler:
 
     # ------------------------------------------------------------------
 
+    def _chunk_fn(self, hist_bucket: int):
+        if hist_bucket not in self._chunk_fns:
+            self._chunk_fns[hist_bucket] = jax.jit(
+                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket),
+                donate_argnums=(3,),
+            )
+        return self._chunk_fns[hist_bucket]
+
     def _free_slot(self) -> int:
         for i, r in enumerate(self._active):
             if r is None:
@@ -160,10 +188,8 @@ class BatchScheduler:
                 return
             if req.cancelled.is_set():
                 continue
-            n = len(req.prompt_ids)
-            bucket = pick_bucket(min(n, self.max_len - req.max_new_tokens - 1))
-            tokens = np.zeros((1, bucket), np.int32)
-            tokens[0, :n] = req.prompt_ids[:bucket]
+            ids = req.prompt_ids[: self.max_len - req.max_new_tokens - 1]
+            n = len(ids)
             pcache = self.prefill_cache
             pcache["length"] = jnp.zeros((1,), jnp.int32)
             # DeltaNet state must start clean (not masked by length)
@@ -171,19 +197,42 @@ class BatchScheduler:
                 if "state" in lc:
                     lc["state"] = jnp.zeros_like(lc["state"])
                     lc["conv"] = jnp.zeros_like(lc["conv"])
+            # chunked prefill, same schedule as Engine._prefill_prompt
+            first = min(n, CHUNK)
+            bucket = pick_bucket(first)
+            tokens = np.zeros((1, bucket), np.int32)
+            tokens[0, :first] = ids[:first]
             logits, pcache = self._prefill(
-                self.params, jnp.asarray(tokens),
-                jnp.asarray([min(n, bucket)]), pcache,
+                self.params, jnp.asarray(tokens), jnp.asarray([first]), pcache,
             )
+            pos = first
+            while pos < n:
+                m = min(CHUNK, n - pos)
+                tokens = np.zeros((1, CHUNK), np.int32)
+                tokens[0, :m] = ids[pos : pos + m]
+                fn = self._chunk_fn(pick_history_bucket(pos))
+                logits, pcache = fn(
+                    self.params, jnp.asarray(tokens), jnp.asarray([m]), pcache,
+                )
+                pos += m
             self.prefill_cache = pcache
             self.decode_cache = self._insert(self.decode_cache, pcache, slot)
             self._key, sk = jax.random.split(self._key)
-            seen_row = jnp.zeros((self.cfg.vocab_size,), jnp.bool_)
-            tok = int(sample(sk, logits, req.sampling, seen_row[None])[0])
+            sp = req.sampling
+            tok = int(self._first_sample(
+                sk, logits,
+                jnp.asarray([sp.temperature], jnp.float32),
+                jnp.asarray([sp.top_p], jnp.float32),
+                jnp.asarray([sp.presence_penalty], jnp.float32),
+                jnp.zeros((1, self.cfg.vocab_size), jnp.bool_),
+            )[0])
             self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
+            self._temp[slot] = sp.temperature
+            self._top_p[slot] = sp.top_p
+            self._pres[slot] = sp.presence_penalty
             req.slot = slot
             self._active[slot] = req
-            self._tokens[slot, 0] = tok
+            self._tokens[slot] = tok
             self._emit(req, tok)
 
     def _emit(self, req: Request, tok: int):
@@ -204,21 +253,18 @@ class BatchScheduler:
             if not any(self._active):
                 time.sleep(0.002)
                 continue
-            logits, self.decode_cache = self._decode(
-                self.params, jnp.asarray(self._tokens), self.decode_cache
+            toks, self.decode_cache, self._key, self._seen = (
+                self._decode_sample(
+                    self.params, jnp.asarray(self._tokens), self.decode_cache,
+                    self._key, self._seen,
+                    jnp.asarray(self._temp), jnp.asarray(self._top_p),
+                    jnp.asarray(self._pres),
+                )
             )
-            self._key, sk = jax.random.split(self._key)
-            # sample every slot with slot 0's params... sampling params are
-            # per-request; use per-slot temperature via host loop (B small).
-            logits_host = None
+            toks_host = np.asarray(toks)
             for slot, req in enumerate(self._active):
                 if req is None:
                     continue
-                self._key, sk = jax.random.split(self._key)
-                tok = int(
-                    sample(sk, logits[slot][None], req.sampling,
-                           self._seen[slot][None])[0]
-                )
-                self._seen = self._seen.at[slot, tok].set(True)
-                self._tokens[slot, 0] = tok
+                tok = int(toks_host[slot])
+                self._tokens[slot] = tok
                 self._emit(req, tok)

@@ -292,7 +292,10 @@ class ModelConfig:
             qk_rope_head_dim=cfg.get("qk_rope_head_dim") if is_mla else None,
             v_head_dim=cfg.get("v_head_dim") if is_mla else None,
             head_dim=cfg.get("head_dim") if not is_mla else None,
-            qk_norm=arch.startswith("qwen3") or arch in ("qwen3_5_moe_text",),
+            qk_norm=cfg.get(
+                "use_qk_norm",
+                arch.startswith("qwen3") or arch in ("qwen3_5_moe_text",),
+            ),
             attention_bias=cfg.get("attention_bias", False),
             sliding_window=cfg.get("sliding_window", 0) or 0,
             full_attention_interval=full_interval,
@@ -508,6 +511,13 @@ def preset_config(name: str, **overrides: Any) -> ModelConfig:
             partial_rotary_factor=0.25,
         ),
     }
+    # QCN architecture scaled to one 16GB chip (64 of 512 experts): same
+    # hidden/attention/DeltaNet shapes, so per-layer latency is
+    # representative; expert count is what multi-chip EP adds back.
+    presets["qcn-1chip"] = dict(
+        presets["qwen3-coder-next"],
+        n_routed_experts=64, num_experts_per_tok=10,
+    )
     if name not in presets:
         raise KeyError(f"unknown preset '{name}'; have {sorted(presets)}")
     kw = dict(presets[name])

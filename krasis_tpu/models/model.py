@@ -239,8 +239,17 @@ def _la_attention(
     beta = jnp.where(valid[..., None], beta, 0.0)
     g = jnp.where(valid[..., None], g, 0.0)
 
-    rule = gated_delta_rule_chunked if prefill else gated_delta_rule_recurrent
-    core, new_state = rule(qc, kc, vc, g, beta, lc["state"])
+    if prefill:
+        import os
+
+        fast = fa.available() and not os.environ.get("KRASIS_TPU_LA_F32")
+        core, new_state = gated_delta_rule_chunked(
+            qc, kc, vc, g, beta, lc["state"], fast=fast
+        )
+    else:
+        core, new_state = gated_delta_rule_recurrent(
+            qc, kc, vc, g, beta, lc["state"]
+        )
 
     core = gated_rms_norm(
         core.astype(x.dtype), z, lp["la_norm"], cfg.rms_norm_eps, plus_one=False

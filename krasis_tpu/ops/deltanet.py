@@ -148,8 +148,14 @@ def gated_delta_rule_chunked(
     beta: jax.Array,
     state: jax.Array,
     chunk_size: int = 64,
+    fast: bool = False,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Chunked parallel form (prefill path). Matches the recurrent oracle."""
+    """Chunked parallel form (prefill path). Matches the recurrent oracle.
+
+    fast=True runs the large matmuls with bf16 inputs + f32 accumulation
+    (the production trade used by fla's Triton kernels); decay/solve/state
+    math stays f32. Default keeps everything f32-HIGHEST for the oracle
+    tests."""
     B, S, _, dk = q.shape
     Hv, dv = state.shape[1], state.shape[3]
     q, k, v, g, beta = _prep(q, k, v, g, beta, Hv)
@@ -167,6 +173,9 @@ def gated_delta_rule_chunked(
     g_ = g.reshape(B, nc, cs, Hv).transpose(0, 3, 1, 2)       # [B,H,nc,cs]
     beta_ = beta.reshape(B, nc, cs, Hv).transpose(0, 3, 1, 2)
 
+    mm_prec = None if fast else _P
+    mm_cast = (lambda t: t.astype(jnp.bfloat16)) if fast else (lambda t: t)
+
     g_ = jnp.cumsum(g_, axis=-1)
     # decay[i,j] = exp(g_i - g_j) for i >= j else 0
     ii = jax.lax.broadcasted_iota(jnp.int32, (cs, cs), 0)
@@ -179,7 +188,10 @@ def gated_delta_rule_chunked(
 
     # T = I + strict_lower((k_beta @ k^T) * decay); the reference's in-chunk
     # nilpotent-correction loop is T^{-1} applied — done as triangular solves.
-    kk = jnp.einsum("bhnik,bhnjk->bhnij", k_beta, k_, precision=_P) * decay
+    kk = jnp.einsum(
+        "bhnik,bhnjk->bhnij", mm_cast(k_beta), mm_cast(k_),
+        precision=mm_prec, preferred_element_type=jnp.float32,
+    ) * decay
     strict = ii > jj
     T = jnp.where(strict, kk, 0.0) + jnp.eye(cs, dtype=jnp.float32)
     v_new_all = jax.scipy.linalg.solve_triangular(
@@ -189,22 +201,33 @@ def gated_delta_rule_chunked(
         T, k_beta * jnp.exp(g_)[..., None], lower=True, unit_diagonal=True
     )
 
-    attn_local = jnp.einsum("bhnik,bhnjk->bhnij", q_, k_, precision=_P) * decay
+    attn_local = jnp.einsum(
+        "bhnik,bhnjk->bhnij", mm_cast(q_), mm_cast(k_),
+        precision=mm_prec, preferred_element_type=jnp.float32,
+    ) * decay
 
     def chunk_step(Sstate, inp):
         q_i, k_i, vn_i, kc_i, al_i, g_i = inp
-        v_prime = jnp.einsum("bhik,bhkv->bhiv", kc_i, Sstate, precision=_P)
+        v_prime = jnp.einsum(
+            "bhik,bhkv->bhiv", mm_cast(kc_i), mm_cast(Sstate),
+            precision=mm_prec, preferred_element_type=jnp.float32,
+        )
         v_corr = vn_i - v_prime
         attn_inter = jnp.einsum(
-            "bhik,bhkv->bhiv", q_i * jnp.exp(g_i)[..., None], Sstate, precision=_P
+            "bhik,bhkv->bhiv",
+            mm_cast(q_i * jnp.exp(g_i)[..., None]), mm_cast(Sstate),
+            precision=mm_prec, preferred_element_type=jnp.float32,
         )
-        out_i = attn_inter + jnp.einsum("bhij,bhjv->bhiv", al_i, v_corr, precision=_P)
+        out_i = attn_inter + jnp.einsum(
+            "bhij,bhjv->bhiv", mm_cast(al_i), mm_cast(v_corr),
+            precision=mm_prec, preferred_element_type=jnp.float32,
+        )
         g_last = g_i[..., -1]
         Sstate = Sstate * jnp.exp(g_last)[..., None, None] + jnp.einsum(
             "bhik,bhiv->bhkv",
-            k_i * jnp.exp(g_last[..., None] - g_i)[..., None],
-            v_corr,
-            precision=_P,
+            mm_cast(k_i * jnp.exp(g_last[..., None] - g_i)[..., None]),
+            mm_cast(v_corr),
+            precision=mm_prec, preferred_element_type=jnp.float32,
         )
         return Sstate, out_i
 

@@ -75,7 +75,10 @@ def compute_routing(
             jax.nn.one_hot(top_groups, cfg.n_group, dtype=jnp.float32).sum(axis=1) > 0
         )
         expert_mask = jnp.repeat(group_mask, E // cfg.n_group, axis=-1)
-        select = jnp.where(expert_mask, select, -jnp.inf)
+        # HF zero-fills masked experts (not -inf): with sigmoid+bias scores
+        # that can go negative this changes edge-case selections — match it
+        # (HF DeepseekV3TopkRouter.get_topk_indices masked_fill 0.0).
+        select = jnp.where(expert_mask, select, 0.0)
 
     _, topk_idx = jax.lax.top_k(select, k)
     topk_idx = topk_idx.astype(jnp.int32)

@@ -153,3 +153,56 @@ def test_gpt_oss_parity():
     with tempfile.TemporaryDirectory() as tmp:
         _save(model, tmp)
         _compare(tmp, model, atol=4e-2, rtol=4e-2)
+
+
+def test_deepseek_v3_parity():
+    """V3: q-LoRA + sigmoid scoring + e_score_correction_bias +
+    group-limited (noaux_tc) routing."""
+    from transformers import DeepseekV3Config
+    from transformers.models.deepseek_v3.modeling_deepseek_v3 import (
+        DeepseekV3ForCausalLM,
+    )
+
+    cfg = DeepseekV3Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=48, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=16, num_experts_per_tok=4, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=4, topk_group=2,
+        topk_method="noaux_tc", scoring_func="sigmoid",
+        routed_scaling_factor=2.0, norm_topk_prob=True,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        max_position_embeddings=512, attention_bias=False,
+        rope_scaling=None,
+    )
+    model = DeepseekV3ForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model, atol=4e-2, rtol=4e-2)
+
+
+def test_glm4_moe_parity():
+    """GLM-4.7-style: GQA + partial rotary 0.5 + qk-norm flag + sigmoid
+    group routing + shared expert."""
+    from transformers import Glm4MoeConfig
+    from transformers.models.glm4_moe.modeling_glm4_moe import (
+        Glm4MoeForCausalLM,
+    )
+
+    cfg = Glm4MoeConfig(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        n_routed_experts=16, num_experts_per_tok=4, n_shared_experts=1,
+        first_k_dense_replace=1, n_group=4, topk_group=2,
+        norm_topk_prob=True, routed_scaling_factor=1.0,
+        use_qk_norm=True, partial_rotary_factor=0.5,
+        attention_bias=False, tie_word_embeddings=False,
+        rope_theta=10000.0, max_position_embeddings=512,
+    )
+    model = Glm4MoeForCausalLM(cfg).eval()
+    with tempfile.TemporaryDirectory() as tmp:
+        _save(model, tmp)
+        _compare(tmp, model, atol=4e-2, rtol=4e-2)

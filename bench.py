@@ -19,7 +19,8 @@ import time
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--preset", default="v2-lite", choices=["v2-lite", "tiny"])
+    ap.add_argument("--preset", default="v2-lite",
+                    choices=["v2-lite", "tiny", "qcn-1chip"])
     ap.add_argument("--prefill-tokens", type=int, default=2048)
     ap.add_argument("--decode-tokens", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=4096)
@@ -36,11 +37,21 @@ def main() -> int:
         quant = QuantConfig(expert_bits=4, group_size=32)
         baseline_decode = 20.18  # nominal; tiny preset is a smoke test
         prefill_tokens = min(args.prefill_tokens, 256)
+        metric = "tiny_synth_decode"
+    elif args.preset == "qcn-1chip":
+        # QCN architecture at 1-chip expert count; baseline = reference's
+        # QCN-80B decode (per-token decode work is ~independent of E)
+        cfg = preset_config("qcn-1chip")
+        quant = QuantConfig(expert_bits=4, group_size=128)
+        baseline_decode = 14.93
+        prefill_tokens = args.prefill_tokens
+        metric = "qcn1chip_q4_synth_decode"
     else:
         cfg = preset_config("deepseek-v2-lite")
         quant = QuantConfig(expert_bits=4, group_size=128)
         baseline_decode = 20.18  # BASELINE.md V2-Lite Q4 decode tok/s
         prefill_tokens = args.prefill_tokens
+        metric = "v2lite_q4_synth_decode"
 
     t0 = time.time()
     eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
@@ -65,7 +76,7 @@ def main() -> int:
     prefill_tok_s = res.prefill_tok_s
 
     print(json.dumps({
-        "metric": "v2lite_q4_synth_decode",
+        "metric": metric,
         "value": round(decode_tok_s, 2),
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / baseline_decode, 3),

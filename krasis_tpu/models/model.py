@@ -316,7 +316,17 @@ def forward(
     specs = layer_specs(cfg)
     info = pattern_info(cfg)
 
+    from ..timing import TIMING
+
     def layer_step(x, lp, lc, spec):
+        if TIMING.diag:
+            # reference KRASIS_DIAG: per-layer activation RMS is the main
+            # numerical debugging signal (layer.py:618-652)
+            jax.debug.print(
+                "[diag] {kind} in_rms={r:.4f}",
+                kind=spec.attn_kind,
+                r=jnp.sqrt(jnp.mean(jnp.square(x.astype(jnp.float32)))),
+            )
         normed = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         if spec.attn_kind == "gqa":
             attn_out, new_lc = _gqa_attention(

@@ -59,19 +59,20 @@ def supported(x: jax.Array, w13: QTensor, w2: QTensor) -> bool:
 def _unpack_scale(q, s, bits, gs):
     """[rows, N] packed int → [K, N] bf16 dequantized.
 
-    All VPU work at int8/bf16 lane width (int32 unpacking quarters VPU
-    throughput); the bf16 scale product rounds once, same as the f32-
-    multiply-then-cast it replaces (int4 values are bf16-exact)."""
+    Unpack arithmetic runs at int32 width — narrower int dtypes hit
+    Mosaic legalization gaps on this toolchain (arith.subi / uint8→bf16
+    casts); revisit when the kernel compiler gains int8 vector ops."""
     if bits == 4:
-        b = pltpu.bitcast(q, jnp.uint8)
-        lo = ((b & 0xF) ^ 8).astype(jnp.bfloat16) - 8.0
-        hi = ((b >> 4) ^ 8).astype(jnp.bfloat16) - 8.0
+        b = q.astype(jnp.int32)
+        lo = ((b & 0xF) ^ 8) - 8
+        hi = (((b >> 4) & 0xF) ^ 8) - 8
         w = jnp.concatenate([lo, hi], axis=0)
     else:
-        w = q.astype(jnp.bfloat16)
+        w = q.astype(jnp.int32)
     K, N = w.shape
-    wf = w.reshape(K // gs, gs, N) * s.astype(jnp.bfloat16)[:, None, :]
-    return wf.reshape(K, N)
+    wf = w.astype(jnp.float32).reshape(K // gs, gs, N)
+    wf = wf * s.astype(jnp.float32)[:, None, :]
+    return wf.reshape(K, N).astype(jnp.bfloat16)
 
 
 def _kernel(

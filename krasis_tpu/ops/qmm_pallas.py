@@ -61,26 +61,25 @@ def supported(x: jax.Array, qt: QTensor) -> bool:
 
 
 def _kernel_int4(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
-    b = pltpu.bitcast(q_ref[:], jnp.uint8)         # [K/2, TN] packed
-    lo = ((b & 0xF) ^ 8).astype(jnp.bfloat16) - 8.0
-    hi = ((b >> 4) ^ 8).astype(jnp.bfloat16) - 8.0
-    w = jnp.concatenate([lo, hi], axis=0)          # [K, TN] bf16
+    b = q_ref[:].astype(jnp.int32)                 # [K/2, TN] packed
+    lo = ((b & 0xF) ^ 8) - 8                       # sign-extend low nibble
+    hi = (((b >> 4) & 0xF) ^ 8) - 8
+    w = jnp.concatenate([lo, hi], axis=0)          # [K, TN] int32
     Kh2, TN = b.shape
     K = Kh2 * 2
-    wb = (
-        w.reshape(K // gs, gs, TN) * s_ref[:].astype(jnp.bfloat16)[:, None, :]
-    ).reshape(K, TN)
+    wf = w.astype(jnp.float32).reshape(K // gs, gs, TN)
+    wf = wf * s_ref[:].astype(jnp.float32)[:, None, :]
+    wb = wf.reshape(K, TN).astype(jnp.bfloat16)
     o_ref[:] = jnp.dot(
         x_ref[:], wb, preferred_element_type=jnp.float32
     ).astype(out_dtype)
 
 
 def _kernel_int8(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
-    w = q_ref[:].astype(jnp.bfloat16)              # [K, TN]
+    w = q_ref[:].astype(jnp.float32)               # [K, TN]
     K, TN = w.shape
-    wb = (
-        w.reshape(K // gs, gs, TN) * s_ref[:].astype(jnp.bfloat16)[:, None, :]
-    ).reshape(K, TN)
+    wf = w.reshape(K // gs, gs, TN) * s_ref[:].astype(jnp.float32)[:, None, :]
+    wb = wf.reshape(K, TN).astype(jnp.bfloat16)
     o_ref[:] = jnp.dot(
         x_ref[:], wb, preferred_element_type=jnp.float32
     ).astype(out_dtype)

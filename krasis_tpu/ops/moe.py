@@ -167,7 +167,11 @@ def moe_forward(
         swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
         w13_bias=w13_bias, w2_bias=w2_bias, precision=precision,
     )
-    if T * k * 8 >= E:
+    # Decode regime = few tokens: the gathered kernels read each selected
+    # expert exactly once. The grouped (prefill) kernel pads every hit
+    # expert to a full token tile — catastrophic at T≈1 (measured 3×
+    # decode-step blowup on QCN when this keyed off E instead of T).
+    if T * k >= 2 * E or T >= 64:
         from . import gmm_pallas, moe_pallas as mp
 
         if (

@@ -65,6 +65,17 @@ def pick_history_bucket(hist: int) -> int:
     raise ValueError(f"history too long: {hist}")
 
 
+def pick_cache_len(needed: int, max_len: int) -> int:
+    """Smallest cache bucket covering `needed` tokens: decode attends
+    over the WHOLE static cache each step, so sizing it to the request
+    (instead of max_len) trims both the per-step KV read and the cache
+    scatter (reference sizes its paged pool per request budget too)."""
+    for b in HISTORY_BUCKETS:
+        if needed <= b <= max_len:
+            return b
+    return max_len
+
+
 @dataclass
 class GenerationResult:
     tokens: List[int]
@@ -167,8 +178,10 @@ class Engine:
             pos += m
         return logits
 
-    def reset(self):
-        self.cache = init_cache(self.cfg, self.quant, self.batch_size, self.max_len)
+    def reset(self, cache_len: int | None = None):
+        self.cache = init_cache(
+            self.cfg, self.quant, self.batch_size, cache_len or self.max_len
+        )
 
     # ------------------------------------------------------------------
 
@@ -184,7 +197,8 @@ class Engine:
         """Single-sequence generation (batch slot 0)."""
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
-        self.reset()
+        self.reset(pick_cache_len(len(prompt_ids) + max_new_tokens + 8,
+                                  self.max_len))
 
         n = len(prompt_ids)
         t0 = time.perf_counter()

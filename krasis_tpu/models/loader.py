@@ -36,17 +36,37 @@ from .params import layer_specs, stack_layer_list
 CACHE_VERSION = 1
 
 
+def _checkpoint_fingerprint(model_path: str) -> str:
+    """Cheap content fingerprint: (name, size, mtime) of every weight /
+    index file, so replacing checkpoint files in place invalidates the
+    quantized cache (reference keys its KRAS cache on source bytes too)."""
+    entries = []
+    if os.path.isdir(model_path):
+        for f in sorted(os.listdir(model_path)):
+            if f.endswith((".safetensors", ".gguf", ".json")):
+                st = os.stat(os.path.join(model_path, f))
+                entries.append((f, st.st_size, int(st.st_mtime)))
+    elif os.path.exists(model_path):
+        st = os.stat(model_path)
+        entries.append((os.path.basename(model_path), st.st_size,
+                        int(st.st_mtime)))
+    return json.dumps(entries)
+
+
 def _cache_dir(cfg: ModelConfig, quant: QuantConfig) -> str:
     base = os.environ.get(
         "KRASIS_TPU_HOME", os.path.expanduser("~/.krasis_tpu")
     )
+    # Every QuantConfig field participates: any precision-policy change
+    # must miss the cache (stale INT8-attention weights served under a
+    # BF16-attention config would silently change numerics).
     tag = json.dumps(
-        [CACHE_VERSION, quant.expert_bits, quant.group_size, quant.lm_head,
-         quant.shared_expert, quant.dense_mlp],
-        sort_keys=True,
+        [CACHE_VERSION, sorted(vars(quant).items(), key=str)],
+        sort_keys=True, default=str,
     )
     h = hashlib.sha256(
-        (tag + cfg.model_path + str(cfg.num_hidden_layers)).encode()
+        (tag + cfg.model_path + str(cfg.num_hidden_layers)
+         + _checkpoint_fingerprint(cfg.model_path)).encode()
     ).hexdigest()[:16]
     name = os.path.basename(os.path.normpath(cfg.model_path)) or "model"
     return os.path.join(base, "cache", f"{name}-{h}")

@@ -142,6 +142,17 @@ def _slice_layer(w, layer_idx):
     return w
 
 
+def use_grouped_path(T: int, k: int, E: int) -> bool:
+    """Dispatch predicate: grouped (prefill) kernel vs gathered (decode).
+
+    Decode regime = few tokens: the gathered kernels read each selected
+    expert exactly once. The grouped (prefill) kernel pads every hit
+    expert to a full token tile — catastrophic at T≈1 (measured 3×
+    decode-step blowup on QCN when this keyed off E instead of T; pinned
+    by tests/test_moe_dispatch.py so it can't regress)."""
+    return T * k >= 2 * E or T >= 64
+
+
 def moe_forward(
     x: jax.Array,
     w13,
@@ -167,11 +178,7 @@ def moe_forward(
         swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
         w13_bias=w13_bias, w2_bias=w2_bias, precision=precision,
     )
-    # Decode regime = few tokens: the gathered kernels read each selected
-    # expert exactly once. The grouped (prefill) kernel pads every hit
-    # expert to a full token tile — catastrophic at T≈1 (measured 3×
-    # decode-step blowup on QCN when this keyed off E instead of T).
-    if T * k >= 2 * E or T >= 64:
+    if use_grouped_path(T, k, E):
         from . import gmm_pallas, moe_pallas as mp
 
         if (

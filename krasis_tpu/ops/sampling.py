@@ -56,18 +56,26 @@ def sample_batched(
     top_p: jax.Array,                  # [B] f32
     presence_penalty: jax.Array,       # [B] f32
     seen_mask: jax.Array,              # [B, V] bool
-    top_k: int = 64,                   # static truncation (max of requests)
+    top_k: Optional[jax.Array] = None, # [B] int32 per-row (<=0 = off)
+    max_top_k: int = 64,               # static truncation bound
 ) -> jax.Array:
     """Per-row sampling parameters in ONE traced program — the batched
     scheduler samples every slot per step without per-slot dispatches
-    (each eager dispatch costs a host round trip)."""
+    (each eager dispatch costs a host round trip). Per-row ``top_k`` is
+    applied as a rank mask inside the static ``max_top_k`` truncation so
+    every slot gets its requested distribution."""
     logits = logits.astype(jnp.float32)
     logits = logits - presence_penalty[:, None] * seen_mask.astype(jnp.float32)
 
     greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
+    kk = min(max_top_k, logits.shape[-1])
     t = jnp.maximum(temperature, 1e-6)[:, None]
-    vals, idx = jax.lax.top_k(logits / t, min(top_k, logits.shape[-1]))
+    vals, idx = jax.lax.top_k(logits / t, kk)
+    if top_k is not None:
+        ranks = jnp.arange(kk)[None, :]
+        per_row = jnp.where(top_k <= 0, kk, jnp.minimum(top_k, kk))[:, None]
+        vals = jnp.where(ranks < per_row, vals, -jnp.inf)
     probs = jax.nn.softmax(vals, axis=-1)
     cum = jnp.cumsum(probs, axis=-1)
     keep = (cum - probs) < top_p[:, None]

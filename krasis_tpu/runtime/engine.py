@@ -197,10 +197,20 @@ class Engine:
         """Single-sequence generation (batch slot 0)."""
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
-        self.reset(pick_cache_len(len(prompt_ids) + max_new_tokens + 8,
-                                  self.max_len))
-
         n = len(prompt_ids)
+        # Decode runs in fused blocks that may overshoot by decode_block-1
+        # positions; bound max_new so even the overshoot stays inside the
+        # cache (out-of-range scatters are silently dropped by XLA, which
+        # would degrade output instead of erroring).
+        room = self.max_len - n - 1 - self.decode_block
+        if room < 1:
+            raise ValueError(
+                f"prompt ({n} tokens) leaves no room to generate within "
+                f"max_len={self.max_len}"
+            )
+        max_new_tokens = min(max_new_tokens, room)
+        self.reset(pick_cache_len(
+            n + max_new_tokens + self.decode_block + 1, self.max_len))
         t0 = time.perf_counter()
         logits = self._prefill_prompt(prompt_ids)
         logits.block_until_ready()

@@ -105,18 +105,18 @@ class BatchScheduler:
 
         # one fused decode+sample step for ALL slots (per-slot eager
         # sampling would cost a host round trip per slot per token)
-        def decode_sample(params, tok, cache, key, seen, temp, top_p, pres):
+        def decode_sample(params, tok, cache, key, seen, temp, top_p, pres, top_k):
             logits, cache = decode_fn(params, tok[:, None], cache)
             key, sk = jax.random.split(key)
-            nxt = sample_batched(sk, logits, temp, top_p, pres, seen)
+            nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k)
             seen = seen.at[jnp.arange(tok.shape[0]), nxt].set(True)
             return nxt, cache, key, seen
 
         self._decode_sample = jax.jit(decode_sample, donate_argnums=(2,))
         self._chunk_fns = {}
         self._first_sample = jax.jit(
-            lambda key, logits, temp, top_p, pres, seen: sample_batched(
-                key, logits, temp, top_p, pres, seen
+            lambda key, logits, temp, top_p, pres, seen, top_k: sample_batched(
+                key, logits, temp, top_p, pres, seen, top_k
             )
         )
 
@@ -130,6 +130,7 @@ class BatchScheduler:
         self._temp = np.zeros((num_slots,), np.float32)
         self._top_p = np.ones((num_slots,), np.float32)
         self._pres = np.zeros((num_slots,), np.float32)
+        self._top_k = np.zeros((num_slots,), np.int32)
         self._key = jax.random.PRNGKey(0)
 
         self._in_queue: "queue.Queue[Request]" = queue.Queue()
@@ -188,7 +189,16 @@ class BatchScheduler:
                 return
             if req.cancelled.is_set():
                 continue
-            ids = req.prompt_ids[: self.max_len - req.max_new_tokens - 1]
+            # Over-long prompts keep their END (recent context); max_new is
+            # clamped to the remaining cache room so decode never scatters
+            # past the cache (client-supplied max_tokens must not be able to
+            # silently drop prompt tokens or overrun the cache).
+            ids = req.prompt_ids
+            if len(ids) > self.max_len - 2:
+                ids = ids[-(self.max_len - 2):]
+            req.max_new_tokens = max(
+                1, min(req.max_new_tokens, self.max_len - len(ids) - 1)
+            )
             n = len(ids)
             pcache = self.prefill_cache
             pcache["length"] = jnp.zeros((1,), jnp.int32)
@@ -225,11 +235,13 @@ class BatchScheduler:
                 jnp.asarray([sp.top_p], jnp.float32),
                 jnp.asarray([sp.presence_penalty], jnp.float32),
                 jnp.zeros((1, self.cfg.vocab_size), jnp.bool_),
+                jnp.asarray([sp.top_k], jnp.int32),
             )[0])
             self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
             self._temp[slot] = sp.temperature
             self._top_p[slot] = sp.top_p
             self._pres[slot] = sp.presence_penalty
+            self._top_k[slot] = sp.top_k
             req.slot = slot
             self._active[slot] = req
             self._tokens[slot] = tok
@@ -258,7 +270,7 @@ class BatchScheduler:
                     self.params, jnp.asarray(self._tokens), self.decode_cache,
                     self._key, self._seen,
                     jnp.asarray(self._temp), jnp.asarray(self._top_p),
-                    jnp.asarray(self._pres),
+                    jnp.asarray(self._pres), jnp.asarray(self._top_k),
                 )
             )
             toks_host = np.asarray(toks)

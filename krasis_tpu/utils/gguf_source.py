@@ -174,10 +174,30 @@ class GgufCheckpoint:
             ("attention.key_length", "head_dim"),
             ("attention.q_lora_rank", "q_lora_rank"),
             ("attention.kv_lora_rank", "kv_lora_rank"),
-            ("rope.dimension_count", "qk_rope_head_dim_hint"),
             ("leading_dense_block_count", "first_k_dense_replace"),
             ("expert_weights_scale", "routed_scaling_factor"),
         ]:
             if g(gk) is not None:
                 cfg[ck] = g(gk)
+        if g("attention.kv_lora_rank"):
+            # MLA (deepseek2-family): GGUF stores the full qk head width as
+            # attention.key_length (= nope + rope dims) and the rope slice
+            # as rope.dimension_count (llama.cpp deepseek2 convention).
+            rope_dim = g("rope.dimension_count")
+            key_len = g("attention.key_length")
+            if rope_dim is not None:
+                cfg["qk_rope_head_dim"] = rope_dim
+                if key_len is not None:
+                    cfg["qk_nope_head_dim"] = key_len - rope_dim
+            if g("attention.value_length") is not None:
+                cfg["v_head_dim"] = g("attention.value_length")
+            cfg.pop("head_dim", None)
+        # Router gating function / weight norm (V3-style sigmoid routing):
+        # llama.cpp expert_gating_func 2 = sigmoid, 1/absent = softmax.
+        if g("expert_gating_func") is not None:
+            cfg["scoring_func"] = (
+                "sigmoid" if int(g("expert_gating_func")) == 2 else "softmax"
+            )
+        if g("expert_weights_norm") is not None:
+            cfg["norm_topk_prob"] = bool(g("expert_weights_norm"))
         return {k: v for k, v in cfg.items() if v is not None}

@@ -258,7 +258,7 @@ def _la_attention(
     return out, {"state": new_state, "conv": new_conv}
 
 
-def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec) -> jax.Array:
+def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None) -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
     if spec.mlp_kind == "dense":
         return mlp_forward(
@@ -269,12 +269,25 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec) -> jax.Array:
         x2d, lp["gate_w"], cfg, lp.get("gate_bias"),
         logit_bias=lp.get("gate_logit_bias"),
     )
-    out = moe_forward(
-        x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
-        swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
-        w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
-        layer_idx=lp.get("_layer_idx"),
-    )
+    from ..parallel.ep import ep_supported, moe_forward_ep
+
+    if ep_supported(mesh, lp["w13"], lp["w2"]):
+        # Explicit EP: shard_map over the expert axis so the Pallas
+        # kernels run on each shard's local expert slice (GSPMD cannot
+        # partition their scalar-prefetch index maps).
+        out = moe_forward_ep(
+            x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
+            mesh=mesh, swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+            w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
+            layer_idx=lp.get("_layer_idx"),
+        )
+    else:
+        out = moe_forward(
+            x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
+            swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+            w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
+            layer_idx=lp.get("_layer_idx"),
+        )
     if "shared_w13" in lp:
         shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
         if "shared_gate_w" in lp:
@@ -296,6 +309,7 @@ def forward(
     prefill: bool,
     return_all_logits: bool = False,
     history: int = 0,
+    mesh=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -342,7 +356,7 @@ def forward(
             attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
         x = x + attn_out
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
-        mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec)
+        mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     new_prefix = []
@@ -403,39 +417,43 @@ def forward(
     return logits, new_cache
 
 
-def make_forward_fns(cfg: ModelConfig, quant: QuantConfig):
-    """(prefill_fn, decode_fn) closures ready for jax.jit."""
+def make_forward_fns(cfg: ModelConfig, quant: QuantConfig, mesh=None):
+    """(prefill_fn, decode_fn) closures ready for jax.jit. Pass `mesh`
+    to run MoE layers through the explicit shard_map EP path."""
 
     def prefill_fn(params, tokens, seq_lens, cache):
-        return forward(params, tokens, seq_lens, cache, cfg, quant, prefill=True)
+        return forward(params, tokens, seq_lens, cache, cfg, quant,
+                       prefill=True, mesh=mesh)
 
     def decode_fn(params, tokens, cache):
         seq_lens = jnp.ones((tokens.shape[0],), jnp.int32)
-        return forward(params, tokens, seq_lens, cache, cfg, quant, prefill=False)
+        return forward(params, tokens, seq_lens, cache, cfg, quant,
+                       prefill=False, mesh=mesh)
 
     def prefill_all_logits_fn(params, tokens, seq_lens, cache):
         return forward(
             params, tokens, seq_lens, cache, cfg, quant,
-            prefill=True, return_all_logits=True,
+            prefill=True, return_all_logits=True, mesh=mesh,
         )
 
     return prefill_fn, decode_fn, prefill_all_logits_fn
 
 
-def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int):
+def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
+                          mesh=None):
     """Prefill-continuation step seeing a `history`-bucket cache prefix."""
 
     def fn(params, tokens, seq_lens, cache):
         return forward(
             params, tokens, seq_lens, cache, cfg, quant,
-            prefill=True, history=history,
+            prefill=True, history=history, mesh=mesh,
         )
 
     return fn
 
 
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
-                         sampling, steps: int):
+                         sampling, steps: int, mesh=None):
     """Fused decode+sample loop: `steps` tokens per device call.
 
     Per-token eager dispatch costs a host↔device round trip each op —
@@ -451,7 +469,8 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
         def body(carry, _):
             tok, cache, key, seen = carry
             logits, cache = forward(
-                params, tok[:, None], seq1, cache, cfg, quant, prefill=False
+                params, tok[:, None], seq1, cache, cfg, quant, prefill=False,
+                mesh=mesh,
             )
             key, sk = jax.random.split(key)
             nxt = sample(sk, logits, sampling, seen)

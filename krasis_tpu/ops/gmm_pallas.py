@@ -10,6 +10,16 @@ tile→expert map scalar-prefetched, so each step dequantizes one
 with bf16 — no expert stack is ever materialized in bf16 (the XLA
 fallback needs 4× the weight bytes in HBM and OOMs at V2-Lite scale).
 
+Inactive tiles (padding beyond the last real expert group, and — under
+expert parallelism — picks owned by another shard) are skipped at
+near-zero cost: their compute is `pl.when`-gated off and their x / weight /
+output index maps are redirected to constant blocks, so the pipeline
+never re-DMAs anything for them. This is what makes the kernel run
+unmodified inside an `ep` shard_map: each shard plans tiles over its
+LOCAL expert slice, remote picks fall into a trash group, and per-shard
+HBM traffic is exactly the local experts' bytes (the EP scaling the
+reference gets from per-GPU expert slices, model.py:2719-2835).
+
 gmm(x_sorted, w, group_sizes) is the building block; moe_prefill_pallas
 composes w13-GEMM → SwiGLU → w2-GEMM with the XLA-level scatter/gather
 glue (sort, pad-to-tiles, unsort, weighted combine).
@@ -18,7 +28,7 @@ glue (sort, pad-to-tiles, unsort, weighted combine).
 from __future__ import annotations
 
 import functools
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -32,11 +42,16 @@ TM = 128      # token-tile rows
 TN = 512      # output-tile lanes
 
 
-def _gmm_kernel(l_ref, tile_e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs):
-    w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)   # [K, TN] bf16
-    o_ref[:] = jnp.dot(
-        x_ref[:], w, preferred_element_type=jnp.float32
-    )
+def _gmm_kernel(l_ref, tile_e_ref, tv_ref, x_ref, q_ref, s_ref, o_ref,
+                *, bits, gs):
+    t = pl.program_id(0)
+
+    @pl.when(tv_ref[t] == 1)
+    def _compute():
+        w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)   # [K, TN] bf16
+        o_ref[:] = jnp.dot(
+            x_ref[:], w, preferred_element_type=jnp.float32
+        )
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -44,9 +59,13 @@ def gmm(
     x_tiles: jax.Array,       # [Mp, K] bf16 — tile-aligned (Mp % TM == 0)
     w: QTensor,               # [(L,) E, K(/2), N]
     tile_experts: jax.Array,  # [Mp // TM] int32 expert id per tile
+    tile_valid: jax.Array,    # [Mp // TM] int32 1 = compute, 0 = skip
     layer_idx=None,           # traced scalar into the stacked L dim
     interpret: bool = False,
 ) -> jax.Array:
+    """Returns [Mp + TM, N]: one spare trailing tile absorbs the writes of
+    skipped grid steps (their out index maps point there) so real tiles
+    are never garbage-flushed. Callers slice [:Mp]."""
     Mp, K = x_tiles.shape
     N = w.n_dim
     gs = w.group_size
@@ -56,26 +75,39 @@ def gmm(
     )
     rows = q4.shape[-2]
     tn = pick_tile(N, TN)
-    grid = (Mp // TM, N // tn)
+    n_tiles = Mp // TM
+    grid = (n_tiles, N // tn)
 
+    # Skipped tiles redirect every DMA to a constant block: x to tile 0,
+    # weights to (expert of the tile, lane-tile 0) — tile_experts is
+    # constant over the skipped tail, so the pipeline fetches nothing new —
+    # and output to the spare tile row n_tiles.
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, K), lambda t, j, l, e: (t, 0),
+            pl.BlockSpec((TM, K),
+                         lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, tn), lambda t, j, l, e: (l[0], e[t], 0, j),
+            pl.BlockSpec((1, 1, rows, tn),
+                         lambda t, j, l, e, v: (
+                             l[0], e[t], 0, jnp.where(v[t] == 1, j, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K // gs, tn), lambda t, j, l, e: (l[0], e[t], 0, j),
+            pl.BlockSpec((1, 1, K // gs, tn),
+                         lambda t, j, l, e, v: (
+                             l[0], e[t], 0, jnp.where(v[t] == 1, j, 0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TM, tn), lambda t, j, l, e: (t, j),
-                               memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec(
+            (TM, tn),
+            lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, n_tiles),
+                                   jnp.where(v[t] == 1, j, 0)),
+            memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
         functools.partial(_gmm_kernel, bits=w.bits, gs=gs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp + TM, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
             bytes_accessed=(Mp // TM) * (rows * N + (K // gs) * N * 2)
@@ -83,40 +115,54 @@ def gmm(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer_arr, tile_experts.astype(jnp.int32), x_tiles.astype(jnp.bfloat16),
-      q4, s4)
+    )(layer_arr, tile_experts.astype(jnp.int32), tile_valid.astype(jnp.int32),
+      x_tiles.astype(jnp.bfloat16), q4, s4)
 
 
 def _plan_tiles(
-    topk_idx: jax.Array, T: int, k: int, E: int
-) -> Tuple[jax.Array, jax.Array, jax.Array, int]:
+    topk_idx: jax.Array, T: int, k: int, E: int,
+    pick_valid: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, int]:
     """Sort (token, expert) pairs and compute the tile-aligned scatter plan.
 
+    Picks with ``pick_valid == False`` (experts owned by another EP shard)
+    go to a trash group: they are excluded from group sizes, scattered
+    out-of-bounds (dropped), and read back as zero.
+
     Returns (dest [T*k] scatter positions, tile_experts [n_tiles],
-    order [T*k] sort order, n_tiles static).
+    tile_valid [n_tiles], order [T*k] sort order, n_tiles static).
     """
     M = T * k
     flat_e = topk_idx.reshape(-1)
+    if pick_valid is not None:
+        flat_e = jnp.where(pick_valid.reshape(-1), flat_e, E)
     order = jnp.argsort(flat_e)
     sorted_e = jnp.take(flat_e, order)
 
-    group_sizes = jnp.bincount(flat_e, length=E)               # [E]
+    group_sizes = jnp.bincount(flat_e, length=E)               # [E], no trash
     padded = ((group_sizes + TM - 1) // TM) * TM
     pad_off = jnp.concatenate([jnp.zeros((1,), padded.dtype),
                                jnp.cumsum(padded)[:-1]])       # [E]
     raw_off = jnp.concatenate([jnp.zeros((1,), group_sizes.dtype),
                                jnp.cumsum(group_sizes)[:-1]])
 
-    # dest position of sorted token i (rank within its expert + pad offset)
-    ranks = jnp.arange(M) - jnp.take(raw_off, sorted_e)
-    dest = jnp.take(pad_off, sorted_e) + ranks                 # [M]
-
     n_tiles = M // TM + E + 1                                  # static bound
+    Mp = n_tiles * TM
+
+    # dest position of sorted token i (rank within its expert + pad offset);
+    # trash picks go past even the spare output tile (gather-with-fill → 0)
+    se = jnp.minimum(sorted_e, E - 1)
+    ranks = jnp.arange(M) - jnp.take(raw_off, se)
+    dest = jnp.take(pad_off, se) + ranks                       # [M]
+    dest = jnp.where(sorted_e < E, dest, Mp + TM)
+
+    total_real = jnp.sum(padded)
     tile_starts = jnp.arange(n_tiles) * TM
     cum_padded = jnp.cumsum(padded)
     tile_experts = jnp.searchsorted(cum_padded, tile_starts, side="right")
     tile_experts = jnp.minimum(tile_experts, E - 1)
-    return dest, tile_experts, order, n_tiles
+    tile_valid = (tile_starts < total_real).astype(jnp.int32)
+    return dest, tile_experts, tile_valid, order, n_tiles
 
 
 def moe_prefill_pallas(
@@ -128,6 +174,7 @@ def moe_prefill_pallas(
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
     layer_idx=None,
+    pick_valid: Optional[jax.Array] = None,  # [T, k] bool (EP shard-local)
     interpret: bool = False,
 ) -> jax.Array:
     from .activations import swiglu
@@ -137,21 +184,25 @@ def moe_prefill_pallas(
     E = w13.q.shape[-3]
     M = T * k
 
-    dest, tile_experts, order, n_tiles = _plan_tiles(topk_idx, T, k, E)
+    dest, tile_experts, tile_valid, order, n_tiles = _plan_tiles(
+        topk_idx, T, k, E, pick_valid=pick_valid
+    )
     Mp = n_tiles * TM
 
     x_rep = jnp.repeat(x, k, axis=0)                       # [M, H]
     x_sorted = jnp.take(x_rep, order, axis=0)
-    x_tiles = jnp.zeros((Mp, H), x.dtype).at[dest].set(x_sorted)
+    x_tiles = jnp.zeros((Mp, H), x.dtype).at[dest].set(
+        x_sorted, mode="drop"
+    )
 
-    h = gmm(x_tiles, w13, tile_experts, layer_idx=layer_idx,
-            interpret=interpret)
+    h = gmm(x_tiles, w13, tile_experts, tile_valid, layer_idx=layer_idx,
+            interpret=interpret)[:Mp]
     a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
                gpt_oss=gpt_oss)
-    o = gmm(a, w2, tile_experts, layer_idx=layer_idx,
-            interpret=interpret)                           # [Mp, H]
+    o = gmm(a, w2, tile_experts, tile_valid, layer_idx=layer_idx,
+            interpret=interpret)                           # [Mp + TM, H]
 
-    o_sorted = jnp.take(o, dest, axis=0)                   # [M, H]
+    o_sorted = jnp.take(o, dest, axis=0, mode="fill", fill_value=0)  # [M, H]
     o_rep = jnp.zeros_like(o_sorted).at[order].set(o_sorted)
     out = (o_rep.reshape(T, k, H) * topk_weights[..., None]).sum(axis=1)
     return out.astype(x.dtype)

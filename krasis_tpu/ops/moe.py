@@ -165,12 +165,19 @@ def moe_forward(
     w2_bias: Optional[jax.Array] = None,
     precision=None,
     layer_idx=None,
+    pick_valid: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Routed MoE forward; picks the dispatch strategy by batch size
     (the TPU analog of the reference's prefill/decode threshold switch,
     reference python/krasis/layer.py:668-673). With pattern-stacked
     weights ([L, E, ...]) pass `layer_idx`; the Pallas paths index the
-    stack in-kernel (no per-layer weight copy)."""
+    stack in-kernel (no per-layer weight copy).
+
+    `pick_valid` [T, k] marks this EP shard's local picks (see
+    parallel/ep.py); invalid picks carry zero routing weight and a
+    clamped local expert id, so every path is correct without it — the
+    Pallas paths additionally use it to skip the remote picks' compute
+    and HBM traffic."""
     T = x.shape[0]
     k = topk_idx.shape[-1]
     E = w13.q.shape[-3] if isinstance(w13, QTensor) else w13.shape[-3]
@@ -191,7 +198,8 @@ def moe_forward(
             return gmm_pallas.moe_prefill_pallas(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
-                layer_idx=layer_idx,
+                layer_idx=layer_idx, pick_valid=pick_valid,
+                interpret=mp.interpret_mode(),
             )
         return moe_forward_ragged(
             x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),
@@ -204,6 +212,7 @@ def moe_forward(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
                 layer_idx=layer_idx,
+                interpret=moe_pallas.interpret_mode(),
             )
         if (
             isinstance(w13, QTensor) and isinstance(w2, QTensor)
@@ -213,7 +222,8 @@ def moe_forward(
             return moe_pallas.moe_gathered_tiled(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
-                layer_idx=layer_idx,
+                layer_idx=layer_idx, pick_valid=pick_valid,
+                interpret=moe_pallas.interpret_mode(),
             )
     return moe_forward_gathered(
         x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),

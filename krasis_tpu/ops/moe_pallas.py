@@ -31,9 +31,19 @@ from ..quant import QTensor
 _MAX_W_BYTES = 4 * 1024 * 1024  # per-expert packed bytes budget (VMEM)
 
 
+def interpret_mode() -> bool:
+    """Run the MoE kernels in Pallas interpret mode (CPU): slow but
+    exercises the real kernel code paths — the sharded==unsharded EP
+    tests use this so multi-chip correctness is proven WITH the
+    performance kernels, not just the XLA fallbacks."""
+    return bool(os.environ.get("KRASIS_TPU_PALLAS_INTERPRET"))
+
+
 def available() -> bool:
     if os.environ.get("KRASIS_TPU_NO_PALLAS"):
         return False
+    if interpret_mode():
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
@@ -210,7 +220,8 @@ def pick_tile(N: int, max_tile: int = _TN) -> int:
     return N
 
 
-def _gq_kernel(l_ref, e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
+def _gq_kernel(l_ref, e_ref, v_ref, x_ref, q_ref, s_ref, o_ref,
+               *, bits, gs, tn):
     p = pl.program_id(0)
     j = pl.program_id(1)
 
@@ -218,11 +229,16 @@ def _gq_kernel(l_ref, e_ref, x_ref, q_ref, s_ref, o_ref, *, bits, gs, tn):
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)      # [K, tn]
-    full = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)  # [P, tn]
-    rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
-    col = pl.multiple_of(j * tn, 128)
-    o_ref[:, pl.ds(col, tn)] += jnp.where(rows == p, full, 0.0)
+    # Skipped picks (EP: experts on another shard) contribute nothing and
+    # their weight-tile index maps are pinned constant, so they cost
+    # neither HBM traffic nor MXU time.
+    @pl.when(v_ref[p] == 1)
+    def _compute():
+        w = _unpack_scale(q_ref[0, 0], s_ref[0, 0], bits, gs)  # [K, tn]
+        full = jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+        rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+        col = pl.multiple_of(j * tn, 128)
+        o_ref[:, pl.ds(col, tn)] += jnp.where(rows == p, full, 0.0)
 
 
 def gathered_qmm_supported(w: QTensor) -> bool:
@@ -243,6 +259,7 @@ def gathered_qmm_pallas(
     w: QTensor,              # [(L,) E, K(/2), N] + scales
     expert_ids: jax.Array,   # [P] int32
     layer_idx=None,          # traced scalar into the stacked L dim
+    pick_valid: Optional[jax.Array] = None,  # [P] 1 = compute, 0 = skip
     interpret: bool = False,
 ) -> jax.Array:
     """out[p] = x_rows[p] @ W[expert_ids[p]] with in-kernel dequant.
@@ -251,6 +268,10 @@ def gathered_qmm_pallas(
     (w13 and w2 run as two calls with XLA-fused SwiGLU between): per
     grid step only a [K, TN] weight tile is resident, so V2-Lite-scale
     experts (up to ~12 MB unpacked) stream through VMEM tile by tile.
+
+    Under EP, `pick_valid` marks this shard's picks; skipped picks must
+    carry the preceding valid pick's expert id (the EP wrapper arranges
+    this) so their redirected index maps stay constant and fetch nothing.
     """
     P, K = x_rows.shape
     N = w.n_dim
@@ -262,19 +283,25 @@ def gathered_qmm_pallas(
     rows = q4.shape[-2]
     TN = pick_tile(N)
     nn = N // TN
+    if pick_valid is None:
+        pick_valid = jnp.ones((P,), jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(P, nn),
         in_specs=[
-            pl.BlockSpec((P, K), lambda p, j, l, e: (0, 0),
+            pl.BlockSpec((P, K), lambda p, j, l, e, v: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, rows, TN), lambda p, j, l, e: (l[0], e[p], 0, j),
+            pl.BlockSpec((1, 1, rows, TN),
+                         lambda p, j, l, e, v: (
+                             l[0], e[p], 0, jnp.where(v[p] == 1, j, 0)),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, K // gs, TN), lambda p, j, l, e: (l[0], e[p], 0, j),
+            pl.BlockSpec((1, 1, K // gs, TN),
+                         lambda p, j, l, e, v: (
+                             l[0], e[p], 0, jnp.where(v[p] == 1, j, 0)),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((P, N), lambda p, j, l, e: (0, 0),
+        out_specs=pl.BlockSpec((P, N), lambda p, j, l, e, v: (0, 0),
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
@@ -287,7 +314,8 @@ def gathered_qmm_pallas(
             transcendentals=0,
         ),
         interpret=interpret,
-    )(layer_arr, expert_ids.astype(jnp.int32), x_rows.astype(jnp.bfloat16),
+    )(layer_arr, expert_ids.astype(jnp.int32),
+      pick_valid.astype(jnp.int32), x_rows.astype(jnp.bfloat16),
       q4, s4)
 
 
@@ -300,6 +328,7 @@ def moe_gathered_tiled(
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
     layer_idx=None,
+    pick_valid: Optional[jax.Array] = None,  # [T, k] bool
     interpret: bool = False,
 ) -> jax.Array:
     """Decode MoE via two gathered matmul kernels + fused activation."""
@@ -308,12 +337,14 @@ def moe_gathered_tiled(
     T, H = x.shape
     k = topk_idx.shape[-1]
     eids = topk_idx.reshape(-1)
+    pv = None if pick_valid is None else (
+        pick_valid.reshape(-1).astype(jnp.int32))
     x_rep = jnp.repeat(x, k, axis=0)                     # [P, H]
     h = gathered_qmm_pallas(x_rep, w13, eids, layer_idx=layer_idx,
-                            interpret=interpret)
+                            pick_valid=pv, interpret=interpret)
     a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
                gpt_oss=gpt_oss)
     o = gathered_qmm_pallas(a, w2, eids, layer_idx=layer_idx,
-                            interpret=interpret)
+                            pick_valid=pv, interpret=interpret)
     o = o.reshape(T, k, H) * topk_weights[..., None]
     return o.sum(axis=1).astype(x.dtype)

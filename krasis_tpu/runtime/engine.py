@@ -104,15 +104,18 @@ class Engine:
         params: Dict[str, Any],
         max_len: int = 4096,
         batch_size: int = 1,
+        mesh=None,
     ):
         self.cfg = cfg
         self.quant = quant
         self.params = params
         self.max_len = max_len
         self.batch_size = batch_size
+        self.mesh = mesh
         enable_persistent_compilation_cache()
 
-        prefill_fn, decode_fn, prefill_all_fn = make_forward_fns(cfg, quant)
+        prefill_fn, decode_fn, prefill_all_fn = make_forward_fns(
+            cfg, quant, mesh=mesh)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._prefill_all = jax.jit(prefill_all_fn, donate_argnums=(3,))
@@ -136,7 +139,8 @@ class Engine:
         key = (sampling, steps)
         if key not in self._multi_decode_fns:
             self._multi_decode_fns[key] = jax.jit(
-                make_multi_decode_fn(self.cfg, self.quant, sampling, steps),
+                make_multi_decode_fn(self.cfg, self.quant, sampling, steps,
+                                     mesh=self.mesh),
                 donate_argnums=(2,),
             )
         return self._multi_decode_fns[key]
@@ -144,7 +148,8 @@ class Engine:
     def _chunk_fn(self, hist_bucket: int):
         if hist_bucket not in self._chunk_fns:
             self._chunk_fns[hist_bucket] = jax.jit(
-                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket),
+                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket,
+                                      mesh=self.mesh),
                 donate_argnums=(3,),
             )
         return self._chunk_fns[hist_bucket]

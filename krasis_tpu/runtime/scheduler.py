@@ -90,14 +90,16 @@ class BatchScheduler:
         params: Dict[str, Any],
         max_len: int = 4096,
         num_slots: int = 4,
+        mesh=None,
     ):
         self.cfg = cfg
         self.quant = quant
         self.params = params
         self.max_len = max_len
         self.num_slots = num_slots
+        self.mesh = mesh
 
-        prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant)
+        prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant, mesh=mesh)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._insert = jax.jit(insert_slot, static_argnums=(2,),
@@ -166,7 +168,8 @@ class BatchScheduler:
     def _chunk_fn(self, hist_bucket: int):
         if hist_bucket not in self._chunk_fns:
             self._chunk_fns[hist_bucket] = jax.jit(
-                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket),
+                make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket,
+                                      mesh=self.mesh),
                 donate_argnums=(3,),
             )
         return self._chunk_fns[hist_bucket]

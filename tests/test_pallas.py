@@ -188,11 +188,21 @@ from krasis_tpu.ops.gmm_pallas import gmm, moe_prefill_pallas, _plan_tiles
 
 def test_gmm_plan_tiles():
     idx = jnp.asarray([[0, 2], [2, 1], [2, 0]], jnp.int32)  # T=3, k=2
-    dest, tile_e, order, n_tiles = _plan_tiles(idx, 3, 2, 4)
+    dest, tile_e, tile_valid, order, n_tiles = _plan_tiles(idx, 3, 2, 4)
     # groups: e0:2, e1:1, e2:3 → padded to 128 each → offsets 0,128,256
     assert int(dest.max()) < n_tiles * 128
     d = np.asarray(dest)
     assert len(set(d.tolist())) == 6  # unique scatter positions
+    # 3 hit experts → 3 valid tiles, rest skipped
+    assert int(np.asarray(tile_valid).sum()) == 3
+
+    # EP trash group: mark one pick remote — it must scatter out of bounds
+    # (dropped) and not occupy a group slot
+    pv = jnp.asarray([[True, True], [True, False], [True, True]])
+    dest2, _, tv2, _, nt2 = _plan_tiles(idx, 3, 2, 4, pick_valid=pv)
+    assert int(np.asarray(dest2).max()) >= nt2 * 128  # trash past spare tile
+    # expert 1's only pick was remote → only experts 0 and 2 have tiles
+    assert int(np.asarray(tv2).sum()) == 2
 
 
 def test_moe_prefill_pallas_matches_ref():

@@ -2,8 +2,14 @@
 
 Runs on the virtual 8-device CPU mesh (conftest). The dp×ep mesh shards
 experts (expert dim) and attention heads (TP) over `ep`, batch over
-`dp`; GSPMD inserts collectives — outputs must match the single-device
-reference bit-for-bit-ish (same math, different partitioning)."""
+`dp`. MoE layers go through the explicit shard_map EP path
+(parallel/ep.py) — sharded outputs must match the single-device
+reference (same math, different partitioning).
+
+The `interpret` variants force the REAL Pallas MoE kernels (interpret
+mode) inside shard_map, proving multi-chip correctness with the
+performance kernels, not just the XLA fallbacks.
+"""
 
 import numpy as np
 import jax
@@ -13,13 +19,16 @@ import pytest
 from krasis_tpu.config import QuantConfig, preset_config
 from krasis_tpu.models.model import make_forward_fns
 from krasis_tpu.models.params import init_synthetic_params
+from krasis_tpu.ops.moe import moe_forward
+from krasis_tpu.parallel.ep import ep_supported, moe_forward_ep
 from krasis_tpu.parallel.mesh import cache_shardings, make_mesh, shard_params
+from krasis_tpu.quant import quantize_host, QTensor
 from krasis_tpu.runtime.kv_cache import init_cache
 
 QUANT = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16")
 
 
-def _cfg():
+def _gqa_cfg():
     return preset_config(
         "qwen3-moe",
         hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
@@ -29,17 +38,45 @@ def _cfg():
     )
 
 
-def test_sharded_forward_matches_unsharded():
-    cfg = _cfg()
+def _mla_cfg():
+    return preset_config(
+        "deepseek-v2-lite",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=3, num_attention_heads=4,
+        vocab_size=256, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, q_lora_rank=None,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1,
+    )
+
+
+def _hybrid_cfg():
+    return preset_config(
+        "qwen3-coder-next",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16,
+        layer_types=["linear_attention", "linear_attention",
+                     "linear_attention", "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2,
+        shared_expert_intermediate_size=32,
+    )
+
+
+def _run_pair(cfg, dp, interpret, monkeypatch, B=2, S=8):
+    """(unsharded logits, sharded logits) prefill + decode for cfg."""
+    if interpret:
+        monkeypatch.setenv("KRASIS_TPU_PALLAS_INTERPRET", "1")
     params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(0))
-    prefill_fn, decode_fn, _ = make_forward_fns(cfg, QUANT)
 
-    B = 2
     rng = np.random.default_rng(0)
-    tokens = rng.integers(0, cfg.vocab_size, size=(B, 8)).astype(np.int32)
-    seq_lens = np.full((B,), 8, np.int32)
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, S)).astype(np.int32)
+    seq_lens = np.full((B,), S, np.int32)
 
-    # unsharded reference
+    # unsharded reference (plain moe_forward path)
+    prefill_fn, decode_fn, _ = make_forward_fns(cfg, QUANT)
     cache = init_cache(cfg, QUANT, B, 32)
     ref_logits, ref_cache = jax.jit(prefill_fn)(
         params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache
@@ -47,21 +84,146 @@ def test_sharded_forward_matches_unsharded():
     nxt = jnp.argmax(ref_logits, -1).astype(jnp.int32)[:, None]
     ref_dec, _ = jax.jit(decode_fn)(params, nxt, ref_cache)
 
-    # sharded (dp=2 × ep=4)
-    mesh = make_mesh(8, dp=2)
+    mesh = make_mesh(8, dp=dp)
     with mesh:
         sp = shard_params(params, cfg, mesh)
         sc = cache_shardings(init_cache(cfg, QUANT, B, 32), mesh)
-        logits, cache2 = jax.jit(prefill_fn)(
+        s_prefill, s_decode, _ = make_forward_fns(cfg, QUANT, mesh=mesh)
+        logits, cache2 = jax.jit(s_prefill)(
             sp, jnp.asarray(tokens), jnp.asarray(seq_lens), sc
         )
-        dec, _ = jax.jit(decode_fn)(sp, nxt, cache2)
+        dec, _ = jax.jit(s_decode)(sp, nxt, cache2)
+    return (np.asarray(ref_logits), np.asarray(logits),
+            np.asarray(ref_dec), np.asarray(dec))
 
-    np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(logits),
-                               atol=3e-2, rtol=3e-2)
-    np.testing.assert_allclose(np.asarray(ref_dec), np.asarray(dec),
-                               atol=3e-2, rtol=3e-2)
-    # greedy tokens must agree exactly
+
+@pytest.mark.parametrize("cfg_fn,dp", [
+    (_gqa_cfg, 2), (_mla_cfg, 1), (_hybrid_cfg, 2),
+])
+def test_sharded_forward_matches_unsharded(cfg_fn, dp, monkeypatch):
+    ref_logits, logits, ref_dec, dec = _run_pair(
+        cfg_fn(), dp, interpret=False, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(ref_logits, logits, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(ref_dec, dec, atol=3e-2, rtol=3e-2)
     np.testing.assert_array_equal(
-        np.argmax(np.asarray(ref_logits), -1), np.argmax(np.asarray(logits), -1)
+        np.argmax(ref_logits, -1), np.argmax(logits, -1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Op-level EP: shard_map MoE == single-device MoE, including skewed routing
+# ---------------------------------------------------------------------------
+
+def _make_expert_stack(key, E, K, N, gs=32, bits=4):
+    w = jax.random.normal(key, (E, K, N), jnp.float32) * 0.05
+    return quantize_host(np.asarray(w), bits=bits, group_size=gs)
+
+
+def _qt_dev(qt):
+    return QTensor(jnp.asarray(np.asarray(qt.q)),
+                   jnp.asarray(np.asarray(qt.scales).astype(jnp.bfloat16)),
+                   qt.bits, qt.group_size)
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+@pytest.mark.parametrize(
+    "routing", ["uniform", "skewed", "one_expert", "descending"])
+@pytest.mark.parametrize("dp", [1, 2])
+def test_moe_ep_matches_dense(interpret, routing, dp, monkeypatch):
+    """moe_forward_ep == moe_forward for uniform / skewed / degenerate
+    routing, XLA fallbacks and real Pallas kernels (interpret mode)."""
+    if interpret:
+        monkeypatch.setenv("KRASIS_TPU_PALLAS_INTERPRET", "1")
+    E, k = 8, 2
+    # H=128/2I=128 so the Pallas kernels' lane constraints are satisfied
+    # (interpret variant actually runs them; see gathered_qmm_supported)
+    H, I = 128, 64
+    T = 16 if dp == 1 else 16  # rows divisible by dp
+
+    kq = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(kq, 3)
+    w13 = _qt_dev(_make_expert_stack(k1, E, H, 2 * I))
+    w2 = _qt_dev(_make_expert_stack(k2, E, I, H))
+    x = (jax.random.normal(k3, (T, H), jnp.float32) * 0.1).astype(jnp.bfloat16)
+
+    rng = np.random.default_rng(7)
+    if routing == "uniform":
+        idx = np.stack([rng.permutation(E)[:k] for _ in range(T)]).astype(np.int32)
+    elif routing == "skewed":
+        # everything lands on shard 0's experts (worst-case imbalance)
+        idx = rng.integers(0, 2, size=(T, k)).astype(np.int32)
+        idx[:, 1] = (idx[:, 0] + 1) % 2
+    elif routing == "one_expert":
+        # every pick is expert 3 except one stray
+        idx = np.full((T, k), 3, np.int32)
+        idx[0, 0] = 6
+    else:  # descending: both picks local to one shard, higher id first —
+        # regression for the tail-fill corrupting in-order valid ids
+        idx = np.tile(np.array([[1, 0]], np.int32), (T, 1))
+        idx[1] = [7, 6]
+        idx[2] = [3, 2]
+    wts = rng.random((T, k)).astype(np.float32)
+    wts = wts / wts.sum(-1, keepdims=True)
+    idx_j, wts_j = jnp.asarray(idx), jnp.asarray(wts)
+
+    ref = moe_forward(x, w13, w2, idx_j, wts_j)
+
+    mesh = make_mesh(8, dp=dp)
+    assert ep_supported(mesh, w13, w2)
+    with mesh:
+        out = jax.jit(
+            lambda x, i, w: moe_forward_ep(x, w13, w2, i, w, mesh=mesh)
+        )(x, idx_j, wts_j)
+
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+@pytest.mark.parametrize("interpret", [False, True])
+def test_moe_ep_prefill_scale(interpret, monkeypatch):
+    """Grouped (prefill) kernel path under EP: T large enough that
+    use_grouped_path picks the tiled grouped GEMM."""
+    if interpret:
+        monkeypatch.setenv("KRASIS_TPU_PALLAS_INTERPRET", "1")
+    E, k, H, I, T = 8, 2, 128, 64, 128
+
+    kq = jax.random.PRNGKey(5)
+    k1, k2, k3 = jax.random.split(kq, 3)
+    w13 = _qt_dev(_make_expert_stack(k1, E, H, 2 * I))
+    w2 = _qt_dev(_make_expert_stack(k2, E, I, H))
+    x = (jax.random.normal(k3, (T, H), jnp.float32) * 0.1).astype(jnp.bfloat16)
+
+    rng = np.random.default_rng(3)
+    idx = jnp.asarray(rng.integers(0, E, size=(T, k)).astype(np.int32))
+    wts = rng.random((T, k)).astype(np.float32)
+    wts = jnp.asarray(wts / wts.sum(-1, keepdims=True))
+
+    ref = moe_forward(x, w13, w2, idx, wts)
+    mesh = make_mesh(8, dp=2)
+    with mesh:
+        out = jax.jit(
+            lambda x, i, w: moe_forward_ep(x, w13, w2, i, w, mesh=mesh)
+        )(x, idx, wts)
+    np.testing.assert_allclose(
+        np.asarray(ref, np.float32), np.asarray(out, np.float32),
+        atol=2e-2, rtol=2e-2,
+    )
+
+
+def test_model_sharded_with_pallas_interpret(monkeypatch):
+    """Full-model sharded==unsharded WITH the Pallas MoE kernels running
+    (interpret mode) inside shard_map — the round-2 'done' criterion for
+    the EP path (VERDICT next-round item 1)."""
+    cfg = preset_config(
+        "qwen3-moe",
+        hidden_size=128, intermediate_size=128, moe_intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        vocab_size=256, head_dim=32,
+        n_routed_experts=8, num_experts_per_tok=2,
+    )
+    ref_logits, logits, ref_dec, dec = _run_pair(
+        cfg, dp=2, interpret=True, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(ref_logits, logits, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(ref_dec, dec, atol=3e-2, rtol=3e-2)

@@ -26,14 +26,14 @@ from typing import Any, Dict, Optional
 import numpy as np
 import jax
 import jax.numpy as jnp
-from ml_dtypes import bfloat16
+from ml_dtypes import bfloat16, float8_e4m3fn
 
 from ..config import ModelConfig, QuantConfig
 from ..quant import QTensor, pack_int4_np, quantize_host, quantize_np
 from ..utils.safetensors_io import ShardedSafetensors
 from .params import layer_specs, stack_layer_list
 
-CACHE_VERSION = 1
+CACHE_VERSION = 2
 
 
 def _checkpoint_fingerprint(model_path: str) -> str:
@@ -72,15 +72,18 @@ def _cache_dir(cfg: ModelConfig, quant: QuantConfig) -> str:
     return os.path.join(base, "cache", f"{name}-{h}")
 
 
-def _to_jnp(a: np.ndarray, dtype=jnp.bfloat16) -> jax.Array:
-    np_dt = bfloat16 if dtype == jnp.bfloat16 else np.float32
-    return jnp.asarray(np.asarray(a).astype(np_dt))
+def _to_host(a: np.ndarray, dtype=jnp.bfloat16) -> np.ndarray:
+    if dtype == jnp.float32 or dtype == np.float32:
+        np_dt = np.float32
+    else:
+        np_dt = bfloat16
+    return np.ascontiguousarray(np.asarray(a).astype(np_dt))
 
 
-def _qt_to_device(qt: QTensor) -> QTensor:
+def _qt_host(qt: QTensor) -> QTensor:
     return QTensor(
-        q=jnp.asarray(np.asarray(qt.q)),
-        scales=jnp.asarray(np.asarray(qt.scales).astype(bfloat16)),
+        q=np.ascontiguousarray(np.asarray(qt.q)),
+        scales=np.ascontiguousarray(np.asarray(qt.scales).astype(bfloat16)),
         bits=qt.bits, group_size=qt.group_size,
     )
 
@@ -109,51 +112,111 @@ class WeightLoader:
 
     # -- helpers ------------------------------------------------------------
 
+    def _has(self, name: str) -> bool:
+        """Tensor present, either raw or as a prequantized variant."""
+        if name in self.st:
+            return True
+        return name.endswith(".weight") and (
+            name[: -len(".weight")] + ".weight_packed" in self.st
+        )
+
+    @property
+    def _ct_group_size(self) -> int:
+        """compressed-tensors group size from config.json's
+        quantization_config (default 128)."""
+        if not hasattr(self, "_ct_gs"):
+            gs = 128
+            try:
+                with open(os.path.join(self.cfg.model_path,
+                                       "config.json")) as f:
+                    qc = json.load(f).get("quantization_config", {})
+                for grp in qc.get("config_groups", {}).values():
+                    gs = int(grp.get("weights", {}).get("group_size", gs))
+                    break
+            except (OSError, ValueError):
+                pass
+            self._ct_gs = gs
+        return self._ct_gs
+
     def _get(self, name: str, required: bool = True) -> Optional[np.ndarray]:
-        if name not in self.st:
-            if required:
-                raise KeyError(f"missing tensor {name}")
-            return None
-        return self.st.tensor(name)
+        """Fetch a tensor, transparently dequantizing prequantized input
+        formats (reference src/weights/mod.rs:4675-4738):
+
+        * FP8 block-quant (DeepSeek V3 official): fp8 `weight` +
+          `weight_scale_inv` per 128x128 block;
+        * compressed-tensors pack-quantized INT4: `weight_packed` int32 +
+          `weight_scale` per input group.
+
+        The dequantized f32 then flows through the normal requantize-to-
+        cache path (same as the MXFP4 route)."""
+        if name in self.st:
+            t = self.st.tensor(name)
+            if (np.dtype(t.dtype) == np.dtype(float8_e4m3fn)
+                    and f"{name}_scale_inv" in self.st):
+                from ..quant import dequant_fp8_block_np
+
+                return dequant_fp8_block_np(
+                    t, self.st.tensor(f"{name}_scale_inv"))
+            return t
+        if name.endswith(".weight"):
+            base = name[: -len(".weight")]
+            if f"{base}.weight_packed" in self.st:
+                from ..quant import dequant_compressed_int4_np
+
+                return dequant_compressed_int4_np(
+                    np.asarray(self.st.tensor(f"{base}.weight_packed")),
+                    np.asarray(self.st.tensor(f"{base}.weight_scale")),
+                    self._ct_group_size,
+                )
+        if required:
+            raise KeyError(f"missing tensor {name}")
+        return None
 
     def _linear(self, name: str, mode: str) -> Any:
         """Load a [out, in] checkpoint matrix as math-orientation [in, out],
         quantized per `mode` ('bf16' | 'int8' | 'int4')."""
         w = np.asarray(self._get(name), dtype=np.float32).T  # [K, N]
         if mode == "bf16":
-            return jnp.asarray(w.astype(self._np_dtype))
+            return np.ascontiguousarray(w.astype(self._np_dtype))
         bits = {"int8": 8, "int4": 4}[mode]
-        return _qt_to_device(quantize_host(w, bits=bits, group_size=self.quant.group_size))
+        return _qt_host(quantize_host(w, bits=bits, group_size=self.quant.group_size))
 
-    def _norm(self, name: str) -> jax.Array:
-        return _to_jnp(self._get(name), self.dtype)
+    def _norm(self, name: str) -> np.ndarray:
+        return _to_host(self._get(name), self.dtype)
 
     # -- main ---------------------------------------------------------------
 
     def load(self) -> Dict[str, Any]:
         cfg, q = self.cfg, self.quant
         P = self.prefix
-        params: Dict[str, Any] = {
-            "embed": _to_jnp(self._get(f"{P}.embed_tokens.weight"), self.dtype),
-            "final_norm": self._norm(f"{P}.norm.weight"),
-        }
-        if cfg.tie_word_embeddings:
-            params["lm_head"] = jnp.asarray(
-                np.asarray(self._get(f"{P}.embed_tokens.weight")).astype(self._np_dtype).T
-            )
-        else:
-            lm_name = "lm_head.weight"
-            if lm_name not in self.st:
-                lm_name = f"{P}.lm_head.weight"
-            params["lm_head"] = self._linear(lm_name, q.lm_head)
-
+        params: Dict[str, Any] = self.load_head()
         layers = [
             self._load_layer(i, spec) for i, spec in enumerate(layer_specs(cfg))
         ]
         params.update(stack_layer_list(layers, cfg))
         return params
 
-    def _load_layer(self, i: int, spec) -> Dict[str, Any]:
+    def load_head(self) -> Dict[str, Any]:
+        """embed / final_norm / lm_head (host arrays)."""
+        cfg, q = self.cfg, self.quant
+        P = self.prefix
+        params: Dict[str, Any] = {
+            "embed": _to_host(self._get(f"{P}.embed_tokens.weight"), self.dtype),
+            "final_norm": self._norm(f"{P}.norm.weight"),
+        }
+        if cfg.tie_word_embeddings:
+            params["lm_head"] = np.ascontiguousarray(
+                np.asarray(self._get(f"{P}.embed_tokens.weight"))
+                .astype(self._np_dtype).T
+            )
+        else:
+            lm_name = "lm_head.weight"
+            if not self._has(lm_name):
+                lm_name = f"{P}.lm_head.weight"
+            params["lm_head"] = self._linear(lm_name, q.lm_head)
+        return params
+
+    def _load_layer(self, i: int, spec, expert_sink=None) -> Dict[str, Any]:
         cfg, q = self.cfg, self.quant
         L = f"{self.prefix}.layers.{i}"
         lp: Dict[str, Any] = {
@@ -172,13 +235,13 @@ class WeightLoader:
                             ("v_bias", "v_proj.bias"), ("o_bias", "o_proj.bias")]:
                 t = self._get(f"{A}.{key}", required=False)
                 if t is not None:
-                    lp[pn] = _to_jnp(t)
+                    lp[pn] = _to_host(t)
             if cfg.qk_norm:
                 lp["q_norm"] = self._norm(f"{A}.q_norm.weight")
                 lp["k_norm"] = self._norm(f"{A}.k_norm.weight")
             sinks = self._get(f"{A}.sinks", required=False)
             if sinks is not None:
-                lp["sinks"] = _to_jnp(sinks, jnp.float32)
+                lp["sinks"] = np.asarray(sinks, np.float32)
         elif spec.attn_kind == "mla":
             A = f"{L}.self_attn"
             if cfg.q_lora_rank:
@@ -195,9 +258,10 @@ class WeightLoader:
             hq, dn, dv = cfg.num_attention_heads, cfg.qk_nope_head_dim, cfg.v_head_dim
             Lr = cfg.kv_lora_rank
             kv_b = kv_b.reshape(hq, dn + dv, Lr)
-            lp["w_kc"] = jnp.asarray(kv_b[:, :dn, :].astype(self._np_dtype))     # [hq, dn, L]
-            lp["w_vc"] = jnp.asarray(
-                kv_b[:, dn:, :].transpose(0, 2, 1).astype(self._np_dtype)        # [hq, L, dv]
+            lp["w_kc"] = np.ascontiguousarray(
+                kv_b[:, :dn, :].astype(self._np_dtype))                 # [hq, dn, L]
+            lp["w_vc"] = np.ascontiguousarray(
+                kv_b[:, dn:, :].transpose(0, 2, 1).astype(self._np_dtype)  # [hq, L, dv]
             )
             lp["o_proj"] = self._linear(f"{A}.o_proj.weight", att)
         else:  # linear attention (Gated DeltaNet)
@@ -205,14 +269,14 @@ class WeightLoader:
             lp["qkvz_proj"] = self._linear(f"{A}.in_proj_qkvz.weight", att)
             lp["ba_proj"] = self._linear(f"{A}.in_proj_ba.weight", att)
             conv = np.asarray(self._get(f"{A}.conv1d.weight"), np.float32)  # [C,1,K]
-            lp["conv_w"] = jnp.asarray(conv[:, 0, :].astype(self._np_dtype))
-            lp["dt_bias"] = _to_jnp(self._get(f"{A}.dt_bias"), jnp.float32)
-            lp["a_log"] = _to_jnp(self._get(f"{A}.A_log"), jnp.float32)
+            lp["conv_w"] = np.ascontiguousarray(conv[:, 0, :].astype(self._np_dtype))
+            lp["dt_bias"] = np.asarray(self._get(f"{A}.dt_bias"), np.float32)
+            lp["a_log"] = np.asarray(self._get(f"{A}.A_log"), np.float32)
             lp["la_norm"] = self._norm(f"{A}.norm.weight")
             lp["la_out_proj"] = self._linear(f"{A}.out_proj.weight", att)
 
         if spec.mlp_kind == "moe":
-            lp.update(self._load_moe(i))
+            lp.update(self._load_moe(i, expert_sink=expert_sink))
         else:
             M = f"{L}.mlp"
             lp["mlp_w13"] = self._fused_w13(
@@ -226,199 +290,272 @@ class WeightLoader:
         up = np.asarray(self._get(up_name), np.float32).T
         w13 = np.concatenate([gate, up], axis=-1)              # [H, 2I]
         if mode == "bf16":
-            return jnp.asarray(w13.astype(self._np_dtype))
+            return np.ascontiguousarray(w13.astype(self._np_dtype))
         bits = {"int8": 8, "int4": 4}[mode]
-        return _qt_to_device(quantize_host(w13, bits=bits, group_size=self.quant.group_size))
+        return _qt_host(quantize_host(w13, bits=bits, group_size=self.quant.group_size))
 
-    def _load_moe(self, i: int) -> Dict[str, Any]:
+    def _iter_experts(self, i: int):
+        """Yield (e, w13_e [H, 2I] f32, w2_e [I, H] f32) one expert at a
+        time — never a whole layer stack (reference mod.rs:1181 streams +
+        quantizes per expert). Handles per-expert tensors, GPT-OSS fused
+        bf16, and MXFP4 prequantized blocks."""
+        cfg = self.cfg
+        M = f"{self.prefix}.layers.{i}.mlp"
+        E, I = cfg.n_routed_experts, cfg.moe_intermediate_size
+
+        if f"{M}.experts.gate_up_proj_blocks" in self.st:
+            # GPT-OSS MXFP4 prequantized (reference mod.rs:4682): dequant
+            # e2m1 blocks + e8m0 scales per expert, requantize downstream.
+            from ..quant import dequant_mxfp4_np
+
+            gu_b = self._get(f"{M}.experts.gate_up_proj_blocks")
+            gu_s = self._get(f"{M}.experts.gate_up_proj_scales")
+            dn_b = self._get(f"{M}.experts.down_proj_blocks")
+            dn_s = self._get(f"{M}.experts.down_proj_scales")
+            for e in range(E):
+                gu = dequant_mxfp4_np(
+                    np.asarray(gu_b[e]), np.asarray(gu_s[e])).T  # [H, 2I]
+                gate, up = gu[..., ::2], gu[..., 1::2]
+                w13_e = np.concatenate([gate, up], axis=-1)
+                w2_e = dequant_mxfp4_np(
+                    np.asarray(dn_b[e]), np.asarray(dn_s[e])).T   # [I, H]
+                yield e, w13_e, w2_e
+            return
+
+        if f"{M}.experts.gate_up_proj" in self.st:   # GPT-OSS fused bf16
+            gu = self._get(f"{M}.experts.gate_up_proj")   # mmap [E, H, 2I]
+            dn = self._get(f"{M}.experts.down_proj")      # mmap [E, I, H]
+            for e in range(E):
+                gu_e = np.asarray(gu[e], np.float32)
+                gate, up = gu_e[..., ::2], gu_e[..., 1::2]
+                yield e, np.concatenate([gate, up], axis=-1), np.asarray(
+                    dn[e], np.float32)
+            return
+
+        H = cfg.hidden_size
+        for e in range(E):
+            Ex = f"{M}.experts.{e}"
+            w13_e = np.empty((H, 2 * I), np.float32)
+            w13_e[:, :I] = np.asarray(
+                self._get(f"{Ex}.gate_proj.weight"), np.float32).T
+            w13_e[:, I:] = np.asarray(
+                self._get(f"{Ex}.up_proj.weight"), np.float32).T
+            w2_e = np.asarray(
+                self._get(f"{Ex}.down_proj.weight"), np.float32).T
+            yield e, w13_e, w2_e
+
+    def _load_moe(self, i: int, expert_sink=None) -> Dict[str, Any]:
+        """MoE layer leaves. With `expert_sink(e, w13_e, w2_e)` the routed
+        expert stacks are STREAMED to the sink (cache build path: bounded
+        host RSS) instead of materialized; otherwise they are stacked in
+        host memory (direct-load path for small models/tests)."""
         cfg, q = self.cfg, self.quant
         L = f"{self.prefix}.layers.{i}"
         M = f"{L}.mlp"
         lp: Dict[str, Any] = {}
         gate_name = f"{M}.gate.weight"
-        if gate_name not in self.st:
+        if not self._has(gate_name):
             gate_name = f"{M}.router.weight"  # GPT-OSS naming
-        lp["gate_w"] = jnp.asarray(
+        lp["gate_w"] = np.ascontiguousarray(
             np.asarray(self._get(gate_name), np.float32).T
         )
         bias = self._get(f"{M}.gate.e_score_correction_bias", required=False)
         if bias is not None:
-            lp["gate_bias"] = _to_jnp(bias, jnp.float32)
+            lp["gate_bias"] = np.asarray(bias, np.float32)
         rbias = self._get(f"{M}.router.bias", required=False)
         if rbias is not None:  # GPT-OSS: bias inside the routed logits
-            lp["gate_logit_bias"] = _to_jnp(rbias, jnp.float32)
+            lp["gate_logit_bias"] = np.asarray(rbias, np.float32)
+
+        # per-expert biases (GPT-OSS): gate/up interleaved → de-interleave
+        gub = self._get(f"{M}.experts.gate_up_proj_bias", required=False)
+        dnb = self._get(f"{M}.experts.down_proj_bias", required=False)
+        if gub is not None:
+            gub = np.asarray(gub, np.float32)
+            lp["w13_bias"] = np.concatenate(
+                [gub[..., ::2], gub[..., 1::2]], axis=-1)
+        if dnb is not None:
+            lp["w2_bias"] = np.asarray(dnb, np.float32)
 
         E = cfg.n_routed_experts
         H, I = cfg.hidden_size, cfg.moe_intermediate_size
         gs = q.group_size
         bits = q.expert_bits
 
-        mxfp4 = f"{M}.experts.gate_up_proj_blocks" in self.st
-        if mxfp4:
-            # GPT-OSS MXFP4 prequantized experts (reference mod.rs:4682):
-            # dequant e2m1 blocks + e8m0 scales, then requantize into the
-            # uniform TPU cache format.
-            from ..quant import dequant_mxfp4_np
-
-            def deq(name):
-                b = np.asarray(self._get(f"{M}.experts.{name}_blocks"))
-                sc = np.asarray(self._get(f"{M}.experts.{name}_scales"))
-                return dequant_mxfp4_np(b, sc).transpose(0, 2, 1)  # [E, in, out]
-
-            gu = deq("gate_up_proj")                    # [E, H, 2I] interleaved
-            gate, up = gu[..., ::2], gu[..., 1::2]
-            w13_np = np.concatenate([gate, up], axis=-1)
-            w2_np = deq("down_proj")                    # [E, I, H]
-            for bias_name, pn in [("gate_up_proj_bias", "w13_bias"),
-                                  ("down_proj_bias", "w2_bias")]:
-                t = self._get(f"{M}.experts.{bias_name}", required=False)
-                if t is not None:
-                    t = np.asarray(t, np.float32)
-                    if pn == "w13_bias":
-                        t = np.concatenate([t[..., ::2], t[..., 1::2]], axis=-1)
-                    lp[pn] = jnp.asarray(t)
-            lp["w13"] = _qt_to_device(quantize_host(w13_np, bits=bits, group_size=gs))
-            lp["w2"] = _qt_to_device(quantize_host(w2_np, bits=bits, group_size=gs))
-            for sh in (f"{M}.shared_expert", f"{M}.shared_experts"):
-                if f"{sh}.gate_proj.weight" in self.st:
-                    lp["shared_w13"] = self._fused_w13(
-                        f"{sh}.gate_proj.weight", f"{sh}.up_proj.weight",
-                        q.shared_expert,
-                    )
-                    lp["shared_w2"] = self._linear(
-                        f"{sh}.down_proj.weight", q.shared_expert
-                    )
-                    break
-            return lp
-
-        fused = f"{M}.experts.gate_up_proj" in self.st  # GPT-OSS fused layout
-        if fused:
-            gu = np.asarray(self._get(f"{M}.experts.gate_up_proj"), np.float32)
-            dn = np.asarray(self._get(f"{M}.experts.down_proj"), np.float32)
-            # GPT-OSS interleaves gate/up along the last dim: de-interleave.
-            gate, up = gu[..., ::2], gu[..., 1::2]
-            w13_np = np.concatenate([gate, up], axis=-1)       # [E, H, 2I]
-            w2_np = dn                                          # [E, I, H]
-            gub = self._get(f"{M}.experts.gate_up_proj_bias", required=False)
-            dnb = self._get(f"{M}.experts.down_proj_bias", required=False)
-            if gub is not None:
-                gub = np.asarray(gub, np.float32)
-                lp["w13_bias"] = jnp.asarray(
-                    np.concatenate([gub[..., ::2], gub[..., 1::2]], axis=-1)
-                )
-            if dnb is not None:
-                lp["w2_bias"] = jnp.asarray(np.asarray(dnb, np.float32))
+        if expert_sink is not None and bits in (4, 8):
+            for e, w13_e, w2_e in self._iter_experts(i):
+                expert_sink(e, w13_e, w2_e)
+        elif bits == 16:  # full-precision experts (parity tests)
+            w13_np = np.empty((E, H, 2 * I), self._np_dtype)
+            w2_np = np.empty((E, I, H), self._np_dtype)
+            for e, w13_e, w2_e in self._iter_experts(i):
+                w13_np[e] = w13_e
+                w2_np[e] = w2_e
+            lp["w13"] = w13_np
+            lp["w2"] = w2_np
         else:
-            w13_np = np.empty((E, H, 2 * I), np.float32)
-            w2_np = np.empty((E, I, H), np.float32)
-            for e in range(E):
-                Ex = f"{M}.experts.{e}"
-                w13_np[e, :, :I] = np.asarray(
-                    self._get(f"{Ex}.gate_proj.weight"), np.float32
-                ).T
-                w13_np[e, :, I:] = np.asarray(
-                    self._get(f"{Ex}.up_proj.weight"), np.float32
-                ).T
-                w2_np[e] = np.asarray(self._get(f"{Ex}.down_proj.weight"), np.float32).T
+            from ..quant import pick_group_size
 
-        if bits == 16:  # full-precision experts (parity tests / small models)
-            lp["w13"] = jnp.asarray(w13_np.astype(self._np_dtype))
-            lp["w2"] = jnp.asarray(w2_np.astype(self._np_dtype))
-        else:
-            lp["w13"] = _qt_to_device(quantize_host(w13_np, bits=bits, group_size=gs))
-            lp["w2"] = _qt_to_device(quantize_host(w2_np, bits=bits, group_size=gs))
+            gs13 = pick_group_size(H, gs)
+            gs2 = pick_group_size(I, gs)
+            r13 = H // 2 if bits == 4 else H
+            r2 = I // 2 if bits == 4 else I
+            q13 = np.empty((E, r13, 2 * I), np.int8)
+            s13 = np.empty((E, H // gs13, 2 * I), bfloat16)
+            q2 = np.empty((E, r2, H), np.int8)
+            s2 = np.empty((E, I // gs2, H), bfloat16)
+            for e, w13_e, w2_e in self._iter_experts(i):
+                qt = quantize_host(w13_e, bits=bits, group_size=gs)
+                q13[e], s13[e] = qt.q, qt.scales
+                qt = quantize_host(w2_e, bits=bits, group_size=gs)
+                q2[e], s2[e] = qt.q, qt.scales
+            lp["w13"] = QTensor(q13, s13, bits, gs13)
+            lp["w2"] = QTensor(q2, s2, bits, gs2)
 
         # Shared expert(s): Qwen3-Next `shared_expert`, DeepSeek `shared_experts`.
         for sh in (f"{M}.shared_expert", f"{M}.shared_experts"):
-            if f"{sh}.gate_proj.weight" in self.st:
+            if self._has(f"{sh}.gate_proj.weight"):
                 lp["shared_w13"] = self._fused_w13(
-                    f"{sh}.gate_proj.weight", f"{sh}.up_proj.weight", q.shared_expert
+                    f"{sh}.gate_proj.weight", f"{sh}.up_proj.weight",
+                    q.shared_expert,
                 )
-                lp["shared_w2"] = self._linear(f"{sh}.down_proj.weight", q.shared_expert)
+                lp["shared_w2"] = self._linear(
+                    f"{sh}.down_proj.weight", q.shared_expert)
                 break
         sg = self._get(f"{M}.shared_expert_gate.weight", required=False)
         if sg is not None:
-            lp["shared_gate_w"] = jnp.asarray(np.asarray(sg, np.float32).T.astype(self._np_dtype))
+            lp["shared_gate_w"] = np.ascontiguousarray(
+                np.asarray(sg, np.float32).T.astype(self._np_dtype))
         return lp
 
 
-def _save_cache(d: str, params: Dict[str, Any]):
-    """Persist quantized params: one pickle per top-level entry
-    (versioned dir name carries the config hash — reference "KRAS" cache,
-    mod.rs:857-894). Arrays are stored as numpy so reloads skip both the
-    checkpoint parse and the quantization pass."""
-    import pickle
-
-    os.makedirs(d, exist_ok=True)
-    tmp = d + ".tmp"
-    os.makedirs(tmp, exist_ok=True)
-
-    def to_host(tree):
-        return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
-
-    entries = {"embed": params["embed"], "final_norm": params["final_norm"],
-               "lm_head": params["lm_head"],
-               "prefix_layers": params["prefix_layers"]}
-    for name, sub in entries.items():
-        with open(os.path.join(tmp, f"{name}.pkl"), "wb") as f:
-            pickle.dump(to_host(sub), f, protocol=4)
-    for t, lp in enumerate(params["pattern"]):
-        with open(os.path.join(tmp, f"pattern_{t}.pkl"), "wb") as f:
-            pickle.dump(to_host(lp), f, protocol=4)
-    with open(os.path.join(tmp, "meta.json"), "w") as f:
-        json.dump({"version": CACHE_VERSION,
-                   "n_pattern": len(params["pattern"])}, f)
-    # atomic-ish publish
-    if os.path.exists(d):
-        import shutil
-
-        shutil.rmtree(d)
-    os.replace(tmp, d)
+def _dest(info, i: int):
+    """(kind, group, index-prefix) for global layer i in pattern layout."""
+    if i < info.prefix_n:
+        return "prefix", i, None
+    t = (i - info.prefix_n) % info.period
+    r = (i - info.prefix_n) // info.period
+    return "pattern", t, r
 
 
-def _load_cache(d: str) -> Optional[Dict[str, Any]]:
-    import pickle
+def build_cache(cfg: ModelConfig, quant: QuantConfig, cache_path: str,
+                dtype=jnp.bfloat16):
+    """Stream a checkpoint into the mmap cache (models/weight_cache.py).
 
-    meta_path = os.path.join(d, "meta.json")
-    if not os.path.exists(meta_path):
-        return None
+    Peak host RSS is bounded by ~2 expert tensors: stacked expert regions
+    are allocated once and written expert-by-expert through the native
+    quantizer; everything else is small per-layer leaves
+    (reference src/weights/mod.rs:1181 streaming build)."""
+    from ..quant import pick_group_size
+    from .params import pattern_info
+    from .weight_cache import CacheWriter
+
+    wl = WeightLoader(cfg, quant, dtype=dtype)
+    cw = CacheWriter(cache_path)
     try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get("version") != CACHE_VERSION:
-            return None
+        info = pattern_info(cfg)
+        for k, v in wl.load_head().items():
+            cw.add_leaf(f"head/{k}", "head", v)
 
-        def to_device(tree):
-            return jax.tree_util.tree_map(lambda x: jnp.asarray(x), tree)
+        H, I = cfg.hidden_size, cfg.moe_intermediate_size
+        E = cfg.n_routed_experts
+        bits, gs = quant.expert_bits, quant.group_size
 
-        params: Dict[str, Any] = {}
-        for name in ("embed", "final_norm", "lm_head", "prefix_layers"):
-            with open(os.path.join(d, f"{name}.pkl"), "rb") as f:
-                params[name] = to_device(pickle.load(f))
-        params["pattern"] = []
-        for t in range(meta["n_pattern"]):
-            with open(os.path.join(d, f"pattern_{t}.pkl"), "rb") as f:
-                params["pattern"].append(to_device(pickle.load(f)))
-        return params
-    except Exception:
-        return None
+        def put_stacked(key, group, r, reps, leaf):
+            """Small per-layer leaf into its [reps, ...] stacked region."""
+            if isinstance(leaf, QTensor):
+                if f"{key}.q" not in cw.index:
+                    cw.alloc(f"{key}.q", group, (reps,) + leaf.q.shape,
+                             np.int8, bits=leaf.bits,
+                             group_size=leaf.group_size)
+                    cw.alloc(f"{key}.scales", group,
+                             (reps,) + leaf.scales.shape, bfloat16,
+                             bits=leaf.bits, group_size=leaf.group_size)
+                cw.write_at(f"{key}.q", (r,), np.asarray(leaf.q))
+                cw.write_at(f"{key}.scales", (r,), np.asarray(leaf.scales))
+            else:
+                arr = np.asarray(leaf)
+                if key not in cw.index:
+                    cw.alloc(key, group, (reps,) + arr.shape, arr.dtype)
+                cw.write_at(key, (r,), arr)
+
+        for i, spec in enumerate(layer_specs(cfg)):
+            kind, t, r = _dest(info, i)
+            group = f"{kind}_{t:02d}"
+            base = f"{kind}/{t}"
+            stream = spec.mlp_kind == "moe" and bits in (4, 8)
+
+            sink = None
+            if stream:
+                gs13, gs2 = pick_group_size(H, gs), pick_group_size(I, gs)
+                r13 = H // 2 if bits == 4 else H
+                r2 = I // 2 if bits == 4 else I
+                lead = () if r is None else (info.reps,)
+                for key, qshape, sshape, g in (
+                    (f"{base}/w13", (E, r13, 2 * I), (E, H // gs13, 2 * I), gs13),
+                    (f"{base}/w2", (E, r2, H), (E, I // gs2, H), gs2),
+                ):
+                    if f"{key}.q" not in cw.index:
+                        cw.alloc_qtensor(key, group, lead + qshape,
+                                         lead + sshape, bits, g)
+
+                def sink(e, w13_e, w2_e, _base=base, _r=r):
+                    idx = (e,) if _r is None else (_r, e)
+                    qt = quantize_host(w13_e, bits=bits, group_size=gs)
+                    cw.write_at(f"{_base}/w13.q", idx, qt.q)
+                    cw.write_at(f"{_base}/w13.scales", idx, qt.scales)
+                    qt = quantize_host(w2_e, bits=bits, group_size=gs)
+                    cw.write_at(f"{_base}/w2.q", idx, qt.q)
+                    cw.write_at(f"{_base}/w2.scales", idx, qt.scales)
+
+            lp = wl._load_layer(i, spec, expert_sink=sink)
+            for name, leaf in lp.items():
+                key = f"{base}/{name}"
+                if r is None:
+                    if f"{key}.q" not in cw.index and key not in cw.index:
+                        cw.add_leaf(key, group, leaf)
+                else:
+                    put_stacked(key, group, r, info.reps, leaf)
+        cw.finalize(n_prefix=info.prefix_n, n_pattern=max(info.period, 0))
+    except BaseException:
+        cw.abort()
+        raise
+
+
+def place_params(params: Dict[str, Any], cfg: ModelConfig,
+                 mesh=None) -> Dict[str, Any]:
+    """Host (possibly memmap-backed) pytree → device arrays.
+
+    With a mesh, every leaf is device_put DIRECTLY to its mesh placement
+    (experts sharded over ep) — no full replica ever lands on one chip,
+    so models larger than a single chip's HBM can load."""
+    if mesh is not None:
+        from ..parallel.mesh import shard_params
+
+        return shard_params(params, cfg, mesh)
+    return jax.tree_util.tree_map(lambda l: jnp.asarray(np.asarray(l)), params)
 
 
 def load_params(
     cfg: ModelConfig, quant: QuantConfig, dtype=jnp.bfloat16,
-    use_cache: bool = True,
+    use_cache: bool = True, mesh=None,
 ) -> Dict[str, Any]:
     """Load (and quantize) a checkpoint into device memory, going through
-    the versioned quantized-weight disk cache when possible."""
+    the versioned mmap weight cache when possible. Concurrent starts
+    serialize on a build lock (losers wait for the winner's cache)."""
+    from .weight_cache import BuildLock, CacheReader
+
     d = _cache_dir(cfg, quant)
     if use_cache and dtype == jnp.bfloat16:
-        cached = _load_cache(d)
-        if cached is not None:
-            return cached
-    params = WeightLoader(cfg, quant, dtype=dtype).load()
-    if use_cache and dtype == jnp.bfloat16:
-        try:
-            _save_cache(d, params)
-        except OSError:
-            pass
-    return params
+        if not os.path.exists(os.path.join(d, "meta.json")):
+            os.makedirs(os.path.dirname(d), exist_ok=True)
+            lock = BuildLock(d)
+            state = lock.acquire()
+            if state == "acquired":
+                try:
+                    if not os.path.exists(os.path.join(d, "meta.json")):
+                        build_cache(cfg, quant, d, dtype=dtype)
+                finally:
+                    lock.release()
+        return place_params(CacheReader(d).as_pytree(), cfg, mesh)
+    host = WeightLoader(cfg, quant, dtype=dtype).load()
+    return place_params(host, cfg, mesh)

@@ -286,3 +286,48 @@ def dequant_mxfp4_np(blocks: np.ndarray, scales: np.ndarray) -> np.ndarray:
     exp = scales.astype(np.int32) - 127
     out *= np.exp2(exp.astype(np.float32))[..., None]
     return out.reshape(*lead, G * 2 * B)
+
+
+# --------------------------------------------------------------------------
+# Prequantized checkpoint input formats (dequant → requantize at load)
+# --------------------------------------------------------------------------
+
+def dequant_compressed_int4_np(
+    packed: np.ndarray,    # int32 [out, in/8] — 8 nibbles per word, LSB first
+    scale: np.ndarray,     # [out, in/group] (f16/bf16/f32)
+    group_size: int,
+) -> np.ndarray:
+    """Dequantize llm-compressor "pack-quantized" symmetric INT4 weights
+    (compressed-tensors format; reference src/weights/mod.rs:4675-4738
+    reads these for official DeepSeek V3 INT4 checkpoints).
+
+    Nibble i of word w holds column w*8+i as a two's-complement 4-bit
+    value; groups run along the input dim. Returns float32 [out, in].
+    """
+    out_dim, words = packed.shape
+    p = packed.astype(np.uint32)
+    cols = np.empty((out_dim, words, 8), np.int8)
+    for i in range(8):
+        nib = ((p >> (4 * i)) & 0xF).astype(np.int8)
+        cols[:, :, i] = ((nib ^ 8) - 8)
+    q = cols.reshape(out_dim, words * 8)
+    in_dim = q.shape[1]
+    s = np.asarray(scale, np.float32)
+    w = q.astype(np.float32).reshape(out_dim, in_dim // group_size, group_size)
+    w = w * s[:, :, None]
+    return w.reshape(out_dim, in_dim)
+
+
+def dequant_fp8_block_np(
+    w8: np.ndarray,         # float8_e4m3fn [out, in]
+    scale_inv: np.ndarray,  # f32 [ceil(out/B), ceil(in/B)]
+    block: int = 128,
+) -> np.ndarray:
+    """Dequantize DeepSeek-V3-style FP8 block-quantized weights
+    (weight_scale_inv per 128x128 block; reference mod.rs:4675-4738).
+    Returns float32 [out, in]."""
+    out_dim, in_dim = w8.shape
+    w = np.asarray(w8, dtype=np.float32)
+    s = np.asarray(scale_inv, np.float32)
+    s_full = np.repeat(np.repeat(s, block, axis=0), block, axis=1)
+    return w * s_full[:out_dim, :in_dim]

@@ -112,23 +112,31 @@ def _gqa_attention(
 
     window = cfg.sliding_window if spec.sliding else 0
     q_off = positions[:, 0]
-    if prefill and history == 0:
-        # First-chunk prefill: attend within the freshly projected chunk
-        # (cache holds nothing older); avoids reading the full cache.
-        kk, vv = k, v
-    elif prefill:
-        # Chunked prefill: attend over the cache prefix bucket + this
-        # chunk (cache already updated, so slot index == position).
-        kk = new_k[:, : history + k.shape[1]].astype(q.dtype)
-        vv = new_v[:, : history + k.shape[1]].astype(q.dtype)
-    else:
-        kk = new_k.astype(q.dtype)
-        vv = new_v.astype(q.dtype)
-
     scale = d ** -0.5
-    out = _attend_dispatch(
-        q, kk, vv, q_off, kv_len, scale, window=window, sinks=lp.get("sinks")
-    )
+    if not prefill and fa.decode_available():
+        # Decode straight over the fp8 cache: only kv_len-bounded blocks
+        # are fetched, nothing is upcast outside the kernel.
+        out = fa.decode_attention(
+            q, new_k, new_v, kv_len, scale,
+            window=window, sinks=lp.get("sinks"),
+        )
+    else:
+        if prefill and history == 0:
+            # First-chunk prefill: attend within the freshly projected
+            # chunk (cache holds nothing older); avoids reading the cache.
+            kk, vv = k, v
+        elif prefill:
+            # Chunked prefill: attend over the cache prefix bucket + this
+            # chunk (cache already updated, so slot index == position).
+            kk = new_k[:, : history + k.shape[1]].astype(q.dtype)
+            vv = new_v[:, : history + k.shape[1]].astype(q.dtype)
+        else:
+            kk = new_k.astype(q.dtype)
+            vv = new_v.astype(q.dtype)
+        out = _attend_dispatch(
+            q, kk, vv, q_off, kv_len, scale, window=window,
+            sinks=lp.get("sinks"),
+        )
     out = out.reshape(B, S, hq * d)
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
@@ -165,21 +173,13 @@ def _mla_attention(
     q_pe = apply_rope(q_pe, cos, sin, interleaved=True)
     kpe = apply_rope(kpe[:, :, None, :], cos, sin, interleaved=True)[:, :, 0, :]
 
-    kdt = lc["ckv"].dtype
+    kv_row = jnp.concatenate([ckv, kpe], axis=-1)   # [B, S, L + dr]
+    kdt = lc["kv"].dtype
     bidx = jnp.arange(B)[:, None]
-    new_ckv = lc["ckv"].at[bidx, positions].set(ckv.astype(kdt))
-    new_kpe = lc["kpe"].at[bidx, positions].set(kpe.astype(kdt))
-    new_lc = {"ckv": new_ckv, "kpe": new_kpe}
+    new_kv = lc["kv"].at[bidx, positions].set(kv_row.astype(kdt))
+    new_lc = {"kv": new_kv}
 
     scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
-    if prefill and history == 0:
-        att_ckv, att_kpe = ckv, kpe
-    elif prefill:
-        att_ckv = new_ckv[:, : history + S].astype(x.dtype)
-        att_kpe = new_kpe[:, : history + S].astype(x.dtype)
-    else:
-        att_ckv = new_ckv.astype(x.dtype)
-        att_kpe = new_kpe.astype(x.dtype)
 
     # Absorbed MQA form: q_eff = q_nope @ w_kc joins q_pe against the
     # single-"head" [ckv ; kpe] key and ckv value (attention.py docstring).
@@ -188,11 +188,27 @@ def _mla_attention(
         lp["w_kc"].astype(jnp.float32),
     ).astype(x.dtype)
     q_cat = jnp.concatenate([q_eff, q_pe.astype(x.dtype)], axis=-1)
-    k_cat = jnp.concatenate([att_ckv, att_kpe], axis=-1)[:, :, None, :]
-    v_lat = att_ckv[:, :, None, :]
-
     q_off = positions[:, 0]
-    ctx = _attend_dispatch(q_cat, k_cat, v_lat, q_off, kv_len, scale)
+
+    if not prefill and fa.decode_available():
+        # Decode reads the fp8 cache directly: blocks past kv_len are
+        # never fetched, V is the latent prefix of K — no full-cache
+        # astype, step cost scales with kv_len not the cache bucket
+        # (reference attention.py:320-337 used-pages-only read).
+        ctx = fa.decode_attention(
+            q_cat, new_kv, None, kv_len, scale,
+            v_from_k=True, v_dim=L,
+        )
+    else:
+        if prefill and history == 0:
+            att = kv_row
+        elif prefill:
+            att = new_kv[:, : history + S].astype(x.dtype)
+        else:
+            att = new_kv.astype(x.dtype)
+        k_cat = att[:, :, None, :]
+        v_lat = att[..., :L][:, :, None, :]
+        ctx = _attend_dispatch(q_cat, k_cat, v_lat, q_off, kv_len, scale)
     out = jnp.einsum(
         "bshl,hlv->bshv", ctx.astype(jnp.float32),
         lp["w_vc"].astype(jnp.float32),

@@ -256,14 +256,16 @@ def init_synthetic_params(
 
 def stack_layer_list(layers: List[Dict[str, Any]], cfg: ModelConfig):
     """Stack a list of same-structure per-layer dicts into pattern layout
-    (used by the checkpoint loader)."""
+    (used by the checkpoint loader; host-side, placement happens later)."""
+    import numpy as np
+
     info = pattern_info(cfg)
     prefix = layers[: info.prefix_n]
     pattern = []
     for t in range(info.period):
         group = [layers[pattern_layer_index(info, t, r)] for r in range(info.reps)]
         pattern.append(
-            jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *group)
+            jax.tree_util.tree_map(lambda *xs: np.stack(xs), *group)
         )
     return {"prefix_layers": prefix, "pattern": pattern}
 

@@ -1,19 +1,30 @@
 """Pallas TPU flash attention (causal, GQA/MQA, masked, windowed, sinks).
 
-Replaces the XLA masked-dense attention for prefill: online-softmax over
-KV blocks so memory is O(BQ·BK) instead of O(Sq·Skv) — the role
-FlashInfer plays for the reference (reference python/krasis/attention.py)
-re-built as a TPU kernel. One kernel covers:
+Replaces the XLA masked-dense attention for prefill AND decode: online-
+softmax over KV blocks so memory is O(BQ·BK) instead of O(Sq·Skv) — the
+role FlashInfer plays for the reference (reference
+python/krasis/attention.py) re-built as a TPU kernel. One kernel covers:
 
 * GQA (q heads grouped over kv heads via the k/v index maps),
 * MLA absorbed form (Hkv=1, D=latent+rope, Dv=latent — MQA-style),
 * per-row valid KV lengths, absolute query position offsets (chunked
   prefill against a cache prefix), sliding windows (GPT-OSS), and
-  attention-sink logits.
+  attention-sink logits,
+* decode directly over the FP8 KV cache: K/V arrive in storage dtype and
+  upcast per block IN the kernel, so no bf16 copy of the cache is ever
+  materialized (the reference reads only used pages and upcasts those,
+  attention.py:320-337 — here the same effect via block skipping),
+* MLA's V = prefix-of-K optimization (``v_from_k``): the latent value is
+  the first Dv lanes of the [ckv ; kpe] key buffer, so decode fetches ONE
+  buffer instead of two.
 
 Grid (B, Hq, nq, nk) — the innermost kv dimension iterates sequentially
-on TPU, carrying (m, l, acc) in VMEM scratch; fully-masked kv blocks are
-skipped via pl.when.
+on TPU, carrying (m, l, acc) in VMEM scratch. Blocks outside the needed
+range (beyond kv_len, beyond the causal frontier, or before a sliding
+window) are skipped: their compute is pl.when-gated off AND their k/v
+index maps are clamped to the nearest needed block, so the pipeline
+re-DMAs nothing for them — decode cost scales with kv_len, not with the
+cache bucket size.
 """
 
 from __future__ import annotations
@@ -35,10 +46,24 @@ NEG_INF = -1e30
 def available() -> bool:
     if os.environ.get("KRASIS_TPU_NO_PALLAS"):
         return False
+    if os.environ.get("KRASIS_TPU_PALLAS_INTERPRET"):
+        return True
     try:
         return jax.default_backend() == "tpu"
     except Exception:
         return False
+
+
+def decode_available() -> bool:
+    """Gate for the decode flash path (KRASIS_TPU_NO_DECODE_FA disables
+    it, falling back to XLA masked attention — A/B lever)."""
+    if os.environ.get("KRASIS_TPU_NO_DECODE_FA"):
+        return False
+    return available()
+
+
+def interpret_mode() -> bool:
+    return bool(os.environ.get("KRASIS_TPU_PALLAS_INTERPRET"))
 
 
 def _kernel(
@@ -51,6 +76,7 @@ def _kernel(
     # scratch
     m_ref, l_ref, acc_ref,
     *, scale: float, window: int, BQ: int, BK: int, use_sink: bool,
+    v_from_k: bool, Dv: int,
 ):
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -102,7 +128,10 @@ def _kernel(
             m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_safe)
         )
         l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
-        v = v_ref[0, 0].astype(jnp.float32)                  # [BK, Dv]
+        if v_from_k:
+            v = k_ref[0, 0][:, :Dv].astype(jnp.float32)      # [BK, Dv]
+        else:
+            v = v_ref[0, 0].astype(jnp.float32)              # [BK, Dv]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
             p, v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -123,12 +152,15 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "window", "block_q", "block_k", "interpret"),
+    static_argnames=(
+        "scale", "window", "block_q", "block_k", "v_from_k", "v_dim",
+        "out_dtype", "interpret",
+    ),
 )
 def flash_attention(
     q: jax.Array,            # [B, Sq, Hq, D]
-    k: jax.Array,            # [B, Skv, Hkv, D]
-    v: jax.Array,            # [B, Skv, Hkv, Dv]
+    k: jax.Array,            # [B, Skv, Hkv, D] — any dtype (fp8 KV ok)
+    v: Optional[jax.Array],  # [B, Skv, Hkv, Dv], or None with v_from_k
     q_offset: jax.Array,     # [B] absolute position of q[:,0]
     kv_len: jax.Array,       # [B] valid kv entries
     scale: float,
@@ -136,12 +168,16 @@ def flash_attention(
     sinks: Optional[jax.Array] = None,   # [Hq]
     block_q: int = DEFAULT_BQ,
     block_k: int = DEFAULT_BK,
+    v_from_k: bool = False,
+    v_dim: Optional[int] = None,         # Dv when v_from_k (prefix of D)
+    out_dtype=None,
     interpret: bool = False,
 ) -> jax.Array:
     B, Sq, Hq, D = q.shape
     Skv, Hkv = k.shape[1], k.shape[2]
-    Dv = v.shape[-1]
+    Dv = v_dim if v_from_k else v.shape[-1]
     G = Hq // Hkv
+    odt = out_dtype or q.dtype
 
     BQ = min(block_q, max(8, Sq))
     BK = min(block_k, Skv)
@@ -149,9 +185,37 @@ def flash_attention(
     pk = (-Skv) % BK
     qt = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     kt = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    if v_from_k:
+        # dummy stand-in: the kernel slices V out of the K block
+        vt = jnp.zeros((1, 1, 1, 1), k.dtype)
+        v_block = (1, 1, 1, 1)
+        v_idx = lambda b, h, i, j, qo, kl, sk: (0, 0, 0, 0)
+    else:
+        vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+        v_block = (1, 1, BK, Dv)
+        v_idx = None  # set below with clamping
     nq = (Sq + pq) // BQ
     nk = (Skv + pk) // BK
+
+    # Clamp out-of-range kv block indices to the nearest needed block:
+    # consecutive skipped grid steps then hit the same index and the
+    # pipeline fetches nothing (same trick as ops/gmm_pallas.py).
+    def kv_block_idx(b, i, j, qo, kl):
+        q_lo = qo[b] + i * BQ
+        kmax = jnp.minimum(kl[b], q_lo + BQ) - 1   # last needed kv position
+        jmax = jnp.maximum(kmax, 0) // BK
+        jj = jnp.minimum(j, jmax)
+        if window > 0:
+            jmin = jnp.minimum(jnp.maximum(q_lo - window + 1, 0) // BK, jmax)
+            jj = jnp.maximum(jj, jmin)
+        return jj
+
+    def k_idx(b, h, i, j, qo, kl, sk):
+        return (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
+
+    if v_idx is None:
+        def v_idx(b, h, i, j, qo, kl, sk):
+            return (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
 
     use_sink = sinks is not None
     sink_in = (
@@ -166,12 +230,8 @@ def flash_attention(
             pl.BlockSpec((1, 1, BQ, D),
                          lambda b, h, i, j, qo, kl, sk: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK, D),
-                         lambda b, h, i, j, qo, kl, sk: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK, Dv),
-                         lambda b, h, i, j, qo, kl, sk: (b, h // G, j, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, BK, D), k_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(v_block, v_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (1, 1, BQ, Dv), lambda b, h, i, j, qo, kl, sk: (b, h, i, 0),
@@ -187,10 +247,10 @@ def flash_attention(
     out = pl.pallas_call(
         functools.partial(
             _kernel, scale=scale, window=window, BQ=BQ, BK=BK,
-            use_sink=use_sink,
+            use_sink=use_sink, v_from_k=v_from_k, Dv=Dv,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq + pq, Dv), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hq, Sq + pq, Dv), odt),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * Hq * (Sq + pq) * (Skv + pk) * (D + Dv) // 2,
             bytes_accessed=2 * B * (Hq * Sq * D + Hkv * Skv * (D + Dv)),
@@ -201,3 +261,203 @@ def flash_attention(
       qt, kt, vt)
 
     return out.transpose(0, 2, 1, 3)[:, :Sq]
+
+
+def _decode_kernel(
+    # scalar prefetch
+    kv_len_ref,
+    # inputs
+    q_ref, k_hbm, v_hbm, sink_ref,
+    # output
+    o_ref,
+    # scratch
+    k_buf, v_buf, k_sem, v_sem,
+    *, scale: float, window: int, BK: int, use_sink: bool,
+    v_from_k: bool, Dv: int, G: int,
+):
+    """Decode attention with an IN-KERNEL double-buffered DMA loop.
+
+    The kv loop is a `fori_loop` whose trip count is ceil(kv_len / BK) —
+    data-dependent, so a 2K-history request in a 64K cache bucket runs 4
+    iterations, not 128 grid steps. Each iteration overlaps the next
+    block's HBM→VMEM copy with the current block's math (the Pallas-guide
+    double-buffering pattern); there is no per-block grid overhead at all.
+    """
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    kv_len = kv_len_ref[b]
+    nblk = jax.lax.div(kv_len + BK - 1, BK)
+    j0 = jnp.int32(0)
+    if window > 0:
+        j0 = jnp.maximum(kv_len - window, 0) // BK
+
+    q = q_ref[0, 0].astype(jnp.float32) * scale               # [G, D]
+
+    def k_copy(j, slot):
+        return pltpu.make_async_copy(
+            k_hbm.at[b, h, pl.ds(j * BK, BK), :], k_buf.at[slot],
+            k_sem.at[slot],
+        )
+
+    def v_copy(j, slot):
+        return pltpu.make_async_copy(
+            v_hbm.at[b, h, pl.ds(j * BK, BK), :], v_buf.at[slot],
+            v_sem.at[slot],
+        )
+
+    k_copy(j0, 0).start()
+    if not v_from_k:
+        v_copy(j0, 0).start()
+
+    def body(j, carry):
+        m_prev, l_prev, acc = carry
+        slot = jax.lax.rem(j - j0, 2)
+        nxt = jax.lax.rem(j - j0 + 1, 2)
+
+        @pl.when(j + 1 < nblk)
+        def _prefetch():
+            k_copy(j + 1, nxt).start()
+            if not v_from_k:
+                v_copy(j + 1, nxt).start()
+
+        k_copy(j, slot).wait()
+        k = k_buf[slot].astype(jnp.float32)                   # [BK, D]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                                                     # [G, BK]
+        kp = j * BK + jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
+        mask = kp < kv_len
+        if window > 0:
+            mask &= kp > kv_len - 1 - window
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        m_safe = jnp.where(m_new <= NEG_INF / 2, 0.0, m_new)
+        p = jnp.where(mask, jnp.exp(s - m_safe), 0.0)
+        alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_safe))
+        l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
+        if v_from_k:
+            v = k_buf[slot][:, :Dv].astype(jnp.float32)
+        else:
+            v_copy(j, slot).wait()
+            v = v_buf[slot].astype(jnp.float32)
+        acc = acc * alpha + jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return m_new, l_new, acc
+
+    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((G, 1), jnp.float32)
+    a0 = jnp.zeros((G, Dv), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(j0, nblk, body, (m0, l0, a0))
+
+    if use_sink:
+        sink = sink_ref[0, 0].reshape(-1, 1).astype(jnp.float32)  # [G, 1]
+        m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
+        l = l + jnp.exp(sink - m_safe)
+    denom = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0, 0] = (acc / denom).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "scale", "window", "v_from_k", "v_dim", "block_k", "interpret",
+    ),
+)
+def decode_attention(
+    q: jax.Array,            # [B, 1, Hq, D]
+    k_cache: jax.Array,      # [B, S, Hkv, D] or [B, S, D] — storage dtype
+    v_cache: Optional[jax.Array],
+    kv_len: jax.Array,       # [B] valid entries INCLUDING this step's
+    scale: float,
+    window: int = 0,
+    sinks: Optional[jax.Array] = None,
+    v_from_k: bool = False,
+    v_dim: Optional[int] = None,
+    block_k: int = DEFAULT_BK,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Single-token attention straight over the (fp8) KV cache.
+
+    Decode-specialized grid (B, Hkv, nk): the G group-query heads of one
+    kv head are the ROWS of a single [G, D] x [D, BK] dot, so every KV
+    block is fetched exactly once per step (the 4D prefill grid would
+    refetch it per q head — 16x the HBM reads on MLA). Blocks at or past
+    kv_len (or before a sliding window) are pl.when-skipped with their
+    index maps clamped, so step cost scales with kv_len, not the cache
+    bucket. Returns [B, 1, Hq, Dv] in q.dtype.
+    """
+    if interpret is None:
+        interpret = interpret_mode()
+    if k_cache.ndim == 3:
+        k_cache = k_cache[:, :, None, :]
+        if v_cache is not None and v_cache.ndim == 3:
+            v_cache = v_cache[:, :, None, :]
+    B, _, Hq, D = q.shape
+    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    G = Hq // Hkv
+    Dv = v_dim if v_from_k else v_cache.shape[-1]
+
+    BK = min(block_k, S)
+    pk = (-S) % BK
+    qg = q.reshape(B, Hkv, G, D)
+    # [B, Hkv, S, D]: the kernel DMAs [BK, D] rows itself, so the cache
+    # stays in HBM (ANY) and only kv_len-bounded blocks ever move.
+    kt = jnp.pad(
+        k_cache, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    if v_from_k:
+        vt = jnp.zeros((1, 1, BK, 1), k_cache.dtype)
+    else:
+        vt = jnp.pad(
+            v_cache, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+
+    use_sink = sinks is not None
+    sink_in = (
+        sinks.astype(jnp.float32).reshape(Hkv, G)
+        if use_sink else jnp.zeros((Hkv, G), jnp.float32)
+    )[:, None, :]  # [Hkv, 1, G]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B, Hkv),
+        in_specs=[
+            pl.BlockSpec((1, 1, G, D), lambda b, h, kl: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, G), lambda b, h, kl: (h, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, 1, G, Dv), lambda b, h, kl: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((2, BK, D), k_cache.dtype),
+            pltpu.VMEM((2, BK, 1 if v_from_k else Dv),
+                       k_cache.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+
+    out = pl.pallas_call(
+        functools.partial(
+            _decode_kernel, scale=scale, window=window, BK=BK,
+            use_sink=use_sink, v_from_k=v_from_k, Dv=Dv, G=G,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * Hq * (S + pk) * (D + Dv) // 2,
+            bytes_accessed=B * Hkv * S * (D + (0 if v_from_k else Dv))
+            + B * Hq * (D + Dv) * 4,
+            transcendentals=B * Hq * S,
+        ),
+        interpret=interpret,
+    )(kv_len.astype(jnp.int32), qg, kt, vt, sink_in)
+
+    return out.reshape(B, 1, Hq, Dv)

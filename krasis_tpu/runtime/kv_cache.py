@@ -16,8 +16,9 @@ per repetition.
 Storage formats per layer kind:
 * GQA: K/V ``[B, S, Hkv, D]`` in fp8 e4m3 or bf16 (fp8 halves HBM traffic
   and capacity — same trade as the reference's FP8 KV, attention.py:320);
-* MLA: compressed latent ``ckv [B, S, L]`` + rope key ``kpe [B, S, Dr]``
-  (576 B/token/layer at fp8 — the MLA memory win);
+* MLA: one fused ``kv = [ckv ; kpe] [B, S, L + Dr]`` buffer
+  (576 B/token/layer at fp8 — the MLA memory win; fused so decode reads
+  a single buffer with V as a prefix of K);
 * linear attention: recurrent state ``[B, Hv, dk, dv]`` f32 + causal-conv
   window ``[B, K-1, conv_dim]`` — O(1) per sequence, no KV.
 """
@@ -48,9 +49,14 @@ def _layer_cache(
             "v": jnp.zeros(lead + (batch, max_len, cfg.num_key_value_heads, d), kdt),
         }
     if spec.attn_kind == "mla":
+        # single [ckv ; kpe] buffer: the latent VALUE is a prefix of the
+        # KEY, so decode attention fetches one buffer (ops/flash_attention
+        # v_from_k) — half the HBM reads of separate ckv/kpe tensors
         return {
-            "ckv": jnp.zeros(lead + (batch, max_len, cfg.kv_lora_rank), kdt),
-            "kpe": jnp.zeros(lead + (batch, max_len, cfg.qk_rope_head_dim), kdt),
+            "kv": jnp.zeros(
+                lead + (batch, max_len,
+                        cfg.kv_lora_rank + cfg.qk_rope_head_dim), kdt
+            ),
         }
     hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
     dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim

@@ -111,3 +111,94 @@ def test_mla_absorbed_matches_decompressed():
     p /= p.sum(-1, keepdims=True)
     want = np.einsum("bhst,bthv->bshv", p, v_full)
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# Decode flash kernel (interpret mode): fp8 cache, kv_len bounding, v_from_k
+# ---------------------------------------------------------------------------
+
+def _decode_oracle(q, k, v, kv_len, scale, window=0, sinks=None):
+    """XLA masked attention at the decode position (kv_len-1)."""
+    B = q.shape[0]
+    q_pos = (kv_len - 1)[:, None]
+    mask = build_mask(q_pos, jnp.arange(k.shape[1]), kv_len, window=window)
+    return attend(q, k, v, mask, scale, sinks=sinks, precision=HI)
+
+
+def test_decode_attention_fp8_gqa():
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    B, S, Hq, Hkv, D = 2, 640, 4, 2, 64
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    kf = rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3
+    vf = rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3
+    k8 = jnp.asarray(kf).astype(jnp.float8_e4m3fn)
+    v8 = jnp.asarray(vf).astype(jnp.float8_e4m3fn)
+    kv_len = jnp.asarray([600, 130])
+    scale = D ** -0.5
+
+    got = decode_attention(
+        q, k8, v8, kv_len, scale, block_k=128, interpret=True,
+    )
+    want = _decode_oracle(
+        q.astype(jnp.float32), k8.astype(jnp.float32),
+        v8.astype(jnp.float32), kv_len, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_decode_attention_mla_v_from_k():
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    B, S, Hq, L, dr = 2, 384, 4, 64, 16
+    rng = np.random.default_rng(4)
+    q = jnp.asarray(
+        rng.normal(size=(B, 1, Hq, L + dr)).astype(np.float32) * 0.3
+    ).astype(jnp.bfloat16)
+    kv = jnp.asarray(
+        rng.normal(size=(B, S, L + dr)).astype(np.float32) * 0.3
+    ).astype(jnp.float8_e4m3fn)
+    kv_len = jnp.asarray([300, 64])
+    scale = (L + dr) ** -0.5
+
+    import os
+    os.environ["KRASIS_TPU_PALLAS_INTERPRET"] = "1"
+    try:
+        got = decode_attention(
+            q, kv, None, kv_len, scale, v_from_k=True, v_dim=L, block_k=128)
+    finally:
+        del os.environ["KRASIS_TPU_PALLAS_INTERPRET"]
+    kfull = kv.astype(jnp.float32)[:, :, None, :]
+    want = _decode_oracle(
+        q.astype(jnp.float32), kfull, kfull[..., :L], kv_len, scale)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_decode_attention_window_and_sinks():
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    B, S, Hq, Hkv, D = 1, 256, 2, 1, 32
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([200])
+    sinks = jnp.asarray(rng.normal(size=(Hq,)).astype(np.float32))
+    scale = D ** -0.5
+
+    got = decode_attention(
+        q, k, v, kv_len, scale, window=64, sinks=sinks,
+        block_k=64, interpret=True,
+    )
+    want = _decode_oracle(q, k, v, kv_len, scale, window=64, sinks=sinks)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -134,6 +134,8 @@ class BatchScheduler:
         self._pres = np.zeros((num_slots,), np.float32)
         self._top_k = np.zeros((num_slots,), np.int32)
         self._key = jax.random.PRNGKey(0)
+        self.chunk = CHUNK
+        self._pending = None   # in-progress chunked admission
 
         self._in_queue: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -180,75 +182,106 @@ class BatchScheduler:
                 return i
         return -1
 
-    def _admit(self):
-        """Prefill + insert as many queued requests as slots allow."""
+    def _start_admission(self) -> bool:
+        """Pop a queued request and reserve a slot; prefill advances one
+        chunk at a time via _admit_step so active slots keep decoding."""
+        slot = self._free_slot()
+        if slot < 0:
+            return False
         while True:
-            slot = self._free_slot()
-            if slot < 0:
-                return
             try:
                 req = self._in_queue.get_nowait()
             except queue.Empty:
-                return
+                return False
             if req.cancelled.is_set():
+                req.out_queue.put(None)
                 continue
-            # Over-long prompts keep their END (recent context); max_new is
-            # clamped to the remaining cache room so decode never scatters
-            # past the cache (client-supplied max_tokens must not be able to
-            # silently drop prompt tokens or overrun the cache).
-            ids = req.prompt_ids
-            if len(ids) > self.max_len - 2:
-                ids = ids[-(self.max_len - 2):]
-            req.max_new_tokens = max(
-                1, min(req.max_new_tokens, self.max_len - len(ids) - 1)
-            )
-            n = len(ids)
-            pcache = self.prefill_cache
-            pcache["length"] = jnp.zeros((1,), jnp.int32)
-            # DeltaNet state must start clean (not masked by length)
-            for lc in list(pcache["prefix_layers"]) + list(pcache["pattern"]):
-                if "state" in lc:
-                    lc["state"] = jnp.zeros_like(lc["state"])
-                    lc["conv"] = jnp.zeros_like(lc["conv"])
-            # chunked prefill, same schedule as Engine._prefill_prompt
-            first = min(n, CHUNK)
+            break
+        # Over-long prompts keep their END (recent context); max_new is
+        # clamped to the remaining cache room so decode never scatters
+        # past the cache (client-supplied max_tokens must not be able to
+        # silently drop prompt tokens or overrun the cache).
+        ids = req.prompt_ids
+        if len(ids) > self.max_len - 2:
+            ids = ids[-(self.max_len - 2):]
+        req.max_new_tokens = max(
+            1, min(req.max_new_tokens, self.max_len - len(ids) - 1)
+        )
+        req.slot = slot
+        pcache = self.prefill_cache
+        pcache["length"] = jnp.zeros((1,), jnp.int32)
+        # DeltaNet state must start clean (not masked by length)
+        for lc in list(pcache["prefix_layers"]) + list(pcache["pattern"]):
+            if "state" in lc:
+                lc["state"] = jnp.zeros_like(lc["state"])
+                lc["conv"] = jnp.zeros_like(lc["conv"])
+        self._pending = {"req": req, "ids": ids, "pos": 0,
+                         "pcache": pcache, "logits": None}
+        return True
+
+    def _admit_step(self):
+        """Advance the in-progress admission by ONE prefill chunk (or
+        start/finish one). Interleaving chunks with decode steps keeps
+        active streams flowing during a long admission, and honors
+        cancellation at chunk granularity (a disconnect mid-prefill stops
+        paying for the rest of the prompt)."""
+        if self._pending is None and not self._start_admission():
+            return
+        p = self._pending
+        req = p["req"]
+        if req.cancelled.is_set():
+            # keep the LATEST prefill-cache buffer (the original was
+            # donated into it chunk by chunk) for the next admission
+            self.prefill_cache = p["pcache"]
+            req.out_queue.put(None)
+            self._pending = None
+            return
+        ids, pos, n = p["ids"], p["pos"], len(p["ids"])
+        chunk = self.chunk
+        if pos == 0:
+            first = min(n, chunk)
             bucket = pick_bucket(first)
             tokens = np.zeros((1, bucket), np.int32)
             tokens[0, :first] = ids[:first]
-            logits, pcache = self._prefill(
-                self.params, jnp.asarray(tokens), jnp.asarray([first]), pcache,
+            p["logits"], p["pcache"] = self._prefill(
+                self.params, jnp.asarray(tokens), jnp.asarray([first]),
+                p["pcache"],
             )
-            pos = first
-            while pos < n:
-                m = min(CHUNK, n - pos)
-                tokens = np.zeros((1, CHUNK), np.int32)
-                tokens[0, :m] = ids[pos : pos + m]
-                fn = self._chunk_fn(pick_history_bucket(pos))
-                logits, pcache = fn(
-                    self.params, jnp.asarray(tokens), jnp.asarray([m]), pcache,
-                )
-                pos += m
-            self.prefill_cache = pcache
-            self.decode_cache = self._insert(self.decode_cache, pcache, slot)
-            self._key, sk = jax.random.split(self._key)
-            sp = req.sampling
-            tok = int(self._first_sample(
-                sk, logits,
-                jnp.asarray([sp.temperature], jnp.float32),
-                jnp.asarray([sp.top_p], jnp.float32),
-                jnp.asarray([sp.presence_penalty], jnp.float32),
-                jnp.zeros((1, self.cfg.vocab_size), jnp.bool_),
-                jnp.asarray([sp.top_k], jnp.int32),
-            )[0])
-            self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
-            self._temp[slot] = sp.temperature
-            self._top_p[slot] = sp.top_p
-            self._pres[slot] = sp.presence_penalty
-            self._top_k[slot] = sp.top_k
-            req.slot = slot
-            self._active[slot] = req
-            self._tokens[slot] = tok
-            self._emit(req, tok)
+            p["pos"] = first
+        else:
+            m = min(chunk, n - pos)
+            tokens = np.zeros((1, chunk), np.int32)
+            tokens[0, :m] = ids[pos : pos + m]
+            fn = self._chunk_fn(pick_history_bucket(pos))
+            p["logits"], p["pcache"] = fn(
+                self.params, jnp.asarray(tokens), jnp.asarray([m]), p["pcache"],
+            )
+            p["pos"] = pos + m
+        if p["pos"] < n:
+            return
+        # prefill complete → insert into the reserved slot + first sample
+        slot = req.slot
+        self.prefill_cache = p["pcache"]
+        self.decode_cache = self._insert(self.decode_cache, p["pcache"], slot)
+        self._key, sk = jax.random.split(self._key)
+        sp = req.sampling
+        tok = int(self._first_sample(
+            sk, p["logits"],
+            jnp.asarray([sp.temperature], jnp.float32),
+            jnp.asarray([sp.top_p], jnp.float32),
+            jnp.asarray([sp.presence_penalty], jnp.float32),
+            jnp.zeros((1, self.cfg.vocab_size), jnp.bool_),
+            jnp.asarray([sp.top_k], jnp.int32),
+        )[0])
+        self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
+        self._temp[slot] = sp.temperature
+        self._top_p[slot] = sp.top_p
+        self._pres[slot] = sp.presence_penalty
+        self._top_k[slot] = sp.top_k
+        self._active[slot] = req
+        self._tokens[slot] = tok
+        self._pending = None
+        self._emit(req, tok)
 
     def _emit(self, req: Request, tok: int):
         req.emitted += 1
@@ -264,9 +297,10 @@ class BatchScheduler:
 
     def _loop(self):
         while not self._stop.is_set():
-            self._admit()
+            self._admit_step()
             if not any(self._active):
-                time.sleep(0.002)
+                if self._pending is None:
+                    time.sleep(0.002)
                 continue
             toks, self.decode_cache, self._key, self._seen = (
                 self._decode_sample(

@@ -75,3 +75,70 @@ def test_scheduler_concurrent_requests(setup):
         ref = eng.generate([10 + i, 20 + i, 30 + i], max_new_tokens=5,
                            sampling=greedy, stop_ids={-1})
         assert o == ref.tokens, f"request {i} diverged"
+
+
+def test_decode_interleaves_with_chunked_admission(setup):
+    """Active slots must keep emitting tokens BETWEEN prefill chunks of a
+    new admission (VERDICT round-1 item 6: no multi-second decode hiccup
+    per admission)."""
+    import queue as queue_mod
+
+    cfg, quant, params = setup
+    sch = BatchScheduler(cfg, quant, params, max_len=256, num_slots=2)
+    try:
+        sch.chunk = 8   # tiny chunks so a 64-token prompt = 8 chunks
+        a = sch.submit(list(range(1, 5)), max_new_tokens=200,
+                       sampling=SamplingParams(temperature=0.0))
+        # wait for A's first token (admitted, decoding)
+        first = a.out_queue.get(timeout=120)
+        assert first is not None
+
+        b = sch.submit(list(range(1, 65)), max_new_tokens=4,
+                       sampling=SamplingParams(temperature=0.0))
+        b_first = b.out_queue.get(timeout=120)
+        assert b_first is not None
+        # by the time B got its first token, A must have kept decoding
+        a_during = 0
+        try:
+            while True:
+                t = a.out_queue.get_nowait()
+                if t is None:
+                    break
+                a_during += 1
+        except queue_mod.Empty:
+            pass
+        assert a_during >= 1, (
+            "decode stalled during chunked admission "
+            f"(A emitted {a_during} tokens while B prefilled 8 chunks)")
+        a.cancelled.set()
+    finally:
+        sch.shutdown()
+
+
+def test_cancellation_mid_prefill_frees_slot(setup):
+    """A disconnect during a long chunked prefill stops the admission at
+    the next chunk boundary and the slot is reusable."""
+    cfg, quant, params = setup
+    sch = BatchScheduler(cfg, quant, params, max_len=256, num_slots=1)
+    try:
+        sch.chunk = 8
+        c = sch.submit(list(range(1, 65)), max_new_tokens=4)
+        import time as _t
+        _t.sleep(0.05)          # let a chunk or two run
+        c.cancelled.set()
+        # end-of-stream sentinel, no guarantee of tokens
+        end = c.out_queue.get(timeout=120)
+        while end is not None:
+            end = c.out_queue.get(timeout=120)
+        # the slot must be free again: a new request completes
+        d = sch.submit([1, 2, 3], max_new_tokens=3,
+                       sampling=SamplingParams(temperature=0.0))
+        toks = []
+        while True:
+            t = d.out_queue.get(timeout=120)
+            if t is None:
+                break
+            toks.append(t)
+        assert len(toks) >= 1
+    finally:
+        sch.shutdown()

@@ -104,10 +104,14 @@ def _gqa_attention(
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
+    # Cache is kernel-layout [B, Hkv, S, Dp] with the minor dim
+    # lane-padded (runtime/kv_cache.py); scatter the chunk's K/V in.
     kdt = lc["k"].dtype
+    Dp = lc["k"].shape[-1]
+    pad = ((0, 0), (0, 0), (0, 0), (0, Dp - d))
     bidx = jnp.arange(B)[:, None]
-    new_k = lc["k"].at[bidx, positions].set(k.astype(kdt))
-    new_v = lc["v"].at[bidx, positions].set(v.astype(kdt))
+    new_k = lc["k"].at[bidx, :, positions].set(jnp.pad(k, pad).astype(kdt))
+    new_v = lc["v"].at[bidx, :, positions].set(jnp.pad(v, pad).astype(kdt))
     new_lc = {"k": new_k, "v": new_v}
 
     window = cfg.sliding_window if spec.sliding else 0
@@ -117,22 +121,30 @@ def _gqa_attention(
         # Decode straight over the fp8 cache: only kv_len-bounded blocks
         # are fetched, nothing is upcast outside the kernel.
         out = fa.decode_attention(
-            q, new_k, new_v, kv_len, scale,
+            jnp.pad(q, pad), new_k, new_v, kv_len, scale,
             window=window, sinks=lp.get("sinks"),
+        )[..., :d]
+    elif prefill and history == 0:
+        # First-chunk prefill: attend within the freshly projected
+        # chunk (cache holds nothing older); avoids reading the cache.
+        out = _attend_dispatch(
+            q, k, v, q_off, kv_len, scale, window=window,
+            sinks=lp.get("sinks"),
         )
+    elif prefill and fa.available() and S >= 128:
+        # Chunked prefill: flash over the fp8 cache prefix IN PLACE
+        # (kernel layout + in-kernel upcast — no bf16 copy of history).
+        out = fa.flash_attention(
+            jnp.pad(q, pad), new_k[:, :, : history + S],
+            new_v[:, :, : history + S], q_off, kv_len, scale,
+            window=window, sinks=lp.get("sinks"), kv_layout="bhsd",
+        )[..., :d]
     else:
-        if prefill and history == 0:
-            # First-chunk prefill: attend within the freshly projected
-            # chunk (cache holds nothing older); avoids reading the cache.
-            kk, vv = k, v
-        elif prefill:
-            # Chunked prefill: attend over the cache prefix bucket + this
-            # chunk (cache already updated, so slot index == position).
-            kk = new_k[:, : history + k.shape[1]].astype(q.dtype)
-            vv = new_v[:, : history + k.shape[1]].astype(q.dtype)
-        else:
-            kk = new_k.astype(q.dtype)
-            vv = new_v.astype(q.dtype)
+        # XLA fallback (CPU tests / tiny chunks / decode w/o Pallas):
+        # transpose the needed prefix back to [B, S, Hkv, D].
+        upto = history + S if prefill else new_k.shape[2]
+        kk = new_k[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
+        vv = new_v[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
         out = _attend_dispatch(
             q, kk, vv, q_off, kv_len, scale, window=window,
             sinks=lp.get("sinks"),
@@ -174,9 +186,14 @@ def _mla_attention(
     kpe = apply_rope(kpe[:, :, None, :], cos, sin, interleaved=True)[:, :, 0, :]
 
     kv_row = jnp.concatenate([ckv, kpe], axis=-1)   # [B, S, L + dr]
+    # Cache is kernel-layout [B, 1, S, Dp], Dp = lane_pad(L + dr).
     kdt = lc["kv"].dtype
+    Dp = lc["kv"].shape[-1]
+    rpad = ((0, 0), (0, 0), (0, Dp - (L + dr)))
     bidx = jnp.arange(B)[:, None]
-    new_kv = lc["kv"].at[bidx, positions].set(kv_row.astype(kdt))
+    new_kv = lc["kv"].at[bidx, :, positions].set(
+        jnp.pad(kv_row, rpad)[:, :, None, :].astype(kdt)
+    )
     new_lc = {"kv": new_kv}
 
     scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
@@ -189,6 +206,7 @@ def _mla_attention(
     ).astype(x.dtype)
     q_cat = jnp.concatenate([q_eff, q_pe.astype(x.dtype)], axis=-1)
     q_off = positions[:, 0]
+    qpad = ((0, 0), (0, 0), (0, 0), (0, Dp - (L + dr)))
 
     if not prefill and fa.decode_available():
         # Decode reads the fp8 cache directly: blocks past kv_len are
@@ -196,19 +214,27 @@ def _mla_attention(
         # astype, step cost scales with kv_len not the cache bucket
         # (reference attention.py:320-337 used-pages-only read).
         ctx = fa.decode_attention(
-            q_cat, new_kv, None, kv_len, scale,
+            jnp.pad(q_cat, qpad), new_kv, None, kv_len, scale,
             v_from_k=True, v_dim=L,
         )
+    elif prefill and history == 0:
+        k_cat = kv_row[:, :, None, :]
+        ctx = _attend_dispatch(
+            q_cat, k_cat, k_cat[..., :L], q_off, kv_len, scale
+        )
+    elif prefill and fa.available() and S >= 128:
+        # Chunked prefill: flash straight over the fp8 cache prefix in
+        # kernel layout — no bf16 history copy, V = latent prefix of K.
+        ctx = fa.flash_attention(
+            jnp.pad(q_cat, qpad), new_kv[:, :, : history + S], None,
+            q_off, kv_len, scale, v_from_k=True, v_dim=L,
+            kv_layout="bhsd",
+        )
     else:
-        if prefill and history == 0:
-            att = kv_row
-        elif prefill:
-            att = new_kv[:, : history + S].astype(x.dtype)
-        else:
-            att = new_kv.astype(x.dtype)
+        upto = history + S if prefill else new_kv.shape[2]
+        att = new_kv[:, 0, :upto, : L + dr].astype(x.dtype)
         k_cat = att[:, :, None, :]
-        v_lat = att[..., :L][:, :, None, :]
-        ctx = _attend_dispatch(q_cat, k_cat, v_lat, q_off, kv_len, scale)
+        ctx = _attend_dispatch(q_cat, k_cat, k_cat[..., :L], q_off, kv_len, scale)
     out = jnp.einsum(
         "bshl,hlv->bshv", ctx.astype(jnp.float32),
         lp["w_vc"].astype(jnp.float32),

@@ -106,12 +106,14 @@ def _kernel(
 
     @pl.when(visible)
     def _step():
-        q = q_ref[0, 0].astype(jnp.float32) * scale          # [BQ, D]
-        k = k_ref[0, 0].astype(jnp.float32)                  # [BK, D]
+        # bf16 dot inputs + f32 accumulation: f32 MXU matmuls cost ~6x
+        # bf16 passes; softmax stats stay f32.
+        q = q_ref[0, 0].astype(jnp.bfloat16)                 # [BQ, D]
+        k = k_ref[0, 0].astype(jnp.bfloat16)                 # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                    # [BQ, BK]
+        ) * scale                                            # [BQ, BK]
         mask = (kp <= qp) & (kp < kv_len)
         if window > 0:
             mask &= kp > qp - window
@@ -129,11 +131,11 @@ def _kernel(
         )
         l_ref[:] = l_ref[:] * alpha + p.sum(axis=-1, keepdims=True)
         if v_from_k:
-            v = k_ref[0, 0][:, :Dv].astype(jnp.float32)      # [BK, Dv]
+            v = k_ref[0, 0][:, :Dv].astype(jnp.bfloat16)     # [BK, Dv]
         else:
-            v = v_ref[0, 0].astype(jnp.float32)              # [BK, Dv]
+            v = v_ref[0, 0].astype(jnp.bfloat16)             # [BK, Dv]
         acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_ref[:] = m_new
@@ -154,7 +156,7 @@ def _kernel(
     jax.jit,
     static_argnames=(
         "scale", "window", "block_q", "block_k", "v_from_k", "v_dim",
-        "out_dtype", "interpret",
+        "out_dtype", "interpret", "kv_layout",
     ),
 )
 def flash_attention(
@@ -172,26 +174,41 @@ def flash_attention(
     v_dim: Optional[int] = None,         # Dv when v_from_k (prefix of D)
     out_dtype=None,
     interpret: bool = False,
+    kv_layout: str = "bshd",  # "bhsd": k/v already [B, Hkv, S, D] (cache)
 ) -> jax.Array:
     B, Sq, Hq, D = q.shape
-    Skv, Hkv = k.shape[1], k.shape[2]
+    if kv_layout == "bhsd":
+        Hkv, Skv = k.shape[1], k.shape[2]
+    else:
+        Skv, Hkv = k.shape[1], k.shape[2]
     Dv = v_dim if v_from_k else v.shape[-1]
     G = Hq // Hkv
     odt = out_dtype or q.dtype
 
     BQ = min(block_q, max(8, Sq))
     BK = min(block_k, Skv)
+    if Skv % BK:
+        import math
+        BK = math.gcd(Skv, BK)
     pq = (-Sq) % BQ
     pk = (-Skv) % BK
     qt = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-    kt = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    if kv_layout == "bhsd":
+        # cache layout: no transpose, no copy (chunked prefill reads the
+        # fp8 cache in place; pk is 0 for bucket-sized caches)
+        kt = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+    else:
+        kt = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
     if v_from_k:
         # dummy stand-in: the kernel slices V out of the K block
         vt = jnp.zeros((1, 1, 1, 1), k.dtype)
         v_block = (1, 1, 1, 1)
         v_idx = lambda b, h, i, j, qo, kl, sk: (0, 0, 0, 0)
     else:
-        vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+        if kv_layout == "bhsd":
+            vt = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        else:
+            vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
         v_block = (1, 1, BK, Dv)
         v_idx = None  # set below with clamping
     nq = (Sq + pq) // BQ
@@ -291,7 +308,7 @@ def _decode_kernel(
     if window > 0:
         j0 = jnp.maximum(kv_len - window, 0) // BK
 
-    q = q_ref[0, 0].astype(jnp.float32) * scale               # [G, D]
+    q = q_ref[0, 0].astype(jnp.bfloat16)                      # [G, D]
 
     def k_copy(j, slot):
         return pltpu.make_async_copy(
@@ -321,11 +338,12 @@ def _decode_kernel(
                 v_copy(j + 1, nxt).start()
 
         k_copy(j, slot).wait()
-        k = k_buf[slot].astype(jnp.float32)                   # [BK, D]
+        # bf16 dot inputs, f32 accumulation (f32 MXU passes cost ~6x)
+        k = k_buf[slot].astype(jnp.bfloat16)                  # [BK, D]
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )                                                     # [G, BK]
+        ) * scale                                             # [G, BK]
         kp = j * BK + jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
         mask = kp < kv_len
         if window > 0:
@@ -338,12 +356,12 @@ def _decode_kernel(
         alpha = jnp.where(m_prev <= NEG_INF / 2, 0.0, jnp.exp(m_prev - m_safe))
         l_new = l_prev * alpha + p.sum(axis=-1, keepdims=True)
         if v_from_k:
-            v = k_buf[slot][:, :Dv].astype(jnp.float32)
+            v = k_buf[slot][:, :Dv].astype(jnp.bfloat16)
         else:
             v_copy(j, slot).wait()
-            v = v_buf[slot].astype(jnp.float32)
+            v = v_buf[slot].astype(jnp.bfloat16)
         acc = acc * alpha + jax.lax.dot_general(
-            p, v, (((1,), (0,)), ((), ())),
+            p.astype(jnp.bfloat16), v, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         return m_new, l_new, acc
@@ -369,7 +387,7 @@ def _decode_kernel(
 )
 def decode_attention(
     q: jax.Array,            # [B, 1, Hq, D]
-    k_cache: jax.Array,      # [B, S, Hkv, D] or [B, S, D] — storage dtype
+    k_cache: jax.Array,      # [B, Hkv, S, D] kernel layout — storage dtype
     v_cache: Optional[jax.Array],
     kv_len: jax.Array,       # [B] valid entries INCLUDING this step's
     scale: float,
@@ -382,37 +400,47 @@ def decode_attention(
 ) -> jax.Array:
     """Single-token attention straight over the (fp8) KV cache.
 
-    Decode-specialized grid (B, Hkv, nk): the G group-query heads of one
+    The cache arrives already in the kernel layout ``[B, Hkv, S, D]``
+    (runtime/kv_cache.py stores it that way) so NO copy, pad, transpose
+    or upcast of the cache happens outside the kernel — the old
+    ``[B, S, Hkv, D]`` layout forced a full-cache pad+transpose per step.
+    On real TPU hardware the in-kernel DMA requires ``D % 128 == 0``
+    (Mosaic tiling); the cache pads its minor dim to a lane multiple and
+    callers pad q with zero lanes to match (zero lanes don't change the
+    scores).
+
+    Decode-specialized grid (B, Hkv): the G group-query heads of one
     kv head are the ROWS of a single [G, D] x [D, BK] dot, so every KV
     block is fetched exactly once per step (the 4D prefill grid would
-    refetch it per q head — 16x the HBM reads on MLA). Blocks at or past
-    kv_len (or before a sliding window) are pl.when-skipped with their
-    index maps clamped, so step cost scales with kv_len, not the cache
-    bucket. Returns [B, 1, Hq, Dv] in q.dtype.
+    refetch it per q head — 16x the HBM reads on MLA). The kv loop is a
+    data-dependent fori_loop over ceil(kv_len/BK) blocks, so step cost
+    scales with kv_len, not the cache bucket. Returns [B, 1, Hq, Dv] in
+    q.dtype.
     """
     if interpret is None:
         interpret = interpret_mode()
-    if k_cache.ndim == 3:
-        k_cache = k_cache[:, :, None, :]
-        if v_cache is not None and v_cache.ndim == 3:
-            v_cache = v_cache[:, :, None, :]
     B, _, Hq, D = q.shape
-    S, Hkv = k_cache.shape[1], k_cache.shape[2]
+    Hkv, S = k_cache.shape[1], k_cache.shape[2]
     G = Hq // Hkv
     Dv = v_dim if v_from_k else v_cache.shape[-1]
 
     BK = min(block_k, S)
-    pk = (-S) % BK
+    if S % BK:
+        import math
+        BK = math.gcd(S, BK)
+    if not interpret and D % 128:
+        raise ValueError(
+            f"decode_attention on TPU needs lane-padded D (got {D}); "
+            "pad the cache minor dim to a multiple of 128"
+        )
     qg = q.reshape(B, Hkv, G, D)
-    # [B, Hkv, S, D]: the kernel DMAs [BK, D] rows itself, so the cache
-    # stays in HBM (ANY) and only kv_len-bounded blocks ever move.
-    kt = jnp.pad(
-        k_cache, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    # The kernel DMAs [BK, D] rows itself, so the cache stays in HBM
+    # (ANY) and only kv_len-bounded blocks ever move.
+    kt = k_cache
     if v_from_k:
         vt = jnp.zeros((1, 1, BK, 1), k_cache.dtype)
     else:
-        vt = jnp.pad(
-            v_cache, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+        vt = v_cache
 
     use_sink = sinks is not None
     sink_in = (
@@ -452,7 +480,7 @@ def decode_attention(
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * (S + pk) * (D + Dv) // 2,
+            flops=4 * B * Hq * S * (D + Dv) // 2,
             bytes_accessed=B * Hkv * S * (D + (0 if v_from_k else Dv))
             + B * Hq * (D + Dv) * 4,
             transcendentals=B * Hq * S,

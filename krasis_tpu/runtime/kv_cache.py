@@ -13,12 +13,16 @@ Layout mirrors the params pattern layout (models/params.py): an unrolled
 leading ``reps`` dim, so the model's lax.scan slices one layer's cache
 per repetition.
 
-Storage formats per layer kind:
-* GQA: K/V ``[B, S, Hkv, D]`` in fp8 e4m3 or bf16 (fp8 halves HBM traffic
-  and capacity — same trade as the reference's FP8 KV, attention.py:320);
-* MLA: one fused ``kv = [ckv ; kpe] [B, S, L + Dr]`` buffer
-  (576 B/token/layer at fp8 — the MLA memory win; fused so decode reads
-  a single buffer with V as a prefix of K);
+Storage formats per layer kind (KERNEL layout — the decode flash kernel
+DMAs ``[BK, D]`` row blocks straight out of these buffers, so they are
+stored pre-transposed with the minor dim padded to a lane multiple;
+zero pad lanes don't change attention scores):
+* GQA: K/V ``[B, Hkv, S, pad128(D)]`` in fp8 e4m3 or bf16 (fp8 halves
+  HBM traffic and capacity — same trade as the reference's FP8 KV,
+  attention.py:320);
+* MLA: one fused ``kv = [ckv ; kpe ; 0-pad] [B, 1, S, pad128(L + Dr)]``
+  buffer (576→640 B/token/layer at fp8 — the MLA memory win; fused so
+  decode reads a single buffer with V as the latent prefix of K);
 * linear attention: recurrent state ``[B, Hv, dk, dv]`` f32 + causal-conv
   window ``[B, K-1, conv_dim]`` — O(1) per sequence, no KV.
 """
@@ -37,16 +41,23 @@ def kv_dtype(quant: QuantConfig):
     return jnp.float8_e4m3fn if quant.kv_cache_dtype == "fp8" else jnp.bfloat16
 
 
+def lane_pad(d: int) -> int:
+    """Minor-dim size padded to the TPU lane count (Mosaic DMA slices
+    must be 128-aligned on the last dim)."""
+    return -(-d // 128) * 128
+
+
 def _layer_cache(
     cfg: ModelConfig, quant: QuantConfig, spec: LayerSpec,
     batch: int, max_len: int, lead=(),
 ) -> Dict[str, Any]:
     kdt = kv_dtype(quant)
     if spec.attn_kind == "gqa":
-        d = cfg.qk_head_dim
+        d = lane_pad(cfg.qk_head_dim)
+        hkv = cfg.num_key_value_heads
         return {
-            "k": jnp.zeros(lead + (batch, max_len, cfg.num_key_value_heads, d), kdt),
-            "v": jnp.zeros(lead + (batch, max_len, cfg.num_key_value_heads, d), kdt),
+            "k": jnp.zeros(lead + (batch, hkv, max_len, d), kdt),
+            "v": jnp.zeros(lead + (batch, hkv, max_len, d), kdt),
         }
     if spec.attn_kind == "mla":
         # single [ckv ; kpe] buffer: the latent VALUE is a prefix of the
@@ -54,8 +65,9 @@ def _layer_cache(
         # v_from_k) — half the HBM reads of separate ckv/kpe tensors
         return {
             "kv": jnp.zeros(
-                lead + (batch, max_len,
-                        cfg.kv_lora_rank + cfg.qk_rope_head_dim), kdt
+                lead + (batch, 1, max_len,
+                        lane_pad(cfg.kv_lora_rank + cfg.qk_rope_head_dim)),
+                kdt,
             ),
         }
     hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads

@@ -140,7 +140,8 @@ def test_decode_attention_fp8_gqa():
     scale = D ** -0.5
 
     got = decode_attention(
-        q, k8, v8, kv_len, scale, block_k=128, interpret=True,
+        q, k8.transpose(0, 2, 1, 3), v8.transpose(0, 2, 1, 3),
+        kv_len, scale, block_k=128, interpret=True,
     )
     want = _decode_oracle(
         q.astype(jnp.float32), k8.astype(jnp.float32),
@@ -169,7 +170,8 @@ def test_decode_attention_mla_v_from_k():
     os.environ["KRASIS_TPU_PALLAS_INTERPRET"] = "1"
     try:
         got = decode_attention(
-            q, kv, None, kv_len, scale, v_from_k=True, v_dim=L, block_k=128)
+            q, kv[:, None], None, kv_len, scale,
+            v_from_k=True, v_dim=L, block_k=128)
     finally:
         del os.environ["KRASIS_TPU_PALLAS_INTERPRET"]
     kfull = kv.astype(jnp.float32)[:, :, None, :]
@@ -194,11 +196,44 @@ def test_decode_attention_window_and_sinks():
     scale = D ** -0.5
 
     got = decode_attention(
-        q, k, v, kv_len, scale, window=64, sinks=sinks,
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        kv_len, scale, window=64, sinks=sinks,
         block_k=64, interpret=True,
     )
     want = _decode_oracle(q, k, v, kv_len, scale, window=64, sinks=sinks)
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_flash_attention_bhsd_layout_matches_bshd():
+    """Chunked prefill reads the cache in kernel layout [B,Hkv,S,D]:
+    same numbers as the standard [B,S,Hkv,D] path (fp8 storage dtype)."""
+    from krasis_tpu.ops.flash_attention import flash_attention
+
+    B, Sq, Skv, Hq, Hkv, D = 2, 128, 256, 4, 2, 64
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    kf = rng.normal(size=(B, Skv, Hkv, D)).astype(np.float32) * 0.3
+    vf = rng.normal(size=(B, Skv, Hkv, D)).astype(np.float32) * 0.3
+    k8 = jnp.asarray(kf).astype(jnp.float8_e4m3fn)
+    v8 = jnp.asarray(vf).astype(jnp.float8_e4m3fn)
+    q_off = jnp.asarray([128, 64])
+    kv_len = jnp.asarray([200, 130])
+    scale = D ** -0.5
+
+    ref = flash_attention(
+        q, k8, v8, q_off, kv_len, scale, block_q=64, block_k=64,
+        interpret=True,
+    )
+    got = flash_attention(
+        q, k8.transpose(0, 2, 1, 3), v8.transpose(0, 2, 1, 3),
+        q_off, kv_len, scale, block_q=64, block_k=64,
+        interpret=True, kv_layout="bhsd",
+    )
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-5, atol=1e-5,
     )

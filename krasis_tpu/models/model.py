@@ -71,6 +71,7 @@ def _gqa_attention(
     spec,
     prefill: bool,
     history: int = 0,
+    lidx=None,             # traced layer index when lc leaves are stacked
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, H = x.shape
     d = cfg.qk_head_dim
@@ -106,12 +107,22 @@ def _gqa_attention(
 
     # Cache is kernel-layout [B, Hkv, S, Dp] with the minor dim
     # lane-padded (runtime/kv_cache.py); scatter the chunk's K/V in.
+    # In decode the PATTERN cache arrives STACKED [L, B, Hkv, S, Dp] with
+    # `lidx` traced: scattering/attending on the whole stack keeps XLA
+    # from materializing a per-layer cache slice every step (the scan
+    # must never dynamic-slice a stacked cache — profiled ~6 ms/tok).
     kdt = lc["k"].dtype
     Dp = lc["k"].shape[-1]
     pad = ((0, 0), (0, 0), (0, 0), (0, Dp - d))
     bidx = jnp.arange(B)[:, None]
-    new_k = lc["k"].at[bidx, :, positions].set(jnp.pad(k, pad).astype(kdt))
-    new_v = lc["v"].at[bidx, :, positions].set(jnp.pad(v, pad).astype(kdt))
+    if lidx is None:
+        new_k = lc["k"].at[bidx, :, positions].set(jnp.pad(k, pad).astype(kdt))
+        new_v = lc["v"].at[bidx, :, positions].set(jnp.pad(v, pad).astype(kdt))
+    else:
+        new_k = lc["k"].at[lidx, bidx, :, positions].set(
+            jnp.pad(k, pad).astype(kdt))
+        new_v = lc["v"].at[lidx, bidx, :, positions].set(
+            jnp.pad(v, pad).astype(kdt))
     new_lc = {"k": new_k, "v": new_v}
 
     window = cfg.sliding_window if spec.sliding else 0
@@ -122,7 +133,7 @@ def _gqa_attention(
         # are fetched, nothing is upcast outside the kernel.
         out = fa.decode_attention(
             jnp.pad(q, pad), new_k, new_v, kv_len, scale,
-            window=window, sinks=lp.get("sinks"),
+            window=window, sinks=lp.get("sinks"), layer=lidx,
         )[..., :d]
     elif prefill and history == 0:
         # First-chunk prefill: attend within the freshly projected
@@ -142,9 +153,13 @@ def _gqa_attention(
     else:
         # XLA fallback (CPU tests / tiny chunks / decode w/o Pallas):
         # transpose the needed prefix back to [B, S, Hkv, D].
-        upto = history + S if prefill else new_k.shape[2]
-        kk = new_k[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
-        vv = new_v[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
+        kl, vl = new_k, new_v
+        if lidx is not None:
+            kl = jax.lax.dynamic_index_in_dim(kl, lidx, 0, keepdims=False)
+            vl = jax.lax.dynamic_index_in_dim(vl, lidx, 0, keepdims=False)
+        upto = history + S if prefill else kl.shape[2]
+        kk = kl[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
+        vv = vl[:, :, :upto, :d].transpose(0, 2, 1, 3).astype(q.dtype)
         out = _attend_dispatch(
             q, kk, vv, q_off, kv_len, scale, window=window,
             sinks=lp.get("sinks"),
@@ -160,7 +175,7 @@ def _gqa_attention(
 
 def _mla_attention(
     lp, lc, x, positions, kv_len, cfg: ModelConfig, prefill: bool,
-    history: int = 0,
+    history: int = 0, lidx=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     B, S, H = x.shape
     hq = cfg.num_attention_heads
@@ -186,14 +201,18 @@ def _mla_attention(
     kpe = apply_rope(kpe[:, :, None, :], cos, sin, interleaved=True)[:, :, 0, :]
 
     kv_row = jnp.concatenate([ckv, kpe], axis=-1)   # [B, S, L + dr]
-    # Cache is kernel-layout [B, 1, S, Dp], Dp = lane_pad(L + dr).
+    # Cache is kernel-layout [B, 1, S, Dp], Dp = lane_pad(L + dr);
+    # stacked [L, B, 1, S, Dp] with traced `lidx` in decode (see
+    # _gqa_attention layout comment).
     kdt = lc["kv"].dtype
     Dp = lc["kv"].shape[-1]
     rpad = ((0, 0), (0, 0), (0, Dp - (L + dr)))
     bidx = jnp.arange(B)[:, None]
-    new_kv = lc["kv"].at[bidx, :, positions].set(
-        jnp.pad(kv_row, rpad)[:, :, None, :].astype(kdt)
-    )
+    row = jnp.pad(kv_row, rpad)[:, :, None, :].astype(kdt)
+    if lidx is None:
+        new_kv = lc["kv"].at[bidx, :, positions].set(row)
+    else:
+        new_kv = lc["kv"].at[lidx, bidx, :, positions].set(row)
     new_lc = {"kv": new_kv}
 
     scale = yarn_softmax_scale((dn + dr) ** -0.5, cfg.rope_scaling)
@@ -215,7 +234,7 @@ def _mla_attention(
         # (reference attention.py:320-337 used-pages-only read).
         ctx = fa.decode_attention(
             jnp.pad(q_cat, qpad), new_kv, None, kv_len, scale,
-            v_from_k=True, v_dim=L,
+            v_from_k=True, v_dim=L, layer=lidx,
         )
     elif prefill and history == 0:
         k_cat = kv_row[:, :, None, :]
@@ -231,8 +250,11 @@ def _mla_attention(
             kv_layout="bhsd",
         )
     else:
-        upto = history + S if prefill else new_kv.shape[2]
-        att = new_kv[:, 0, :upto, : L + dr].astype(x.dtype)
+        kvl = new_kv
+        if lidx is not None:
+            kvl = jax.lax.dynamic_index_in_dim(kvl, lidx, 0, keepdims=False)
+        upto = history + S if prefill else kvl.shape[2]
+        att = kvl[:, 0, :upto, : L + dr].astype(x.dtype)
         k_cat = att[:, :, None, :]
         ctx = _attend_dispatch(q_cat, k_cat, k_cat[..., :L], q_off, kv_len, scale)
     out = jnp.einsum(
@@ -374,7 +396,7 @@ def forward(
 
     from ..timing import TIMING
 
-    def layer_step(x, lp, lc, spec):
+    def layer_step(x, lp, lc, spec, lidx=None):
         if TIMING.diag:
             # reference KRASIS_DIAG: per-layer activation RMS is the main
             # numerical debugging signal (layer.py:618-652)
@@ -387,12 +409,12 @@ def forward(
         if spec.attn_kind == "gqa":
             attn_out, new_lc = _gqa_attention(
                 lp, lc, normed, positions, kv_len, cfg, spec, prefill,
-                history=history,
+                history=history, lidx=lidx,
             )
         elif spec.attn_kind == "mla":
             attn_out, new_lc = _mla_attention(
                 lp, lc, normed, positions, kv_len, cfg, prefill,
-                history=history,
+                history=history, lidx=lidx,
             )
         else:
             attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
@@ -417,32 +439,75 @@ def forward(
         # — profiled as the decode bottleneck. Everything else (attention,
         # norms, gates — 100× smaller) is sliced per rep as before.
         STACKED_KEYS = ("w13", "w2")
+        # KV cache leaves get the same treatment in DECODE: carried WHOLE
+        # through the scan with the layer index resolved inside the
+        # attention kernel — scanning over them (xs/ys) makes XLA
+        # dynamic-slice + dynamic-update-slice the full per-layer cache
+        # every token (~6 ms/tok at 32K, profiled). In prefill the copy
+        # amortizes over the chunk, so the simple xs/ys form stays.
+        KV_KEYS = ("k", "v", "kv")
 
-        def scan_body(x, xs):
-            r, lcs = xs
-            new_lcs = []
-            for t in range(info.period):
-                lp = {}
-                for name, w in pattern_params[t].items():
-                    if name in STACKED_KEYS:
-                        lp[name] = w  # stays [L, E, ...]; kernel indexes
-                    else:
-                        lp[name] = jax.tree_util.tree_map(
-                            lambda l: jax.lax.dynamic_index_in_dim(
-                                l, r, 0, keepdims=False
-                            ),
-                            w,
-                        )
-                lp["_layer_idx"] = r
-                x, nlc = layer_step(x, lp, lcs[t], pat_specs[t])
-                new_lcs.append(nlc)
-            return x, tuple(new_lcs)
+        def make_lp(t, r):
+            lp = {}
+            for name, w in pattern_params[t].items():
+                if name in STACKED_KEYS:
+                    lp[name] = w  # stays [L, E, ...]; kernel indexes
+                else:
+                    lp[name] = jax.tree_util.tree_map(
+                        lambda l: jax.lax.dynamic_index_in_dim(
+                            l, r, 0, keepdims=False
+                        ),
+                        w,
+                    )
+            lp["_layer_idx"] = r
+            return lp
 
-        x, new_pattern = jax.lax.scan(
-            scan_body, x,
-            (jnp.arange(info.reps), tuple(cache["pattern"])),
-        )
-        new_pattern = list(new_pattern)
+        if prefill:
+            def scan_body(x, xs):
+                r, lcs = xs
+                new_lcs = []
+                for t in range(info.period):
+                    x, nlc = layer_step(x, make_lp(t, r), lcs[t], pat_specs[t])
+                    new_lcs.append(nlc)
+                return x, tuple(new_lcs)
+
+            x, new_pattern = jax.lax.scan(
+                scan_body, x,
+                (jnp.arange(info.reps), tuple(cache["pattern"])),
+            )
+            new_pattern = list(new_pattern)
+        else:
+            kv_stacks = [
+                {k: v for k, v in lc.items() if k in KV_KEYS}
+                for lc in cache["pattern"]
+            ]
+            other = tuple(
+                {k: v for k, v in lc.items() if k not in KV_KEYS}
+                for lc in cache["pattern"]
+            )
+
+            def scan_body(carry, xs):
+                x, kvs = carry
+                r, lcs = xs
+                new_kvs, new_lcs = [], []
+                for t in range(info.period):
+                    lc = {**lcs[t], **kvs[t]}
+                    x, nlc = layer_step(
+                        x, make_lp(t, r), lc, pat_specs[t], lidx=r
+                    )
+                    new_kvs.append(
+                        {k: v for k, v in nlc.items() if k in KV_KEYS})
+                    new_lcs.append(
+                        {k: v for k, v in nlc.items() if k not in KV_KEYS})
+                return (x, tuple(new_kvs)), tuple(new_lcs)
+
+            (x, kv_final), new_other = jax.lax.scan(
+                scan_body, (x, tuple(kv_stacks)),
+                (jnp.arange(info.reps), other),
+            )
+            new_pattern = [
+                {**new_other[t], **kv_final[t]} for t in range(info.period)
+            ]
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
 

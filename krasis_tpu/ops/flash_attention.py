@@ -68,7 +68,7 @@ def interpret_mode() -> bool:
 
 def _kernel(
     # scalar prefetch
-    q_off_ref, kv_len_ref, sink_ref,
+    q_off_ref, kv_len_ref, sink_ref, layer_ref,
     # inputs
     q_ref, k_ref, v_ref,
     # output
@@ -175,12 +175,19 @@ def flash_attention(
     out_dtype=None,
     interpret: bool = False,
     kv_layout: str = "bshd",  # "bhsd": k/v already [B, Hkv, S, D] (cache)
+    layer: Optional[jax.Array] = None,  # with 5D [L,B,Hkv,S,D] bhsd stacks
 ) -> jax.Array:
     B, Sq, Hq, D = q.shape
-    if kv_layout == "bhsd":
+    stacked = k.ndim == 5
+    if stacked:
+        assert kv_layout == "bhsd" and layer is not None
+        Hkv, Skv = k.shape[2], k.shape[3]
+    elif kv_layout == "bhsd":
         Hkv, Skv = k.shape[1], k.shape[2]
     else:
         Skv, Hkv = k.shape[1], k.shape[2]
+    layer = (jnp.zeros((1,), jnp.int32) if layer is None
+             else jnp.asarray(layer, jnp.int32).reshape(1))
     Dv = v_dim if v_from_k else v.shape[-1]
     G = Hq // Hkv
     odt = out_dtype or q.dtype
@@ -193,23 +200,25 @@ def flash_attention(
     pq = (-Sq) % BQ
     pk = (-Skv) % BK
     qt = jnp.pad(q, ((0, 0), (0, pq), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    lead = ((0, 0),) if stacked else ()
     if kv_layout == "bhsd":
         # cache layout: no transpose, no copy (chunked prefill reads the
         # fp8 cache in place; pk is 0 for bucket-sized caches)
-        kt = jnp.pad(k, ((0, 0), (0, 0), (0, pk), (0, 0)))
+        kt = jnp.pad(k, lead + ((0, 0), (0, 0), (0, pk), (0, 0)))
     else:
         kt = jnp.pad(k, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
+    kv_lead = (None,) if stacked else ()
     if v_from_k:
         # dummy stand-in: the kernel slices V out of the K block
-        vt = jnp.zeros((1, 1, 1, 1), k.dtype)
-        v_block = (1, 1, 1, 1)
-        v_idx = lambda b, h, i, j, qo, kl, sk: (0, 0, 0, 0)
+        vt = jnp.zeros((1,) * len(kv_lead) + (1, 1, 1, 1), k.dtype)
+        v_block = kv_lead + (1, 1, 1, 1)
+        v_idx = lambda b, h, i, j, qo, kl, sk, li: (0,) * (4 + len(kv_lead))
     else:
         if kv_layout == "bhsd":
-            vt = jnp.pad(v, ((0, 0), (0, 0), (0, pk), (0, 0)))
+            vt = jnp.pad(v, lead + ((0, 0), (0, 0), (0, pk), (0, 0)))
         else:
             vt = jnp.pad(v, ((0, 0), (0, pk), (0, 0), (0, 0))).transpose(0, 2, 1, 3)
-        v_block = (1, 1, BK, Dv)
+        v_block = kv_lead + (1, 1, BK, Dv)
         v_idx = None  # set below with clamping
     nq = (Sq + pq) // BQ
     nk = (Skv + pk) // BK
@@ -227,12 +236,15 @@ def flash_attention(
             jj = jnp.maximum(jj, jmin)
         return jj
 
-    def k_idx(b, h, i, j, qo, kl, sk):
-        return (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
+    def _lead_idx(li):
+        return (li[0],) if stacked else ()
+
+    def k_idx(b, h, i, j, qo, kl, sk, li):
+        return _lead_idx(li) + (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
 
     if v_idx is None:
-        def v_idx(b, h, i, j, qo, kl, sk):
-            return (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
+        def v_idx(b, h, i, j, qo, kl, sk, li):
+            return _lead_idx(li) + (b, h // G, kv_block_idx(b, i, j, qo, kl), 0)
 
     use_sink = sinks is not None
     sink_in = (
@@ -241,17 +253,18 @@ def flash_attention(
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(B, Hq, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, BQ, D),
-                         lambda b, h, i, j, qo, kl, sk: (b, h, i, 0),
+                         lambda b, h, i, j, qo, kl, sk, li: (b, h, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, BK, D), k_idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(kv_lead + (1, 1, BK, D), k_idx,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec(v_block, v_idx, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, BQ, Dv), lambda b, h, i, j, qo, kl, sk: (b, h, i, 0),
+            (1, 1, BQ, Dv), lambda b, h, i, j, qo, kl, sk, li: (b, h, i, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -275,14 +288,14 @@ def flash_attention(
         ),
         interpret=interpret,
     )(q_offset.astype(jnp.int32), kv_len.astype(jnp.int32), sink_in,
-      qt, kt, vt)
+      layer, qt, kt, vt)
 
     return out.transpose(0, 2, 1, 3)[:, :Sq]
 
 
 def _decode_kernel(
     # scalar prefetch
-    kv_len_ref,
+    kv_len_ref, layer_ref,
     # inputs
     q_ref, k_hbm, v_hbm, sink_ref,
     # output
@@ -302,6 +315,7 @@ def _decode_kernel(
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
+    li = layer_ref[0]
     kv_len = kv_len_ref[b]
     nblk = jax.lax.div(kv_len + BK - 1, BK)
     j0 = jnp.int32(0)
@@ -312,13 +326,13 @@ def _decode_kernel(
 
     def k_copy(j, slot):
         return pltpu.make_async_copy(
-            k_hbm.at[b, h, pl.ds(j * BK, BK), :], k_buf.at[slot],
+            k_hbm.at[li, b, h, pl.ds(j * BK, BK), :], k_buf.at[slot],
             k_sem.at[slot],
         )
 
     def v_copy(j, slot):
         return pltpu.make_async_copy(
-            v_hbm.at[b, h, pl.ds(j * BK, BK), :], v_buf.at[slot],
+            v_hbm.at[li, b, h, pl.ds(j * BK, BK), :], v_buf.at[slot],
             v_sem.at[slot],
         )
 
@@ -387,7 +401,7 @@ def _decode_kernel(
 )
 def decode_attention(
     q: jax.Array,            # [B, 1, Hq, D]
-    k_cache: jax.Array,      # [B, Hkv, S, D] kernel layout — storage dtype
+    k_cache: jax.Array,      # [B, Hkv, S, D] or [L, B, Hkv, S, D] stacked
     v_cache: Optional[jax.Array],
     kv_len: jax.Array,       # [B] valid entries INCLUDING this step's
     scale: float,
@@ -397,6 +411,7 @@ def decode_attention(
     v_dim: Optional[int] = None,
     block_k: int = DEFAULT_BK,
     interpret: Optional[bool] = None,
+    layer: Optional[jax.Array] = None,  # scalar layer index into a 5D stack
 ) -> jax.Array:
     """Single-token attention straight over the (fp8) KV cache.
 
@@ -404,6 +419,10 @@ def decode_attention(
     (runtime/kv_cache.py stores it that way) so NO copy, pad, transpose
     or upcast of the cache happens outside the kernel — the old
     ``[B, S, Hkv, D]`` layout forced a full-cache pad+transpose per step.
+    A pattern-STACKED cache ``[L, B, Hkv, S, D]`` is read directly with
+    the layer index resolved IN the kernel (scalar prefetch): the model's
+    layer scan must never dynamic-slice a stacked cache — XLA materializes
+    the 10s-of-MB layer slice per step (profiled at ~6 ms/tok at 32K).
     On real TPU hardware the in-kernel DMA requires ``D % 128 == 0``
     (Mosaic tiling); the cache pads its minor dim to a lane multiple and
     callers pad q with zero lanes to match (zero lanes don't change the
@@ -420,7 +439,15 @@ def decode_attention(
     if interpret is None:
         interpret = interpret_mode()
     B, _, Hq, D = q.shape
-    Hkv, S = k_cache.shape[1], k_cache.shape[2]
+    if k_cache.ndim == 4:
+        k_cache = k_cache[None]
+        if v_cache is not None:
+            v_cache = v_cache[None]
+    if layer is None:
+        layer = jnp.zeros((1,), jnp.int32)
+    else:
+        layer = jnp.asarray(layer, jnp.int32).reshape(1)
+    Hkv, S = k_cache.shape[2], k_cache.shape[3]
     G = Hq // Hkv
     Dv = v_dim if v_from_k else v_cache.shape[-1]
 
@@ -438,7 +465,7 @@ def decode_attention(
     # (ANY) and only kv_len-bounded blocks ever move.
     kt = k_cache
     if v_from_k:
-        vt = jnp.zeros((1, 1, BK, 1), k_cache.dtype)
+        vt = jnp.zeros((1, 1, 1, BK, 1), k_cache.dtype)
     else:
         vt = v_cache
 
@@ -449,18 +476,18 @@ def decode_attention(
     )[:, None, :]  # [Hkv, 1, G]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(B, Hkv),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, kl: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, G, D), lambda b, h, kl, li: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, G), lambda b, h, kl: (h, 0, 0),
+            pl.BlockSpec((1, 1, G), lambda b, h, kl, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, Dv), lambda b, h, kl: (b, h, 0, 0),
+            (1, 1, G, Dv), lambda b, h, kl, li: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -486,6 +513,6 @@ def decode_attention(
             transcendentals=B * Hq * S,
         ),
         interpret=interpret,
-    )(kv_len.astype(jnp.int32), qg, kt, vt, sink_in)
+    )(kv_len.astype(jnp.int32), layer, qg, kt, vt, sink_in)
 
     return out.reshape(B, 1, Hq, Dv)

@@ -237,3 +237,34 @@ def test_flash_attention_bhsd_layout_matches_bshd():
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=1e-5, atol=1e-5,
     )
+
+
+def test_decode_attention_stacked_layer_index():
+    """5D [L,B,Hkv,S,D] stacked cache + traced layer index == slicing the
+    layer out first (the decode scan carries the stack whole)."""
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    L_layers, B, S, Hq, Hkv, D = 3, 2, 256, 4, 2, 64
+    rng = np.random.default_rng(11)
+    q = jnp.asarray(rng.normal(size=(B, 1, Hq, D)).astype(np.float32) * 0.3)
+    ks = jnp.asarray(
+        rng.normal(size=(L_layers, B, Hkv, S, D)).astype(np.float32) * 0.3
+    ).astype(jnp.float8_e4m3fn)
+    vs = jnp.asarray(
+        rng.normal(size=(L_layers, B, Hkv, S, D)).astype(np.float32) * 0.3
+    ).astype(jnp.float8_e4m3fn)
+    kv_len = jnp.asarray([200, 64])
+    scale = D ** -0.5
+
+    for li in range(L_layers):
+        got = decode_attention(
+            q, ks, vs, kv_len, scale, block_k=128, interpret=True,
+            layer=jnp.int32(li),
+        )
+        want = decode_attention(
+            q, ks[li], vs[li], kv_len, scale, block_k=128, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(want, np.float32),
+            rtol=1e-5, atol=1e-5,
+        )

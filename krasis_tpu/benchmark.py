@@ -41,37 +41,52 @@ def run_engine_benchmark(
     decode_runs: int = DECODE_RUNS,
     decode_tokens: int = DECODE_TOKENS,
 ) -> Dict:
-    """Engine-direct measurement (no network)."""
+    """Engine-direct measurement (no network).
+
+    Prompts come from the bundled domain-distinct natural-text corpus
+    (krasis_tpu/prompts.py ≙ reference prompts/prefill_prompt_1-6):
+    the warmup prompt uses the reserved ``warmup`` domain, every timed
+    run a different real domain — the reference keeps these disjoint
+    (benchmark.py:253-336) because random/repeated tokens give MoE
+    routing unrealistically uniform statistics.
+    """
     from .ops.sampling import SamplingParams
+    from . import prompts as corpus
 
     greedy = SamplingParams(temperature=0.0)
     vocab = engine.cfg.vocab_size
-    rng = np.random.default_rng(0)
+    tokenizer = getattr(engine, "tokenizer", None)
+    domains = list(corpus.DOMAINS)
 
-    def make_prompt(n):
+    def make_prompt(n, domain):
         if prompt_ids and len(prompt_ids) >= n:
             return prompt_ids[:n]
-        return rng.integers(100, vocab - 100, size=n).tolist()
+        return corpus.prompt_ids(domain, n, vocab, tokenizer=tokenizer)
 
-    # warmup: full generate compiles prefill + decode
-    engine.generate(make_prompt(min(1024, engine.max_len // 2)),
-                    max_new_tokens=4, sampling=greedy, stop_ids={-1})
+    # warmup: full generate compiles prefill + decode (warmup-only domain)
+    engine.generate(
+        make_prompt(min(1024, engine.max_len // 2), corpus.WARMUP_DOMAIN),
+        max_new_tokens=4, sampling=greedy, stop_ids={-1})
 
     results: Dict = {"prefill": {}, "decode": {}}
-    for n in prefill_lengths:
+    for i, n in enumerate(prefill_lengths):
         if n + decode_tokens + 8 > engine.max_len:
             continue
-        res = engine.generate(make_prompt(n), max_new_tokens=2,
+        dom = domains[i % len(domains)]
+        res = engine.generate(make_prompt(n, dom), max_new_tokens=2,
                               sampling=greedy, stop_ids={-1})
         results["prefill"][str(n)] = {
             "tok_s": round(res.prefill_tok_s, 1),
             "ttft_s": round(res.prefill_s, 3),
+            "domain": dom,
         }
 
     decode_rates = []
     n_ctx = min(2048, engine.max_len // 2)
     for r in range(decode_runs):
-        res = engine.generate(make_prompt(n_ctx), max_new_tokens=decode_tokens,
+        dom = domains[(r + len(prefill_lengths)) % len(domains)]
+        res = engine.generate(make_prompt(n_ctx, dom),
+                              max_new_tokens=decode_tokens,
                               sampling=greedy, stop_ids={-1})
         decode_rates.append(res.decode_tok_s)
     results["decode"] = {

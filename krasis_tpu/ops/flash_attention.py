@@ -303,15 +303,17 @@ def _decode_kernel(
     # scratch
     k_buf, v_buf, k_sem, v_sem,
     *, scale: float, window: int, BK: int, use_sink: bool,
-    v_from_k: bool, Dv: int, G: int,
+    v_from_k: bool, Dv: int, G: int, NBUF: int,
 ):
-    """Decode attention with an IN-KERNEL double-buffered DMA loop.
+    """Decode attention with an IN-KERNEL multi-buffered DMA loop.
 
     The kv loop is a `fori_loop` whose trip count is ceil(kv_len / BK) —
     data-dependent, so a 2K-history request in a 64K cache bucket runs 4
-    iterations, not 128 grid steps. Each iteration overlaps the next
-    block's HBM→VMEM copy with the current block's math (the Pallas-guide
-    double-buffering pattern); there is no per-block grid overhead at all.
+    iterations, not 128 grid steps. NBUF VMEM slots keep NBUF-1 block
+    copies in flight at once: a single HBM→VMEM DMA stream is latency-
+    bound (~4.5 µs per block observed through this chip), so overlapping
+    several multiplies effective bandwidth — double-buffering alone left
+    decode attention at ~73 GB/s.
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -336,20 +338,25 @@ def _decode_kernel(
             v_sem.at[slot],
         )
 
-    k_copy(j0, 0).start()
-    if not v_from_k:
-        v_copy(j0, 0).start()
+    # Fill the pipeline: NBUF-1 copies in flight before the first wait.
+    for d in range(NBUF - 1):
+        @pl.when(j0 + d < nblk)
+        def _prime(d=d):
+            k_copy(j0 + d, d).start()
+            if not v_from_k:
+                v_copy(j0 + d, d).start()
 
     def body(j, carry):
         m_prev, l_prev, acc = carry
-        slot = jax.lax.rem(j - j0, 2)
-        nxt = jax.lax.rem(j - j0 + 1, 2)
+        slot = jax.lax.rem(j - j0, NBUF)
 
-        @pl.when(j + 1 < nblk)
+        # Issue block j+NBUF-1 into the slot freed by iteration j-1.
+        @pl.when(j + NBUF - 1 < nblk)
         def _prefetch():
-            k_copy(j + 1, nxt).start()
+            nxt = jax.lax.rem(j - j0 + NBUF - 1, NBUF)
+            k_copy(j + NBUF - 1, nxt).start()
             if not v_from_k:
-                v_copy(j + 1, nxt).start()
+                v_copy(j + NBUF - 1, nxt).start()
 
         k_copy(j, slot).wait()
         # bf16 dot inputs, f32 accumulation (f32 MXU passes cost ~6x)
@@ -397,6 +404,7 @@ def _decode_kernel(
     jax.jit,
     static_argnames=(
         "scale", "window", "v_from_k", "v_dim", "block_k", "interpret",
+        "num_buffers",
     ),
 )
 def decode_attention(
@@ -412,6 +420,7 @@ def decode_attention(
     block_k: int = DEFAULT_BK,
     interpret: Optional[bool] = None,
     layer: Optional[jax.Array] = None,  # scalar layer index into a 5D stack
+    num_buffers: Optional[int] = None,
 ) -> jax.Array:
     """Single-token attention straight over the (fp8) KV cache.
 
@@ -451,10 +460,14 @@ def decode_attention(
     G = Hq // Hkv
     Dv = v_dim if v_from_k else v_cache.shape[-1]
 
+    if num_buffers is None:
+        num_buffers = int(os.environ.get("KRASIS_TPU_DECODE_NBUF", "4"))
+    block_k = int(os.environ.get("KRASIS_TPU_DECODE_BK", str(block_k)))
     BK = min(block_k, S)
     if S % BK:
         import math
         BK = math.gcd(S, BK)
+    NBUF = max(2, min(num_buffers, 8))
     if not interpret and D % 128:
         raise ValueError(
             f"decode_attention on TPU needs lane-padded D (got {D}); "
@@ -491,18 +504,18 @@ def decode_attention(
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((2, BK, D), k_cache.dtype),
-            pltpu.VMEM((2, BK, 1 if v_from_k else Dv),
+            pltpu.VMEM((NBUF, BK, D), k_cache.dtype),
+            pltpu.VMEM((NBUF, BK, 1 if v_from_k else Dv),
                        k_cache.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
+            pltpu.SemaphoreType.DMA((NBUF,)),
         ],
     )
 
     out = pl.pallas_call(
         functools.partial(
             _decode_kernel, scale=scale, window=window, BK=BK,
-            use_sink=use_sink, v_from_k=v_from_k, Dv=Dv, G=G,
+            use_sink=use_sink, v_from_k=v_from_k, Dv=Dv, G=G, NBUF=NBUF,
         ),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q.dtype),

@@ -141,7 +141,11 @@ def moe_forward_ep(
             w13_bias=b13, w2_bias=b2,
             layer_idx=li, pick_valid=valid_s,
         )
-        return jax.lax.psum(out, "ep")
+        # f32 combine: with high top-k (QCN k=10) the 8 bf16 partials
+        # round visibly (0.1 logit drift at k=10/E=512); f32 on the wire
+        # costs 2x ICI bytes on a [T, H] tensor but keeps sharded ==
+        # unsharded numerics.
+        return jax.lax.psum(out.astype(jnp.float32), "ep").astype(x.dtype)
 
     args = [x, w13.q, w13.scales, w2.q, w2.scales, topk_idx, topk_weights, li]
     in_specs = [

@@ -22,15 +22,22 @@ import numpy as np
 
 
 def sliding_windows(n_tokens: int, window: int, stride: int):
-    """Yield (start, end, score_start) per window (reference :154)."""
-    pos = 0
-    while pos < n_tokens:
+    """Yield (start, end, shifted score_start) per window.
+
+    Exactly the reference protocol (reference perplexity/measure_ppl.py
+    evaluate_perplexity): window starts every `stride` tokens up to
+    n_tokens-1; the first window scores every shifted position, later
+    windows score shifted positions >= stride-1 (i.e. original positions
+    >= start+stride — the non-overlapping region when window == 2*stride).
+    Windows shorter than 2 tokens stop the walk; a trailing window whose
+    whole span is overlap contributes 0 scored tokens, matching the
+    reference's empty-slice behavior.
+    """
+    for pos in range(0, max(n_tokens - 1, 1), stride):
         end = min(pos + window, n_tokens)
-        score_start = 0 if pos == 0 else window - stride
-        yield pos, end, score_start
-        if end == n_tokens:
+        if end - pos < 2:
             break
-        pos += stride
+        yield pos, end, (0 if pos == 0 else stride - 1)
 
 
 def evaluate_perplexity(
@@ -61,7 +68,7 @@ def evaluate_perplexity(
         m = lg.max(axis=-1, keepdims=True)
         lse = m[:, 0] + np.log(np.exp(lg - m).sum(axis=-1))
         nll = lse - lg[np.arange(len(tgt)), tgt]
-        scored = nll[max(score_start - 1, 0):]
+        scored = nll[score_start:]
         total_nll += float(scored.sum())
         total_scored += len(scored)
         n_windows += 1

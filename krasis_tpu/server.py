@@ -290,52 +290,90 @@ def run_server(engine, tokenizer, model_name: str, host="127.0.0.1",
             pass
 
 
+def warmup(engine, scheduler=None):
+    """Compile prefill+decode before accepting traffic (reference
+    server.py startup warmup) so the first request doesn't eat the
+    multi-minute remote compile."""
+    from .ops.sampling import SamplingParams
+
+    t0 = time.time()
+    n = min(256, engine.max_len // 4)
+    engine.generate(list(range(1, n + 1)), max_new_tokens=4,
+                    sampling=SamplingParams(temperature=0.0), stop_ids={-1})
+    if scheduler is not None:
+        r = scheduler.submit(list(range(1, n + 1)), max_new_tokens=4,
+                             sampling=SamplingParams(temperature=0.0))
+        while r.out_queue.get() is not None:
+            pass
+    print(f"warmup done in {time.time() - t0:.1f}s")
+
+
 def main():
+    from .runlog import apply_config_precedence, setup_run_logging
+
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", help="model checkpoint path")
     ap.add_argument("--synthetic", help="synthetic preset (tiny | v2-lite | ...)")
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8399)
     ap.add_argument("--max-len", type=int, default=4096)
-    ap.add_argument("--expert-bits", type=int, default=4)
+    ap.add_argument("--expert-bits", type=int, default=4, choices=(4, 8))
+    ap.add_argument("--kv-dtype", default="fp8", choices=("fp8", "bf16"))
+    ap.add_argument("--shared-expert-quant", default="int8",
+                    choices=("bf16", "int8"))
+    ap.add_argument("--dense-mlp-quant", default="int8",
+                    choices=("bf16", "int8"))
+    ap.add_argument("--lm-head-quant", default="int8", choices=("bf16", "int8"))
     ap.add_argument("--slots", type=int, default=0,
                     help="continuous-batching slots (0 = single-request)")
-    args = ap.parse_args()
+    ap.add_argument("--note", default=None,
+                    help="run note written to the top of the log file")
+    ap.add_argument("--no-warmup", action="store_true",
+                    help="skip the pre-serve compile warmup")
+    args = apply_config_precedence(ap)
+
+    setup_run_logging(note=args.note)
+
+    def make_quant(group_size=128):
+        return QuantConfig(
+            expert_bits=args.expert_bits, group_size=group_size,
+            kv_cache_dtype=args.kv_dtype,
+            shared_expert=args.shared_expert_quant,
+            dense_mlp=args.dense_mlp_quant, lm_head=args.lm_head_quant,
+        )
 
     if args.synthetic:
         from .models.synthetic import build_synthetic_engine, tiny_config
 
         if args.synthetic == "tiny":
             cfg = tiny_config("qwen3-moe")
-            quant = QuantConfig(expert_bits=args.expert_bits, group_size=32)
+            quant = make_quant(group_size=32)
         else:
             cfg = preset_config(args.synthetic)
-            quant = QuantConfig(expert_bits=args.expert_bits)
+            quant = make_quant()
         engine = build_synthetic_engine(cfg, quant, max_len=args.max_len)
-        sched = None
-        if args.slots > 0:
-            from .runtime.scheduler import BatchScheduler
-            sched = BatchScheduler(cfg, quant, engine.params,
-                                   max_len=args.max_len, num_slots=args.slots)
-        run_server(engine, None, f"synthetic/{args.synthetic}",
-                   args.host, args.port, scheduler=sched)
+        tok, params = None, engine.params
+        name = f"synthetic/{args.synthetic}"
     else:
         from .models.loader import load_params
         from .runtime.engine import Engine
         from .runtime.tokenizer import Tokenizer
 
         cfg = ModelConfig.from_model_path(args.model)
-        quant = QuantConfig(expert_bits=args.expert_bits)
+        quant = make_quant()
         params = load_params(cfg, quant)
         engine = Engine(cfg, quant, params, max_len=args.max_len)
         tok = Tokenizer(args.model)
-        sched = None
-        if args.slots > 0:
-            from .runtime.scheduler import BatchScheduler
-            sched = BatchScheduler(cfg, quant, params,
-                                   max_len=args.max_len, num_slots=args.slots)
-        run_server(engine, tok, os.path.basename(args.model),
-                   args.host, args.port, scheduler=sched)
+        name = os.path.basename(args.model)
+
+    sched = None
+    if args.slots > 0:
+        from .runtime.scheduler import BatchScheduler
+        sched = BatchScheduler(cfg, quant, params,
+                               max_len=args.max_len, num_slots=args.slots)
+    if not args.no_warmup:
+        warmup(engine, sched)
+    run_server(engine, tok, name, args.host, args.port, scheduler=sched)
 
 
 if __name__ == "__main__":

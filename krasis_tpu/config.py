@@ -52,7 +52,13 @@ class QuantConfig:
     shared_expert: str = "int8"     # "bf16" | "int8"
     dense_mlp: str = "int8"         # "bf16" | "int8"
     group_size: int = 128           # quantization group size along K
-    kv_cache_dtype: str = "fp8"     # "fp8" (e4m3) | "bf16"
+    # "auto" resolves per engine (runtime/kv_cache.resolve_kv_quant):
+    # bf16 when the full cache fits the HBM budget — on v5e the fp8
+    # cache decodes ~2.5x SLOWER than bf16 (the VPU fp8->bf16 upcast
+    # runs ~1 elem/lane/cycle; measured 10.2 vs 4.1 ms per 32K MLA
+    # decode step), so fp8 only pays when capacity binds, the same
+    # trade the reference makes with its FP8 KV option.
+    kv_cache_dtype: str = "auto"    # "auto" | "fp8" (e4m3) | "bf16"
 
     def component_bits(self, component: str) -> int:
         """Bit width for a named component ('expert', 'lm_head', ...)."""

@@ -41,7 +41,7 @@ def enable_persistent_compilation_cache():
     except Exception:
         pass
 from ..ops.sampling import SamplingParams, sample
-from .kv_cache import init_cache
+from .kv_cache import init_cache, resolve_kv_quant
 
 # Single-shot prefill buckets; prompts beyond CHUNK go through chunked
 # prefill (reference model.py:2752 token chunking, here with cache-prefix
@@ -107,7 +107,9 @@ class Engine:
         mesh=None,
     ):
         self.cfg = cfg
-        self.quant = quant
+        # Resolve "auto" kv dtype ONCE at the engine's full size so every
+        # history bucket / request cache shares one storage dtype.
+        self.quant = quant = resolve_kv_quant(cfg, quant, batch_size, max_len)
         self.params = params
         self.max_len = max_len
         self.batch_size = batch_size

@@ -29,6 +29,8 @@ zero pad lanes don't change attention scores):
 
 from __future__ import annotations
 
+import os
+from dataclasses import replace
 from typing import Any, Dict
 
 import jax.numpy as jnp
@@ -36,9 +38,41 @@ import jax.numpy as jnp
 from ..config import ModelConfig, QuantConfig
 from ..models.params import LayerSpec, layer_specs, pattern_info
 
+# "auto" kv dtype: bf16 caches up to this many bytes, fp8 beyond.
+DEFAULT_KV_BUDGET = 4 << 30
+
 
 def kv_dtype(quant: QuantConfig):
     return jnp.float8_e4m3fn if quant.kv_cache_dtype == "fp8" else jnp.bfloat16
+
+
+def kv_bytes_per_token(cfg: ModelConfig, dtype_bytes: int = 2) -> int:
+    """KV bytes per cached token across all layers (lane-padded)."""
+    total = 0
+    for spec in layer_specs(cfg):
+        if spec.attn_kind == "gqa":
+            total += 2 * cfg.num_key_value_heads * lane_pad(cfg.qk_head_dim)
+        elif spec.attn_kind == "mla":
+            total += lane_pad(cfg.kv_lora_rank + cfg.qk_rope_head_dim)
+    return total * dtype_bytes
+
+
+def resolve_kv_quant(cfg: ModelConfig, quant: QuantConfig,
+                     batch: int, max_len: int) -> QuantConfig:
+    """Resolve kv_cache_dtype == "auto" to a concrete dtype.
+
+    bf16 when the full-size cache fits the budget (KRASIS_TPU_KV_BYTES,
+    default 4 GiB), else fp8. fp8 halves capacity but decodes ~2.5x
+    slower on this TPU generation (per-block VPU upcast, see
+    ops/flash_attention._decode_kernel), so it is only worth paying for
+    when HBM capacity is the binding constraint — mirroring when the
+    reference's FP8-KV option matters (reference kv_cache.py fp8_e4m3).
+    """
+    if quant.kv_cache_dtype != "auto":
+        return quant
+    budget = int(os.environ.get("KRASIS_TPU_KV_BYTES", DEFAULT_KV_BUDGET))
+    need = batch * max_len * kv_bytes_per_token(cfg, 2)
+    return replace(quant, kv_cache_dtype="bf16" if need <= budget else "fp8")
 
 
 def lane_pad(d: int) -> int:
@@ -88,6 +122,7 @@ def init_cache(
     max_len: int,
 ) -> Dict[str, Any]:
     """Zero-initialized cache pytree for `batch` slots of `max_len` tokens."""
+    quant = resolve_kv_quant(cfg, quant, batch, max_len)
     specs = layer_specs(cfg)
     info = pattern_info(cfg)
     return {

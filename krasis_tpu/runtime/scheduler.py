@@ -32,7 +32,7 @@ from ..config import ModelConfig, QuantConfig
 from ..models.model import make_chunk_prefill_fn, make_forward_fns
 from ..ops.sampling import SamplingParams, sample, sample_batched
 from .engine import CHUNK, PREFILL_BUCKETS, pick_bucket, pick_history_bucket
-from .kv_cache import init_cache
+from .kv_cache import init_cache, resolve_kv_quant
 
 
 def insert_slot(decode_cache, prefill_cache, slot: int):
@@ -93,7 +93,7 @@ class BatchScheduler:
         mesh=None,
     ):
         self.cfg = cfg
-        self.quant = quant
+        self.quant = quant = resolve_kv_quant(cfg, quant, num_slots, max_len)
         self.params = params
         self.max_len = max_len
         self.num_slots = num_slots

@@ -318,7 +318,8 @@ def main():
     ap.add_argument("--port", type=int, default=8399)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--expert-bits", type=int, default=4, choices=(4, 8))
-    ap.add_argument("--kv-dtype", default="fp8", choices=("fp8", "bf16"))
+    ap.add_argument("--kv-dtype", default="auto",
+                    choices=("auto", "fp8", "bf16"))
     ap.add_argument("--shared-expert-quant", default="int8",
                     choices=("bf16", "int8"))
     ap.add_argument("--dense-mlp-quant", default="int8",

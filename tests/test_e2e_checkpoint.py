@@ -1,0 +1,161 @@
+"""Real-checkpoint end-to-end: tokenizer + safetensors + loader + engine + PPL.
+
+VERDICT item 2 asks for a real model run; this machine has no checkpoint
+on disk and no egress, so the closest honest equivalent is a REAL-FORMAT
+pipeline built locally: a BPE tokenizer actually *trained* (tokenizers
+lib) on the bundled benchmark corpus, saved with a chat template into a
+tiny random Qwen3-MoE HF checkpoint (save_pretrained → config.json +
+safetensors), then driven through the SAME code paths a user of a real
+checkpoint hits: ModelConfig.from_model_path → models/loader.load_params
+→ Engine.generate via runtime.Tokenizer.apply_chat_template → perplexity
+on natural text, with the final PPL checked against the HF torch oracle
+running the identical windowing (reference perplexity/measure_ppl.py) on
+the same tokens. A loader/tokenizer/forward bug anywhere in the chain
+moves the PPL.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+torch.set_grad_enabled(False)
+
+import jax.numpy as jnp
+
+from krasis_tpu.config import ModelConfig, QuantConfig
+
+VOCAB = 2048
+
+CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "{{ '<|' + message['role'] + '|>' + message['content'] }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|assistant|>' }}{% endif %}"
+)
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    """Train a real BPE tokenizer on the bundled corpus; save a tiny
+    random Qwen3-MoE model + tokenizer as a real HF checkpoint dir."""
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import BPE
+    from tokenizers.trainers import BpeTrainer
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+    from transformers import (PreTrainedTokenizerFast, Qwen3MoeConfig,
+                              Qwen3MoeForCausalLM)
+
+    from krasis_tpu.prompts import load_domain
+
+    tmp = str(tmp_path_factory.mktemp("ckpt"))
+
+    raw = RawTok(BPE(unk_token=None))
+    raw.pre_tokenizer = ByteLevel(add_prefix_space=False)
+    raw.decoder = ByteLevelDecoder()
+    trainer = BpeTrainer(
+        vocab_size=VOCAB - 4, show_progress=False,
+        special_tokens=["<|endoftext|>", "<|user|>", "<|assistant|>",
+                        "<|system|>"],
+        initial_alphabet=ByteLevel.alphabet(),
+    )
+    text = load_domain("docs")[:300_000]
+    raw.train_from_iterator(
+        [text[i:i + 4096] for i in range(0, len(text), 4096)], trainer)
+
+    tok = PreTrainedTokenizerFast(
+        tokenizer_object=raw,
+        eos_token="<|endoftext|>", pad_token="<|endoftext|>",
+        chat_template=CHAT_TEMPLATE,
+    )
+    tok.save_pretrained(tmp)
+
+    torch.manual_seed(0)
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=VOCAB, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        num_experts=8, num_experts_per_tok=2, decoder_sparse_step=1,
+        max_position_embeddings=4096,
+        eos_token_id=tok.eos_token_id,
+    )
+    model = Qwen3MoeForCausalLM(hf_cfg).eval()
+    model.save_pretrained(tmp, safe_serialization=True)
+    return tmp, model
+
+
+FP32_QUANT = QuantConfig(
+    expert_bits=16, lm_head="bf16", attention="bf16",
+    shared_expert="bf16", dense_mlp="bf16", kv_cache_dtype="bf16",
+)
+
+
+@pytest.fixture(scope="module")
+def engine(checkpoint):
+    from krasis_tpu.models.loader import load_params
+    from krasis_tpu.runtime.engine import Engine
+
+    path, _ = checkpoint
+    cfg = ModelConfig.from_model_path(path)
+    params = load_params(cfg, FP32_QUANT, dtype=jnp.float32)
+    return Engine(cfg, FP32_QUANT, params, max_len=512)
+
+
+def test_chat_generate_through_real_tokenizer(checkpoint, engine):
+    """Chat-template prompt → engine.generate → decode round-trips."""
+    from krasis_tpu.ops.sampling import SamplingParams
+    from krasis_tpu.runtime.tokenizer import Tokenizer
+
+    path, model = checkpoint
+    tok = Tokenizer(path)
+    ids = tok.apply_chat_template(
+        [{"role": "user", "content": "Explain the os module."}])
+    assert 0 < len(ids) < 64
+    res = engine.generate(ids, max_new_tokens=8,
+                          sampling=SamplingParams(temperature=0.0),
+                          stop_ids={-1})
+    assert len(res.tokens) == 8
+    # greedy tokens must match the HF oracle's greedy continuation
+    t = torch.tensor([ids])
+    for want in res.tokens:
+        nxt = model(input_ids=t).logits[0, -1].argmax().item()
+        assert nxt == want
+        t = torch.cat([t, torch.tensor([[nxt]])], dim=1)
+    assert isinstance(tok.decode(res.tokens), str)
+
+
+def test_perplexity_on_natural_text_matches_hf_oracle(checkpoint, engine):
+    """PPL through our loader/forward/windowing == HF torch oracle PPL on
+    the same real-tokenizer token stream (rel 1e-3)."""
+    from krasis_tpu.perplexity import evaluate_perplexity
+    from krasis_tpu.prompts import load_domain
+    from krasis_tpu.runtime.tokenizer import Tokenizer
+
+    path, model = checkpoint
+    tok = Tokenizer(path)
+    ids = tok.encode(load_domain("legal")[:4000])
+    assert len(ids) > 300
+    ids = ids[:512]
+
+    got = evaluate_perplexity(engine, ids, window=128, stride=64,
+                              log_every=0)
+
+    total_nll, scored = 0.0, 0
+    for begin in range(0, len(ids) - 1, 64):
+        end = min(begin + 128, len(ids))
+        if end - begin < 2:
+            break
+        t = torch.tensor(ids[begin:end])
+        logits = model(input_ids=t[None]).logits[0].float()
+        loss = torch.nn.functional.cross_entropy(
+            logits[:-1], t[1:], reduction="none")
+        sl = loss[0 if begin == 0 else 63:]
+        total_nll += float(sl.sum())
+        scored += int(sl.numel())
+    want_ppl = float(np.exp(total_nll / scored))
+
+    assert got["tokens_scored"] == scored
+    assert got["ppl"] == pytest.approx(want_ppl, rel=1e-3)

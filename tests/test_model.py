@@ -108,6 +108,32 @@ def test_hybrid_prefill_decode_consistency():
     _consistency_check(tiny_hybrid_cfg())
 
 
+def test_nonfactoring_pattern_fallback_runs():
+    """A layer sequence whose pattern does NOT factor (5 layers, aperiodic
+    hybrid mix) silently falls back to the fully-unrolled path
+    (models/params.pattern_info reps=0) — VERDICT weak #9 flagged that
+    nothing covered that path's viability. Run the consistency check
+    through it and pin that the fallback actually triggered."""
+    from krasis_tpu.models.params import pattern_info
+
+    cfg = preset_config(
+        "qwen3-coder-next",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=5, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16,
+        layer_types=["linear_attention", "full_attention",
+                     "linear_attention", "linear_attention",
+                     "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        shared_expert_intermediate_size=32,
+    )
+    info = pattern_info(cfg)
+    assert info.reps == 0 and info.prefix_n == 5  # unrolled fallback
+    _consistency_check(cfg)
+
+
 def test_fp8_kv_close_to_bf16():
     """FP8 KV cache must stay close to bf16 KV (reference test_fp8_kv.py)."""
     cfg = tiny_gqa_cfg()

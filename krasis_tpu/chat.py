@@ -2,7 +2,7 @@
 
 Parity with the reference's chat client (reference python/krasis/chat.py:
 server auto-discovery via the registry dir, SSE parsing, <think>-block
-filtering, --sanity battery mode).
+filtering, GPT-OSS channel filtering, --sanity battery mode).
 """
 
 from __future__ import annotations
@@ -12,6 +12,82 @@ import json
 import os
 import sys
 import urllib.request
+
+
+class ChannelFilter:
+    """Incremental filter for GPT-OSS channel markup.
+
+    GPT-OSS emits structured turns like
+    ``<|channel|>analysis<|message|>…<|end|><|start|>assistant
+    <|channel|>final<|message|>…`` — only the ``final`` channel is user
+    content (reference chat.py:204 ChannelFilter). This is a small
+    streaming state machine: markers may arrive split across SSE chunks,
+    so any suffix that could be the start of a marker is held back until
+    it resolves. Text with no channel markup passes through untouched.
+    """
+
+    MARKERS = ("<|channel|>", "<|message|>", "<|end|>", "<|start|>",
+               "<|endofprompt|>", "<|return|>")
+    _MAXLEN = max(len(m) for m in MARKERS)
+
+    def __init__(self):
+        self._pending = ""
+        self._mode = "text"      # "text" | "channel" | "role"
+        self._channel = "final"  # pre-markup text displays
+        self._seen_markup = False
+
+    def _emit(self, text: str) -> str:
+        if self._mode == "channel":
+            self._channel += text
+            return ""
+        if self._mode == "role":
+            return ""
+        if self._seen_markup and self._channel != "final":
+            return ""
+        return text
+
+    def _on_marker(self, m: str):
+        self._seen_markup = True
+        if m == "<|channel|>":
+            self._mode, self._channel = "channel", ""
+        elif m == "<|message|>":
+            self._mode = "text"
+        elif m == "<|start|>":
+            self._mode = "role"
+        else:  # <|end|> / <|endofprompt|> / <|return|>
+            self._mode = "role"  # nothing displays until the next message
+
+    def feed(self, chunk: str) -> str:
+        self._pending += chunk
+        out = []
+        while self._pending:
+            hit = min(
+                ((i, m) for m in self.MARKERS
+                 if (i := self._pending.find(m)) != -1),
+                default=None,
+            )
+            if hit is not None:
+                i, m = hit
+                out.append(self._emit(self._pending[:i]))
+                self._on_marker(m)
+                self._pending = self._pending[i + len(m):]
+                continue
+            # no full marker: emit all but a tail that could become one
+            keep = 0
+            for j in range(1, min(self._MAXLEN, len(self._pending)) + 1):
+                tail = self._pending[-j:]
+                if any(m.startswith(tail) for m in self.MARKERS):
+                    keep = j
+            cut = len(self._pending) - keep
+            out.append(self._emit(self._pending[:cut]))
+            self._pending = self._pending[cut:]
+            break
+        return "".join(out)
+
+    def flush(self) -> str:
+        out = self._emit(self._pending)
+        self._pending = ""
+        return out
 
 REGISTRY_DIR = os.path.join(
     os.environ.get("KRASIS_TPU_HOME", os.path.expanduser("~/.krasis_tpu")),
@@ -48,6 +124,7 @@ def stream_chat(url: str, messages, max_tokens=512, temperature=0.6,
     )
     full = []
     in_think = False
+    channels = ChannelFilter()
     with urllib.request.urlopen(req) as resp:
         for raw in resp:
             line = raw.decode("utf-8", errors="replace").strip()
@@ -61,6 +138,10 @@ def stream_chat(url: str, messages, max_tokens=512, temperature=0.6,
             if not text:
                 continue
             full.append(text)
+            # GPT-OSS channel markup: show only the final channel
+            text = channels.feed(text)
+            if not text:
+                continue
             if hide_thinking:
                 # crude <think>…</think> stream filter (reference chat.py:204)
                 if "<think>" in text:
@@ -73,6 +154,9 @@ def stream_chat(url: str, messages, max_tokens=512, temperature=0.6,
                     continue
             out.write(text)
             out.flush()
+        tail = channels.flush()
+        if tail and not in_think:
+            out.write(tail)
     out.write("\n")
     return "".join(full)
 

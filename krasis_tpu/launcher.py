@@ -23,8 +23,10 @@ CONFIG_PATH = os.path.join(
 
 
 def scan_models(roots: List[str]) -> List[str]:
-    """Find checkpoint dirs (config.json + safetensors) under roots
-    (reference launcher.py:225 scan_models)."""
+    """Find checkpoint dirs (config.json + safetensors) AND standalone
+    .gguf files under roots (reference launcher.py scan_models + its GGUF
+    scan: both source formats are launchable, `--model x.gguf` routes
+    through utils/gguf_source)."""
     found = []
     for root in roots:
         if not os.path.isdir(root):
@@ -35,7 +37,53 @@ def scan_models(roots: List[str]) -> List[str]:
             ):
                 found.append(dirpath)
                 dirnames.clear()  # don't descend into checkpoints
+                continue
+            for f in filenames:
+                if f.endswith(".gguf"):
+                    found.append(os.path.join(dirpath, f))
     return sorted(found)
+
+
+def detect_hardware() -> Dict:
+    """Hardware-detect screen (reference launcher.py hardware detect):
+    accelerator backend/chips/HBM via syscheck, plus host RAM/cores/disk."""
+    import shutil
+
+    from .syscheck import device_report, host_report
+
+    rep = {"accelerator": None, "host": None}
+    try:
+        rep["accelerator"] = device_report()
+    except Exception as e:
+        rep["accelerator"] = {"error": str(e)}
+    try:
+        rep["host"] = host_report()
+    except Exception:
+        rep["host"] = {}
+    try:
+        du = shutil.disk_usage(os.path.expanduser("~"))
+        rep["disk_free_gb"] = round(du.free / (1 << 30), 1)
+    except OSError:
+        pass
+    return rep
+
+
+def print_hardware(rep: Dict):
+    acc = rep.get("accelerator") or {}
+    if "error" in acc:
+        print(f"accelerator: unavailable ({acc['error']})")
+    else:
+        print(f"accelerator: {acc.get('backend')} x{acc.get('n_devices')}")
+        for d in acc.get("devices", []):
+            hbm = d.get("hbm_limit_gb")
+            hbm_s = f", {hbm} GB HBM" if hbm else ""
+            print(f"  [{d['id']}] {d.get('kind')}{hbm_s}")
+    host = rep.get("host") or {}
+    if host:
+        print(f"host: {host.get('cpus', '?')} cpus, "
+              f"{host.get('ram_gb', '?')} GB RAM"
+              + (f", {rep['disk_free_gb']} GB disk free"
+                 if "disk_free_gb" in rep else ""))
 
 
 def load_saved_config() -> Dict[str, str]:
@@ -62,7 +110,7 @@ def _ask(prompt: str, default: str) -> str:
     return resp or default
 
 
-def show_budget(model_path: str, expert_bits: int):
+def show_budget(model_path: str, expert_bits: int, kv_dtype: str = "auto"):
     from .budget import format_budget
     from .config import ModelConfig, QuantConfig
     from .syscheck import device_report
@@ -74,7 +122,44 @@ def show_budget(model_path: str, expert_bits: int):
         default=16 << 30,
     ) or (16 << 30)
     cfg = ModelConfig.from_model_path(model_path)
-    print(format_budget(cfg, QuantConfig(expert_bits=expert_bits), n, hbm))
+    print(format_budget(
+        cfg, QuantConfig(expert_bits=expert_bits, kv_cache_dtype=kv_dtype),
+        n, hbm))
+
+
+# Editable settings: (key, prompt, default, server flag)
+SETTINGS = [
+    ("expert_bits", "expert bits (4/8)", "4", "--expert-bits"),
+    ("kv_dtype", "kv cache dtype (auto/fp8/bf16)", "auto", "--kv-dtype"),
+    ("max_len", "max context length", "4096", "--max-len"),
+    ("slots", "batching slots (0 = single)", "0", "--slots"),
+    ("port", "port", "8399", "--port"),
+]
+
+
+def edit_loop(model: str, cfg: Dict[str, str]):
+    """Live config editor (reference launcher.py config columns): show all
+    settings + the budget preview, re-render after every edit, until the
+    user launches (l), saves-and-quits (q), or aborts (a)."""
+    while True:
+        print(f"\nmodel: {model}")
+        for i, (key, prompt, default, _) in enumerate(SETTINGS):
+            print(f"  [{i}] {prompt:<32} = {cfg.get(key, default)}")
+        try:
+            show_budget(model, int(cfg.get("expert_bits", "4")),
+                        cfg.get("kv_dtype", "auto"))
+        except Exception as e:
+            print(f"(budget preview unavailable: {e})")
+        sel = input("edit # / (l)aunch / (q)uit-save / (a)bort: ").strip()
+        if sel == "l":
+            return cfg, True
+        if sel == "q":
+            return cfg, False
+        if sel == "a":
+            raise KeyboardInterrupt
+        if sel.isdigit() and int(sel) < len(SETTINGS):
+            key, prompt, default, _ = SETTINGS[int(sel)]
+            cfg[key] = _ask(prompt, cfg.get(key, default))
 
 
 def main() -> int:
@@ -95,14 +180,15 @@ def main() -> int:
         if not model:
             print("no saved config; run interactively first")
             return 1
-        bits = saved.get("expert_bits", "4")
-        port = saved.get("port", str(args.port))
+        cfg = dict(saved)
     else:
+        print_hardware(detect_hardware())
         models = scan_models(roots)
         if models:
             print("found models:")
             for i, m in enumerate(models):
-                print(f"  [{i}] {m}")
+                kind = "gguf" if m.endswith(".gguf") else "safetensors"
+                print(f"  [{i}] ({kind}) {m}")
             sel = _ask("select model #", saved.get("model_idx", "0"))
             model = models[int(sel)]
         else:
@@ -110,22 +196,20 @@ def main() -> int:
             if not model:
                 print("no model found — pass --models-dir or a path")
                 return 1
-        bits = _ask("expert bits (4/8)", saved.get("expert_bits", "4"))
-        port = _ask("port", saved.get("port", str(args.port)))
         try:
-            show_budget(model, int(bits))
-        except Exception as e:
-            print(f"(budget preview unavailable: {e})")
-        if _ask("start server? (y/n)", "y").lower() != "y":
-            save_config({"model": model, "expert_bits": bits, "port": port})
+            cfg, launch = edit_loop(model, dict(saved))
+        except KeyboardInterrupt:
+            print("\naborted")
+            return 1
+        cfg["model"] = model
+        save_config(cfg)
+        if not launch:
             print(f"saved config to {CONFIG_PATH}")
             return 0
 
-    save_config({"model": model, "expert_bits": bits, "port": port})
-    cmd = [
-        sys.executable, "-m", "krasis_tpu.server",
-        "--model", model, "--expert-bits", bits, "--port", port,
-    ]
+    cmd = [sys.executable, "-m", "krasis_tpu.server", "--model", model]
+    for key, _, default, flag in SETTINGS:
+        cmd += [flag, cfg.get(key, default)]
     print("launching:", " ".join(cmd))
     return subprocess.call(cmd)
 

@@ -23,6 +23,14 @@ def _host_mem_gb() -> float:
     return 0.0
 
 
+def host_report() -> Dict:
+    """Host-side hardware summary (launcher hardware-detect screen)."""
+    return {
+        "cpus": os.cpu_count() or 0,
+        "ram_gb": round(_host_mem_gb(), 1),
+    }
+
+
 def device_report() -> Dict:
     import jax
 

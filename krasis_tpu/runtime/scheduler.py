@@ -35,8 +35,12 @@ from .engine import CHUNK, PREFILL_BUCKETS, pick_bucket, pick_history_bucket
 from .kv_cache import init_cache, resolve_kv_quant
 
 
-def insert_slot(decode_cache, prefill_cache, slot: int):
+def insert_slot(decode_cache, prefill_cache, slot):
     """Copy a batch-1 prefill cache into decode-cache slot `slot`.
+
+    `slot` is a TRACED scalar (dynamic_update handles it), so one
+    compiled program covers every slot — a static index compiled one
+    program per slot value, wasteful at high slot counts.
 
     Slot dim is 0 for prefix-layer leaves and `length`, 1 for
     pattern-stacked leaves (leading reps dim).
@@ -102,8 +106,7 @@ class BatchScheduler:
         prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant, mesh=mesh)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
-        self._insert = jax.jit(insert_slot, static_argnums=(2,),
-                               donate_argnums=(0,))
+        self._insert = jax.jit(insert_slot, donate_argnums=(0,))
 
         # one fused decode+sample step for ALL slots (per-slot eager
         # sampling would cost a host round trip per slot per token)
@@ -262,7 +265,8 @@ class BatchScheduler:
         # prefill complete → insert into the reserved slot + first sample
         slot = req.slot
         self.prefill_cache = p["pcache"]
-        self.decode_cache = self._insert(self.decode_cache, p["pcache"], slot)
+        self.decode_cache = self._insert(self.decode_cache, p["pcache"],
+                                         jnp.int32(slot))
         self._key, sk = jax.random.split(self._key)
         sp = req.sampling
         tok = int(self._first_sample(

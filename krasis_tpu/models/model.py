@@ -394,6 +394,48 @@ def forward(
     specs = layer_specs(cfg)
     info = pattern_info(cfg)
 
+    layer_step = make_layer_step(
+        cfg, prefill=prefill, history=history, mesh=mesh,
+        positions=positions, valid=valid, kv_len=kv_len,
+    )
+
+    new_prefix = []
+    for i, lp in enumerate(params["prefix_layers"]):
+        x, new_lc = layer_step(x, lp, cache["prefix_layers"][i], specs[i])
+        new_prefix.append(new_lc)
+
+    new_pattern = cache["pattern"]
+    if info.reps:
+        pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
+        x, new_pattern = run_pattern_scan(
+            x, params["pattern"], cache["pattern"], pat_specs,
+            info.reps, layer_step, prefill,
+        )
+
+    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+
+    if not return_all_logits:
+        idx = jnp.maximum(seq_lens - 1, 0)
+        x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, H]
+    logits = linear(x, params["lm_head"], out_dtype=jnp.float32)
+
+    new_cache = {
+        "prefix_layers": new_prefix,
+        "pattern": new_pattern,
+        "length": kv_len,
+    }
+    return logits, new_cache
+
+
+def make_layer_step(
+    cfg: ModelConfig, *, prefill: bool, history: int, mesh,
+    positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
+):
+    """Build the per-layer step closure (norm → attention → norm → MLP).
+
+    Factored out of `forward` so the pipeline-parallel path
+    (parallel/pp.py) can run the identical layer computation inside its
+    shard_map stage workers."""
     from ..timing import TIMING
 
     def layer_step(x, lp, lc, spec, lidx=None):
@@ -420,108 +462,102 @@ def forward(
             attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
         x = x + attn_out
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+        B, S = x.shape[:2]
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
-    new_prefix = []
-    for i, lp in enumerate(params["prefix_layers"]):
-        x, new_lc = layer_step(x, lp, cache["prefix_layers"][i], specs[i])
-        new_prefix.append(new_lc)
+    return layer_step
 
-    new_pattern = cache["pattern"]
-    if info.reps:
-        pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
-        pattern_params = params["pattern"]
 
-        # Expert stacks stay WHOLE through the scan: the MoE kernels index
-        # [L, E, ...] with the rep scalar in-kernel. Slicing them per rep
-        # (dynamic-slice) copies ~the active expert bytes × layers × steps
-        # — profiled as the decode bottleneck. Everything else (attention,
-        # norms, gates — 100× smaller) is sliced per rep as before.
-        STACKED_KEYS = ("w13", "w2")
-        # KV cache leaves get the same treatment in DECODE: carried WHOLE
-        # through the scan with the layer index resolved inside the
-        # attention kernel — scanning over them (xs/ys) makes XLA
-        # dynamic-slice + dynamic-update-slice the full per-layer cache
-        # every token (~6 ms/tok at 32K, profiled). In prefill the copy
-        # amortizes over the chunk, so the simple xs/ys form stays.
-        KV_KEYS = ("k", "v", "kv")
+def run_pattern_scan(
+    x: jax.Array,
+    pattern_params,
+    pattern_cache,
+    pat_specs,
+    reps: int,
+    layer_step,
+    prefill: bool,
+):
+    """lax.scan over `reps` repetitions of the layer pattern.
 
-        def make_lp(t, r):
-            lp = {}
-            for name, w in pattern_params[t].items():
-                if name in STACKED_KEYS:
-                    lp[name] = w  # stays [L, E, ...]; kernel indexes
-                else:
-                    lp[name] = jax.tree_util.tree_map(
-                        lambda l: jax.lax.dynamic_index_in_dim(
-                            l, r, 0, keepdims=False
-                        ),
-                        w,
-                    )
-            lp["_layer_idx"] = r
-            return lp
+    Factored out of `forward` for reuse by the pipeline-parallel stage
+    workers (parallel/pp.py), which run it over their LOCAL slice of the
+    rep-stacked parameters. Returns (x, new_pattern_cache)."""
+    period = len(pat_specs)
 
-        if prefill:
-            def scan_body(x, xs):
-                r, lcs = xs
-                new_lcs = []
-                for t in range(info.period):
-                    x, nlc = layer_step(x, make_lp(t, r), lcs[t], pat_specs[t])
-                    new_lcs.append(nlc)
-                return x, tuple(new_lcs)
+    # Expert stacks stay WHOLE through the scan: the MoE kernels index
+    # [L, E, ...] with the rep scalar in-kernel. Slicing them per rep
+    # (dynamic-slice) copies ~the active expert bytes × layers × steps
+    # — profiled as the decode bottleneck. Everything else (attention,
+    # norms, gates — 100× smaller) is sliced per rep as before.
+    STACKED_KEYS = ("w13", "w2")
+    # KV cache leaves get the same treatment in DECODE: carried WHOLE
+    # through the scan with the layer index resolved inside the
+    # attention kernel — scanning over them (xs/ys) makes XLA
+    # dynamic-slice + dynamic-update-slice the full per-layer cache
+    # every token (~6 ms/tok at 32K, profiled). In prefill the copy
+    # amortizes over the chunk, so the simple xs/ys form stays.
+    KV_KEYS = ("k", "v", "kv")
 
-            x, new_pattern = jax.lax.scan(
-                scan_body, x,
-                (jnp.arange(info.reps), tuple(cache["pattern"])),
+    def make_lp(t, r):
+        lp = {}
+        for name, w in pattern_params[t].items():
+            if name in STACKED_KEYS:
+                lp[name] = w  # stays [L, E, ...]; kernel indexes
+            else:
+                lp[name] = jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, r, 0, keepdims=False
+                    ),
+                    w,
+                )
+        lp["_layer_idx"] = r
+        return lp
+
+    if prefill:
+        def scan_body(x, xs):
+            r, lcs = xs
+            new_lcs = []
+            for t in range(period):
+                x, nlc = layer_step(x, make_lp(t, r), lcs[t], pat_specs[t])
+                new_lcs.append(nlc)
+            return x, tuple(new_lcs)
+
+        x, new_pattern = jax.lax.scan(
+            scan_body, x,
+            (jnp.arange(reps), tuple(pattern_cache)),
+        )
+        return x, list(new_pattern)
+
+    kv_stacks = [
+        {k: v for k, v in lc.items() if k in KV_KEYS}
+        for lc in pattern_cache
+    ]
+    other = tuple(
+        {k: v for k, v in lc.items() if k not in KV_KEYS}
+        for lc in pattern_cache
+    )
+
+    def scan_body(carry, xs):
+        x, kvs = carry
+        r, lcs = xs
+        new_kvs, new_lcs = [], []
+        for t in range(period):
+            lc = {**lcs[t], **kvs[t]}
+            x, nlc = layer_step(
+                x, make_lp(t, r), lc, pat_specs[t], lidx=r
             )
-            new_pattern = list(new_pattern)
-        else:
-            kv_stacks = [
-                {k: v for k, v in lc.items() if k in KV_KEYS}
-                for lc in cache["pattern"]
-            ]
-            other = tuple(
-                {k: v for k, v in lc.items() if k not in KV_KEYS}
-                for lc in cache["pattern"]
-            )
+            new_kvs.append(
+                {k: v for k, v in nlc.items() if k in KV_KEYS})
+            new_lcs.append(
+                {k: v for k, v in nlc.items() if k not in KV_KEYS})
+        return (x, tuple(new_kvs)), tuple(new_lcs)
 
-            def scan_body(carry, xs):
-                x, kvs = carry
-                r, lcs = xs
-                new_kvs, new_lcs = [], []
-                for t in range(info.period):
-                    lc = {**lcs[t], **kvs[t]}
-                    x, nlc = layer_step(
-                        x, make_lp(t, r), lc, pat_specs[t], lidx=r
-                    )
-                    new_kvs.append(
-                        {k: v for k, v in nlc.items() if k in KV_KEYS})
-                    new_lcs.append(
-                        {k: v for k, v in nlc.items() if k not in KV_KEYS})
-                return (x, tuple(new_kvs)), tuple(new_lcs)
-
-            (x, kv_final), new_other = jax.lax.scan(
-                scan_body, (x, tuple(kv_stacks)),
-                (jnp.arange(info.reps), other),
-            )
-            new_pattern = [
-                {**new_other[t], **kv_final[t]} for t in range(info.period)
-            ]
-
-    x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
-
-    if not return_all_logits:
-        idx = jnp.maximum(seq_lens - 1, 0)
-        x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]  # [B, H]
-    logits = linear(x, params["lm_head"], out_dtype=jnp.float32)
-
-    new_cache = {
-        "prefix_layers": new_prefix,
-        "pattern": new_pattern,
-        "length": kv_len,
-    }
-    return logits, new_cache
+    (x, kv_final), new_other = jax.lax.scan(
+        scan_body, (x, tuple(kv_stacks)),
+        (jnp.arange(reps), other),
+    )
+    return x, [{**new_other[t], **kv_final[t]} for t in range(period)]
 
 
 def make_forward_fns(cfg: ModelConfig, quant: QuantConfig, mesh=None):

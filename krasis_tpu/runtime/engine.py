@@ -51,6 +51,12 @@ CHUNK = 2048
 HISTORY_BUCKETS = (2048, 4096, 8192, 16384, 32768, 65536)
 
 
+def _is_oom(e: Exception) -> bool:
+    """True for XLA device-memory exhaustion (any backend's phrasing)."""
+    s = f"{type(e).__name__}: {e}"
+    return "RESOURCE_EXHAUSTED" in s or "Out of memory" in s
+
+
 def pick_bucket(n: int) -> int:
     for b in PREFILL_BUCKETS:
         if n <= b:
@@ -125,7 +131,9 @@ class Engine:
         self._multi_decode_fns = {}  # (sampling, steps) → jitted block decode
         self._sample_fns = {}        # sampling → jitted first-token sampler
         self.decode_block = 8       # tokens per device call
+        self.chunk = CHUNK          # prefill chunk; halves on HBM OOM
         self.sampling = SamplingParams()
+        self._cache_len = max_len
         self.cache = init_cache(cfg, quant, batch_size, max_len)
 
     def _sample_fn(self, sampling: SamplingParams):
@@ -157,11 +165,30 @@ class Engine:
         return self._chunk_fns[hist_bucket]
 
     def _prefill_prompt(self, prompt_ids):
-        """Prefill a prompt of any length (chunked beyond CHUNK).
+        """Prefill a prompt of any length (chunked beyond self.chunk),
+        with HBM-OOM retry: on RESOURCE_EXHAUSTED the chunk size is halved
+        and the prompt re-prefilled from a fresh cache (reference
+        model.py:2613 `_forward_prefill_with_oom_retry` chunk halving).
         Returns last-position logits."""
+        while True:
+            try:
+                return self._prefill_prompt_once(prompt_ids)
+            except Exception as e:  # jaxlib surfaces OOM as XlaRuntimeError
+                if not _is_oom(e) or self.chunk <= 128:
+                    raise
+                self.chunk //= 2
+                import logging
+
+                logging.getLogger("krasis_tpu.engine").warning(
+                    "prefill hit RESOURCE_EXHAUSTED; retrying with chunk=%d",
+                    self.chunk,
+                )
+                self.reset(self._cache_len)
+
+    def _prefill_prompt_once(self, prompt_ids):
         n = len(prompt_ids)
         B = self.batch_size
-        first = min(n, CHUNK)
+        first = min(n, self.chunk)
         bucket = pick_bucket(first)
         tokens = np.zeros((B, bucket), np.int32)
         tokens[0, :first] = prompt_ids[:first]
@@ -172,8 +199,8 @@ class Engine:
         )
         pos = first
         while pos < n:
-            m = min(CHUNK, n - pos)
-            tokens = np.zeros((B, CHUNK), np.int32)
+            m = min(self.chunk, n - pos)
+            tokens = np.zeros((B, self.chunk), np.int32)
             tokens[0, :m] = prompt_ids[pos : pos + m]
             seq_lens = np.zeros((B,), np.int32)
             seq_lens[0] = m
@@ -186,8 +213,9 @@ class Engine:
         return logits
 
     def reset(self, cache_len: int | None = None):
+        self._cache_len = cache_len or self.max_len
         self.cache = init_cache(
-            self.cfg, self.quant, self.batch_size, cache_len or self.max_len
+            self.cfg, self.quant, self.batch_size, self._cache_len
         )
 
     # ------------------------------------------------------------------

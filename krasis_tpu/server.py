@@ -331,9 +331,16 @@ def main():
                     help="run note written to the top of the log file")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-serve compile warmup")
+    ap.add_argument("--min-free-ram-gb", type=float, default=2.0,
+                    help="RAM watchdog floor; 0 disables (reference "
+                         "model.py:1536 watchdog thread)")
     args = apply_config_precedence(ap)
 
     setup_run_logging(note=args.note)
+
+    if args.min_free_ram_gb > 0:
+        from .syscheck import start_ram_watchdog
+        start_ram_watchdog(min_free_gb=args.min_free_ram_gb)
 
     def make_quant(group_size=128):
         return QuantConfig(

@@ -94,3 +94,62 @@ def run_startup_checks(cfg=None, quant=None, verbose: bool = True) -> Dict:
 
         print("[syscheck]", json.dumps(rep, indent=2))
     return rep
+
+
+# ---------------------------------------------------------------------------
+# RAM watchdog (reference python/krasis/model.py:1536 — a background thread
+# that aborts the process cleanly before the kernel OOM-killer does it
+# rudely; on this side it mainly guards the host-side weight-loading /
+# quantization path, the only phase with large host allocations)
+# ---------------------------------------------------------------------------
+
+def mem_available_gb() -> float:
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    return int(line.split()[1]) / (1 << 20)
+    except OSError:
+        pass
+    return float("inf")
+
+
+def start_ram_watchdog(
+    min_free_gb: float = 2.0,
+    interval_s: float = 5.0,
+    on_low=None,
+):
+    """Background thread that fires `on_low(avail_gb)` (default: log +
+    SIGTERM self) when host MemAvailable drops below `min_free_gb`.
+    Returns a `stop()` callable."""
+    import logging
+    import signal
+    import threading
+
+    log = logging.getLogger("krasis_tpu.watchdog")
+    stop_evt = threading.Event()
+
+    def _default_on_low(avail):
+        log.critical(
+            "host RAM critically low: %.2f GiB available < %.2f GiB floor "
+            "— terminating before the kernel OOM-killer does (reference "
+            "model.py:1536 behavior)", avail, min_free_gb,
+        )
+        os.kill(os.getpid(), signal.SIGTERM)
+
+    handler = on_low or _default_on_low
+
+    def _run():
+        while not stop_evt.wait(interval_s):
+            avail = mem_available_gb()
+            if avail < min_free_gb:
+                handler(avail)
+                return
+
+    t = threading.Thread(target=_run, name="ram-watchdog", daemon=True)
+    t.start()
+
+    def stop():
+        stop_evt.set()
+
+    return stop

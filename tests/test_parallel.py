@@ -298,3 +298,90 @@ def test_qcn_full_512_expert_shape_sharded(monkeypatch):
     np.testing.assert_array_equal(
         np.argmax(ref_logits, -1), np.argmax(logits, -1)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline parallelism: pp-sharded forward == unsharded forward
+# ---------------------------------------------------------------------------
+
+def _mla_cfg_pp():
+    """MLA + prefix dense layer; 1 dense + 4 MoE layers → reps=4."""
+    return preset_config(
+        "deepseek-v2-lite",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=5, num_attention_heads=4,
+        vocab_size=256, kv_lora_rank=32, qk_nope_head_dim=32,
+        qk_rope_head_dim=16, v_head_dim=32, q_lora_rank=None,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=1,
+        first_k_dense_replace=1,
+    )
+
+
+def _hybrid_cfg_pp():
+    """Hybrid LA/GQA, 2 pattern reps of period 4 → pp=2 stages."""
+    return preset_config(
+        "qwen3-coder-next",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=8, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16,
+        layer_types=["linear_attention", "linear_attention",
+                     "linear_attention", "full_attention"] * 2,
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2,
+        shared_expert_intermediate_size=32,
+    )
+
+
+def _run_pp_pair(cfg, pp, interpret, monkeypatch, B=2, S=8):
+    from krasis_tpu.parallel.pp import (
+        make_pp_forward_fns, make_pp_mesh, pp_shard_cache, pp_shard_params,
+    )
+
+    if interpret:
+        monkeypatch.setenv("KRASIS_TPU_PALLAS_INTERPRET", "1")
+    params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, S)).astype(np.int32)
+    seq_lens = np.full((B,), S, np.int32)
+
+    prefill_fn, decode_fn, _ = make_forward_fns(cfg, QUANT)
+    cache = init_cache(cfg, QUANT, B, 32)
+    ref_logits, ref_cache = jax.jit(prefill_fn)(
+        params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache
+    )
+    nxt = jnp.argmax(ref_logits, -1).astype(jnp.int32)[:, None]
+    ref_dec, _ = jax.jit(decode_fn)(params, nxt, ref_cache)
+
+    mesh = make_pp_mesh(pp)
+    with mesh:
+        sp = pp_shard_params(params, mesh)
+        sc = pp_shard_cache(init_cache(cfg, QUANT, B, 32), mesh)
+        p_prefill, p_decode, _ = make_pp_forward_fns(cfg, QUANT, mesh)
+        logits, cache2 = jax.jit(p_prefill)(
+            sp, jnp.asarray(tokens), jnp.asarray(seq_lens), sc
+        )
+        dec, _ = jax.jit(p_decode)(sp, nxt, cache2)
+    return (np.asarray(ref_logits), np.asarray(logits),
+            np.asarray(ref_dec), np.asarray(dec))
+
+
+@pytest.mark.parametrize("cfg_fn,pp,interpret", [
+    (_mla_cfg_pp, 2, False),
+    (_mla_cfg_pp, 4, False),
+    (_mla_cfg_pp, 2, True),
+    (_hybrid_cfg_pp, 2, False),
+    (_hybrid_cfg_pp, 2, True),
+])
+def test_pp_forward_matches_unsharded(cfg_fn, pp, interpret, monkeypatch):
+    """Pipeline stages over the pp axis == unsharded forward (prefill +
+    decode step), incl. the Pallas MoE kernels in interpret mode — the
+    TPU analog of the reference's tests/test_pp2_*.py."""
+    ref_logits, logits, ref_dec, dec = _run_pp_pair(
+        cfg_fn(), pp, interpret=interpret, monkeypatch=monkeypatch)
+    np.testing.assert_allclose(ref_logits, logits, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(ref_dec, dec, atol=3e-2, rtol=3e-2)
+    np.testing.assert_array_equal(
+        np.argmax(ref_logits, -1), np.argmax(logits, -1)
+    )

@@ -45,6 +45,54 @@ def make_mesh(n_devices: Optional[int] = None, dp: int = 1) -> Mesh:
     return Mesh(np.asarray(devs[:n]).reshape(dp, ep), ("dp", "ep"))
 
 
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up: initialize jax.distributed from args or the
+    standard env vars (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES /
+    JAX_PROCESS_ID; TPU pods also auto-detect). Idempotent. The reference
+    has no multi-node story at all (SURVEY §2.3 'Multi-node is NOT
+    tested'); on TPU this is one call + the right mesh."""
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    coordinator = coordinator or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if coordinator is None and num_processes is None:
+        return  # single-process run; nothing to do
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+
+
+def make_multihost_mesh(
+    dp: Optional[int] = None, ep_per_host: Optional[int] = None
+) -> Mesh:
+    """dp × ep mesh for multi-host serving: ``ep`` spans each host's
+    chips (MoE psum combine rides ICI), ``dp`` spans hosts (data-parallel
+    slots need no inter-host collective in the serving path, so the slow
+    DCN hop is kept off the per-layer critical path — the scaling-book
+    recipe of mapping the chatty axis to ICI).
+
+    Degenerates to the single-host mesh when process_count == 1."""
+    from jax.experimental import mesh_utils
+
+    n_proc = jax.process_count()
+    local = jax.local_device_count()
+    dp = dp or n_proc
+    ep = ep_per_host or (jax.device_count() // dp)
+    if n_proc == 1:
+        return make_mesh(dp * ep, dp=dp)
+    devs = mesh_utils.create_hybrid_device_mesh(
+        (1, ep), (dp, 1), allow_split_physical_axes=True
+    )
+    return Mesh(devs, ("dp", "ep"))
+
+
 def _put(leaf, mesh: Mesh, spec: P):
     return jax.device_put(leaf, NamedSharding(mesh, spec))
 

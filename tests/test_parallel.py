@@ -385,3 +385,14 @@ def test_pp_forward_matches_unsharded(cfg_fn, pp, interpret, monkeypatch):
     np.testing.assert_array_equal(
         np.argmax(ref_logits, -1), np.argmax(logits, -1)
     )
+
+
+def test_multihost_mesh_degenerates_single_host():
+    from krasis_tpu.parallel.mesh import init_distributed, make_multihost_mesh
+
+    init_distributed()  # no-op single-process
+    mesh = make_multihost_mesh(dp=2, ep_per_host=4)
+    assert mesh.axis_names == ("dp", "ep")
+    assert mesh.shape["dp"] == 2 and mesh.shape["ep"] == 4
+    mesh1 = make_multihost_mesh()
+    assert mesh1.shape["dp"] == 1 and mesh1.shape["ep"] == 8

@@ -103,28 +103,47 @@ def run_engine_benchmark(
 
 def run_network_benchmark(port: int, n_prompt_tokens: int = 2048,
                           decode_tokens: int = DECODE_TOKENS) -> Dict:
-    """Re-measure through a running HTTP server (overhead check,
-    reference benchmark.py:823)."""
+    """Re-measure through a running HTTP server via SSE: network-side
+    decode rate = streamed chunks over their wall-clock span, compared
+    against the engine's own timing — the reference's engine→network
+    overhead check (reference benchmark.py:823, BENCHMARKS.md:9-11
+    reports ~7% loss; here the transport is localhost HTTP + SSE)."""
     import urllib.request
 
     prompt = "benchmark " * (n_prompt_tokens // 2)
-    t0 = time.time()
     req = urllib.request.Request(
         f"http://127.0.0.1:{port}/v1/chat/completions",
         data=json.dumps({
             "messages": [{"role": "user", "content": prompt}],
             "max_tokens": decode_tokens, "temperature": 0.0,
+            "stream": True,
         }).encode(),
         headers={"Content-Type": "application/json"},
     )
-    with urllib.request.urlopen(req, timeout=1200) as resp:
-        body = json.loads(resp.read())
-    elapsed = time.time() - t0
-    timing = body.get("timing", {})
+    t0 = time.time()
+    t_first = None
+    n_chunks = 0
+    t_last = t0
+    with urllib.request.urlopen(req, timeout=2400) as resp:
+        for raw in resp:
+            line = raw.decode("utf-8", "replace").strip()
+            if not line.startswith("data: ") or line == "data: [DONE]":
+                continue
+            obj = json.loads(line[6:])
+            delta = obj["choices"][0].get("delta", {})
+            if "content" in delta:
+                now = time.time()
+                if t_first is None:
+                    t_first = now
+                n_chunks += 1
+                t_last = now
+    net_decode = ((n_chunks - 1) / (t_last - t_first)
+                  if n_chunks > 1 and t_last > t_first else None)
     return {
-        "total_s": round(elapsed, 2),
-        "engine_prefill_tok_s": timing.get("prefill_tok_s"),
-        "engine_decode_tok_s": timing.get("decode_tok_s"),
+        "total_s": round(time.time() - t0, 2),
+        "ttfc_s": round(t_first - t0, 3) if t_first else None,
+        "network_decode_tok_s": round(net_decode, 2) if net_decode else None,
+        "streamed_chunks": n_chunks,
     }
 
 
@@ -147,6 +166,10 @@ def main():
     ap.add_argument("--prefill-lengths", type=int, nargs="*",
                     default=list(PREFILL_LENGTHS))
     ap.add_argument("--archive", action="store_true")
+    ap.add_argument("--network", action="store_true",
+                    help="also re-measure through a temp HTTP server and "
+                         "report the engine→network overhead")
+    ap.add_argument("--port", type=int, default=8398)
     args = ap.parse_args()
 
     from .config import ModelConfig, QuantConfig, preset_config
@@ -175,6 +198,20 @@ def main():
             engine, prefill_lengths=tuple(args.prefill_lengths)
         ),
     }
+    if args.network:
+        from .server import start_temp_server
+
+        httpd = start_temp_server(engine, None, model_name, port=args.port)
+        try:
+            net = run_network_benchmark(args.port)
+        finally:
+            httpd.shutdown()
+        eng_decode = report["results"]["decode"]["tok_s_mean"]
+        if net.get("network_decode_tok_s") and eng_decode:
+            net["overhead_pct"] = round(
+                100.0 * (1 - net["network_decode_tok_s"] / eng_decode), 1)
+        report["results"]["network"] = net
+
     print(json.dumps(report, indent=2))
     if args.archive:
         print("archived:", archive_report(report))

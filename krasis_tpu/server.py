@@ -274,6 +274,20 @@ def register_server(port: int, model_name: str):
     return path
 
 
+def start_temp_server(engine, tokenizer, model_name: str,
+                      host="127.0.0.1", port=8398, scheduler=None):
+    """Non-blocking server for the benchmark's network re-measurement
+    (reference benchmark.py:648 spins a temp RustServer the same way).
+    Returns the httpd; call .shutdown() when done."""
+    import threading
+
+    global STATE
+    STATE = ServerState(engine, tokenizer, model_name, scheduler=scheduler)
+    httpd = ThreadingHTTPServer((host, port), Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    return httpd
+
+
 def run_server(engine, tokenizer, model_name: str, host="127.0.0.1",
                port=8399, scheduler=None):
     global STATE

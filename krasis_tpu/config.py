@@ -41,14 +41,19 @@ class QuantConfig:
 
     Mirrors the reference's component split (reference config.py:202-213):
     embedding, kv_b/w_kc/w_vc, layernorms and router gates always stay BF16
-    (quality-critical and/or tiny); attention stays BF16 (the reference
-    found INT8 attention catastrophic for PPL); experts are the big win and
-    go INT4 or INT8; lm_head / shared expert / dense MLP default to INT8.
+    (quality-critical and/or tiny); attention DEFAULTS to BF16 (the
+    reference's Q4 quality config keeps GPU attention BF16 after INT8 hurt
+    PPL) but "int8"/"int4" are supported for the attention/DeltaNet
+    projections — the reference's own CPU decode store quantizes ALL
+    non-MoE weights INT4 by default (reference decode_setup.py:49), and on
+    hybrid models the DeltaNet in/out projections dominate decode HBM
+    traffic (QCN: ~2.4 GB/token at BF16); experts are the big win and go
+    INT4 or INT8; lm_head / shared expert / dense MLP default to INT8.
     """
 
     expert_bits: int = 4            # 4 or 8 — routed expert weights
     lm_head: str = "int8"           # "bf16" | "int8"
-    attention: str = "bf16"         # always "bf16" (see above)
+    attention: str = "bf16"         # "bf16" | "int8" | "int4" (projections)
     shared_expert: str = "int8"     # "bf16" | "int8"
     dense_mlp: str = "int8"         # "bf16" | "int8"
     group_size: int = 128           # quantization group size along K

@@ -250,7 +250,9 @@ class WeightLoader:
                 lp["q_b_proj"] = self._linear(f"{A}.q_b_proj.weight", att)
             else:
                 lp["q_proj"] = self._linear(f"{A}.q_proj.weight", att)
-            lp["kv_a_proj"] = self._linear(f"{A}.kv_a_proj_with_mqa.weight", att)
+            lp["kv_a_proj"] = self._linear(
+                f"{A}.kv_a_proj_with_mqa.weight",
+                "int8" if att == "int4" else att)  # latent proj: int8 floor
             lp["kv_a_norm"] = self._norm(f"{A}.kv_a_layernorm.weight")
             # kv_b_proj [(hq*(dn+dv)), L] → absorbed split (always BF16:
             # quality-critical, reference keeps kv_b BF16).
@@ -266,14 +268,17 @@ class WeightLoader:
             lp["o_proj"] = self._linear(f"{A}.o_proj.weight", att)
         else:  # linear attention (Gated DeltaNet)
             A = f"{L}.linear_attn"
-            lp["qkvz_proj"] = self._linear(f"{A}.in_proj_qkvz.weight", att)
-            lp["ba_proj"] = self._linear(f"{A}.in_proj_ba.weight", att)
+            # recurrent path: int8 floor under attention="int4" (decay
+            # gates compound weight noise over the sequence)
+            la_mode = "int8" if att == "int4" else att
+            lp["qkvz_proj"] = self._linear(f"{A}.in_proj_qkvz.weight", la_mode)
+            lp["ba_proj"] = self._linear(f"{A}.in_proj_ba.weight", la_mode)
             conv = np.asarray(self._get(f"{A}.conv1d.weight"), np.float32)  # [C,1,K]
             lp["conv_w"] = np.ascontiguousarray(conv[:, 0, :].astype(self._np_dtype))
             lp["dt_bias"] = np.asarray(self._get(f"{A}.dt_bias"), np.float32)
             lp["a_log"] = np.asarray(self._get(f"{A}.A_log"), np.float32)
             lp["la_norm"] = self._norm(f"{A}.norm.weight")
-            lp["la_out_proj"] = self._linear(f"{A}.out_proj.weight", att)
+            lp["la_out_proj"] = self._linear(f"{A}.out_proj.weight", la_mode)
 
         if spec.mlp_kind == "moe":
             lp.update(self._load_moe(i, expert_sink=expert_sink))

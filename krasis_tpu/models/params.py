@@ -138,14 +138,21 @@ def _init_layer(
 
     lp: Dict[str, Any] = {"input_norm": ones(H), "post_norm": ones(H)}
 
+    def attn_w(shape, scale=0.02):
+        # honors quant.attention ("bf16" default per the reference's Q4
+        # quality config; "int8" matches the reference's CPU decode store,
+        # which quantizes ALL non-MoE weights — decode_setup.py:49)
+        return _maybe_quant(rnd(shape, scale, dt=jnp.float32),
+                            quant.attention, gs)
+
     if spec.attn_kind == "gqa":
         d = cfg.qk_head_dim
         hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
         gated = cfg.model_type in ("qwen3_next", "qwen3_5_moe_text")
-        lp["q_proj"] = rnd((H, hq * d * (2 if gated else 1)))
-        lp["k_proj"] = rnd((H, hkv * d))
-        lp["v_proj"] = rnd((H, hkv * d))
-        lp["o_proj"] = rnd((hq * d, H))
+        lp["q_proj"] = attn_w((H, hq * d * (2 if gated else 1)))
+        lp["k_proj"] = attn_w((H, hkv * d))
+        lp["v_proj"] = attn_w((H, hkv * d))
+        lp["o_proj"] = attn_w((hq * d, H))
         if cfg.attention_bias:
             lp["q_bias"] = jnp.zeros(lead + (hq * d * (2 if gated else 1),), dtype)
             lp["k_bias"] = jnp.zeros(lead + (hkv * d,), dtype)
@@ -161,28 +168,39 @@ def _init_layer(
         dn, dr = cfg.qk_nope_head_dim, cfg.qk_rope_head_dim
         L, dv = cfg.kv_lora_rank, cfg.v_head_dim
         if cfg.q_lora_rank:
-            lp["q_a_proj"] = rnd((H, cfg.q_lora_rank))
+            lp["q_a_proj"] = attn_w((H, cfg.q_lora_rank))
             lp["q_a_norm"] = plain_ones(cfg.q_lora_rank)
-            lp["q_b_proj"] = rnd((cfg.q_lora_rank, hq * (dn + dr)))
+            lp["q_b_proj"] = attn_w((cfg.q_lora_rank, hq * (dn + dr)))
         else:
-            lp["q_proj"] = rnd((H, hq * (dn + dr)))
-        lp["kv_a_proj"] = rnd((H, L + dr))
+            lp["q_proj"] = attn_w((H, hq * (dn + dr)))
+        # latent projection is quality-critical (feeds the compressed KV
+        # the whole MLA path runs on): cap at int8 under attention="int4"
+        lp["kv_a_proj"] = _maybe_quant(
+            rnd((H, L + dr), dt=jnp.float32),
+            "int8" if quant.attention == "int4" else quant.attention, gs)
         lp["kv_a_norm"] = plain_ones(L)
         lp["w_kc"] = rnd((hq, dn, L))
         lp["w_vc"] = rnd((hq, L, dv))
-        lp["o_proj"] = rnd((hq * dv, H))
+        lp["o_proj"] = attn_w((hq * dv, H))
     else:  # linear_attention
         hk, hv = cfg.linear_num_key_heads, cfg.linear_num_value_heads
         dk, dv = cfg.linear_key_head_dim, cfg.linear_value_head_dim
         key_dim, value_dim = hk * dk, hv * dv
         conv_dim = 2 * key_dim + value_dim
-        lp["qkvz_proj"] = rnd((H, 2 * key_dim + 2 * value_dim))
-        lp["ba_proj"] = rnd((H, 2 * hv))
+        # DeltaNet's recurrent dynamics amplify weight noise (decay gates
+        # compound over the sequence): int8 floor under attention="int4"
+        la_mode = "int8" if quant.attention == "int4" else quant.attention
+
+        def la_w(shape):
+            return _maybe_quant(rnd(shape, dt=jnp.float32), la_mode, gs)
+
+        lp["qkvz_proj"] = la_w((H, 2 * key_dim + 2 * value_dim))
+        lp["ba_proj"] = la_w((H, 2 * hv))
         lp["conv_w"] = rnd((conv_dim, cfg.linear_conv_kernel_dim), scale=0.2)
         lp["dt_bias"] = jnp.ones(lead + (hv,), jnp.float32)
         lp["a_log"] = jnp.zeros(lead + (hv,), jnp.float32)
         lp["la_norm"] = jnp.ones(lead + (dv,), dtype)  # gated norm: plain weight
-        lp["la_out_proj"] = rnd((value_dim, H))
+        lp["la_out_proj"] = la_w((value_dim, H))
 
     if spec.mlp_kind == "moe":
         E, I = cfg.n_routed_experts, cfg.moe_intermediate_size

@@ -3,10 +3,21 @@
 Feature parity with the reference's Rust server
 (reference src/server.rs: /health, /v1/models, /v1/chat/completions,
 SSE streaming with immediate first chunk, client-disconnect
-cancellation, server registry under ~/.krasis_tpu/servers/) — built on
-stdlib ThreadingHTTPServer. Generation is serialized through an engine
-lock (the reference is likewise single-request-at-a-time, server.rs:7);
-continuous batching lands with the batch scheduler.
+cancellation, server registry under ~/.krasis_tpu/servers/).
+
+Two transports share the same route handlers (`handle_request`):
+
+* **native** (default when a C++ toolchain exists): epoll event loop in
+  C++ (`native/serve.cpp`) — socket reads/writes, HTTP parsing, and
+  disconnect detection never touch the GIL, and streamed token writes
+  are buffered try-sends so a slow client can never stall the
+  generation loop. This is the TPU-side analog of the reference's Rust
+  axum server.
+* **python**: stdlib ThreadingHTTPServer fallback (zero build deps).
+
+Generation is serialized through an engine lock unless a
+continuous-batching scheduler is attached (the reference is likewise
+single-request-at-a-time, server.rs:7).
 
 Also serves synthetic models (`--synthetic tiny`) so the API surface can
 be driven without a checkpoint.
@@ -21,7 +32,7 @@ import threading
 import time
 import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 from .config import ModelConfig, QuantConfig, preset_config
 from .ops.sampling import SamplingParams
@@ -44,224 +55,272 @@ class ServerState:
 STATE: Optional[ServerState] = None
 
 
+# ---- transport-independent route handlers ---------------------------------
+# Both transports provide a writer with:
+#   send_json(code, body_bytes) / sse_start() / sse_send(bytes) -> bool
+#   sse_end() / cancelled() -> bool
+
+
+def _json_bytes(obj: Dict[str, Any]) -> bytes:
+    return json.dumps(obj).encode()
+
+
+def _chunk(state: ServerState, rid, created, delta: Dict[str, Any],
+           finish=None) -> bytes:
+    obj = {
+        "id": rid, "object": "chat.completion.chunk", "created": created,
+        "model": state.model_name,
+        "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+    }
+    return f"data: {json.dumps(obj)}\n\n".encode()
+
+
+def handle_request(state: ServerState, method: str, path: str,
+                   body: bytes, w) -> None:
+    if method == "GET" and path == "/health":
+        w.send_json(200, _json_bytes({"status": "ok", "model": state.model_name}))
+        return
+    if method == "GET" and path == "/v1/models":
+        w.send_json(200, _json_bytes({
+            "object": "list",
+            "data": [{"id": state.model_name, "object": "model",
+                      "owned_by": "krasis-tpu"}],
+        }))
+        return
+    if method != "POST" or path != "/v1/chat/completions":
+        w.send_json(404, _json_bytes({"error": "not found"}))
+        return
+
+    try:
+        req = json.loads(body)
+        if not isinstance(req, dict):
+            raise ValueError("request body must be a JSON object")
+    except Exception as e:  # malformed request
+        w.send_json(400, _json_bytes({"error": str(e)}))
+        return
+
+    stream = bool(req.get("stream", False))
+    max_tokens = int(req.get("max_tokens", req.get("max_completion_tokens", 512)))
+    sampling = SamplingParams(
+        temperature=float(req.get("temperature", 0.6)),
+        top_k=int(req.get("top_k", 20)),
+        top_p=float(req.get("top_p", 0.95)),
+        presence_penalty=float(req.get("presence_penalty", 0.0)),
+    )
+
+    messages = req.get("messages", [])
+    if state.tokenizer is not None:
+        prompt_ids = state.tokenizer.apply_chat_template(messages)
+    else:
+        # synthetic model: hash message text into token ids
+        text = " ".join(m.get("content", "") for m in messages)
+        vocab = state.engine.cfg.vocab_size
+        prompt_ids = [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in text[:512]] or [1]
+
+    rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
+    created = int(time.time())
+
+    if state.scheduler is not None:
+        # continuous batching: no lock — scheduler multiplexes slots
+        if stream:
+            _stream_batched(state, w, rid, created, prompt_ids, max_tokens,
+                            sampling)
+        else:
+            _full_batched(state, w, rid, created, prompt_ids, max_tokens,
+                          sampling)
+        return
+    with state.lock:
+        if stream:
+            _stream_single(state, w, rid, created, prompt_ids, max_tokens,
+                           sampling)
+        else:
+            _full_single(state, w, rid, created, prompt_ids, max_tokens,
+                         sampling)
+
+
+def _make_decoder(state: ServerState):
+    if state.tokenizer is None:
+        return None
+    from .runtime.tokenizer import IncrementalDecoder
+
+    return IncrementalDecoder(state.tokenizer)
+
+
+def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
+    w.sse_start()
+    # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
+    w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
+    dec = _make_decoder(state)
+
+    def on_token(tok: int):
+        if w.cancelled():
+            raise StopIteration  # client went away → cancel decode
+        text = dec.push(tok) if dec is not None else f"<{tok}>"
+        if text:
+            if not w.sse_send(_chunk(state, rid, created, {"content": text})):
+                raise StopIteration
+
+    try:
+        state.engine.generate(
+            prompt_ids, max_new_tokens=max_tokens,
+            sampling=sampling, on_token=on_token,
+        )
+    except StopIteration:
+        pass
+    w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
+    w.sse_send(b"data: [DONE]\n\n")
+    w.sse_end()
+
+
+def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
+    res = state.engine.generate(
+        prompt_ids, max_new_tokens=max_tokens, sampling=sampling
+    )
+    if state.tokenizer is not None:
+        text = state.tokenizer.decode(res.tokens)
+    else:
+        text = " ".join(str(t) for t in res.tokens)
+    w.send_json(200, _json_bytes({
+        "id": rid, "object": "chat.completion", "created": created,
+        "model": state.model_name,
+        "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
+                     "finish_reason": "stop"}],
+        "usage": {
+            "prompt_tokens": res.prompt_len,
+            "completion_tokens": len(res.tokens),
+            "total_tokens": res.prompt_len + len(res.tokens),
+        },
+        "timing": {
+            "prefill_tok_s": round(res.prefill_tok_s, 2),
+            "decode_tok_s": round(res.decode_tok_s, 2),
+        },
+    }))
+
+
+def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
+    w.sse_start()
+    w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
+    dec = _make_decoder(state)
+
+    req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
+                                 sampling=sampling)
+    while True:
+        tok = req.out_queue.get()
+        if tok is None:
+            break
+        if w.cancelled():
+            req.cancelled.set()
+            return
+        text = dec.push(tok) if dec is not None else f"<{tok}>"
+        if text:
+            if not w.sse_send(_chunk(state, rid, created, {"content": text})):
+                req.cancelled.set()
+                return
+    w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
+    w.sse_send(b"data: [DONE]\n\n")
+    w.sse_end()
+
+
+def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
+    req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
+                                 sampling=sampling)
+    toks = []
+    while True:
+        t = req.out_queue.get()
+        if t is None:
+            break
+        toks.append(t)
+    if state.tokenizer is not None:
+        text = state.tokenizer.decode(toks)
+    else:
+        text = " ".join(str(t) for t in toks)
+    w.send_json(200, _json_bytes({
+        "id": rid, "object": "chat.completion", "created": created,
+        "model": state.model_name,
+        "choices": [{"index": 0,
+                     "message": {"role": "assistant", "content": text},
+                     "finish_reason": "stop"}],
+        "usage": {"prompt_tokens": len(prompt_ids),
+                  "completion_tokens": len(toks),
+                  "total_tokens": len(prompt_ids) + len(toks)},
+    }))
+
+
+# ---- stdlib transport ------------------------------------------------------
+
+
+class _StdlibWriter:
+    """ResponseWriter over a BaseHTTPRequestHandler (chunked SSE)."""
+
+    def __init__(self, h: BaseHTTPRequestHandler):
+        self._h = h
+        self._dead = False
+
+    def send_json(self, code: int, body: bytes) -> None:
+        h = self._h
+        h.send_response(code)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(body)))
+        h.end_headers()
+        h.wfile.write(body)
+
+    def sse_start(self) -> None:
+        h = self._h
+        h.send_response(200)
+        h.send_header("Content-Type", "text/event-stream")
+        h.send_header("Cache-Control", "no-cache")
+        h.send_header("Transfer-Encoding", "chunked")
+        h.end_headers()
+
+    def sse_send(self, data: bytes) -> bool:
+        if self._dead:
+            return False
+        try:
+            self._h.wfile.write(f"{len(data):x}\r\n".encode() + data + b"\r\n")
+            self._h.wfile.flush()
+            return True
+        except (BrokenPipeError, ConnectionResetError):
+            self._dead = True
+            return False
+
+    def sse_end(self) -> None:
+        if self._dead:
+            return
+        try:
+            self._h.wfile.write(b"0\r\n\r\n")
+            self._h.wfile.flush()
+        except (BrokenPipeError, ConnectionResetError):
+            self._dead = True
+
+    def cancelled(self) -> bool:
+        # stdlib sockets can't observe a disconnect without writing; a
+        # failed write sets _dead (the native transport sees EPOLLRDHUP)
+        return self._dead
+
+
 class Handler(BaseHTTPRequestHandler):
     protocol_version = "HTTP/1.1"
 
     def log_message(self, fmt, *args):  # quiet default logging
         pass
 
-    # ---- helpers ----------------------------------------------------------
-
-    def _json(self, code: int, obj: Dict[str, Any]):
-        body = json.dumps(obj).encode()
-        self.send_response(code)
-        self.send_header("Content-Type", "application/json")
-        self.send_header("Content-Length", str(len(body)))
-        self.end_headers()
-        self.wfile.write(body)
-
-    # ---- routes -----------------------------------------------------------
-
-    def do_GET(self):
-        if self.path == "/health":
-            self._json(200, {"status": "ok", "model": STATE.model_name})
-        elif self.path == "/v1/models":
-            self._json(200, {
-                "object": "list",
-                "data": [{"id": STATE.model_name, "object": "model",
-                          "owned_by": "krasis-tpu"}],
-            })
-        else:
-            self._json(404, {"error": "not found"})
-
-    def do_POST(self):
-        if self.path != "/v1/chat/completions":
-            self._json(404, {"error": "not found"})
-            return
+    def _dispatch(self):
         try:
             n = int(self.headers.get("Content-Length", 0))
-            req = json.loads(self.rfile.read(n))
-        except Exception as e:  # malformed request
-            self._json(400, {"error": str(e)})
-            return
+        except ValueError:
+            n = 0
+        body = self.rfile.read(n) if n else b""
+        handle_request(STATE, self.command, self.path, body,
+                       _StdlibWriter(self))
 
-        stream = bool(req.get("stream", False))
-        max_tokens = int(req.get("max_tokens", req.get("max_completion_tokens", 512)))
-        sampling = SamplingParams(
-            temperature=float(req.get("temperature", 0.6)),
-            top_k=int(req.get("top_k", 20)),
-            top_p=float(req.get("top_p", 0.95)),
-            presence_penalty=float(req.get("presence_penalty", 0.0)),
-        )
+    def do_GET(self):
+        self._dispatch()
 
-        messages = req.get("messages", [])
-        if STATE.tokenizer is not None:
-            prompt_ids = STATE.tokenizer.apply_chat_template(messages)
-        else:
-            # synthetic model: hash message text into token ids
-            text = " ".join(m.get("content", "") for m in messages)
-            vocab = STATE.engine.cfg.vocab_size
-            prompt_ids = [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in text[:512]] or [1]
-
-        rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
-        created = int(time.time())
-
-        if STATE.scheduler is not None:
-            # continuous batching: no lock — scheduler multiplexes slots
-            if stream:
-                self._stream_response_batched(rid, created, prompt_ids,
-                                              max_tokens, sampling)
-            else:
-                self._full_response_batched(rid, created, prompt_ids,
-                                            max_tokens, sampling)
-            return
-        with STATE.lock:
-            if stream:
-                self._stream_response(rid, created, prompt_ids, max_tokens, sampling)
-            else:
-                self._full_response(rid, created, prompt_ids, max_tokens, sampling)
-
-    # ---- generation -------------------------------------------------------
-
-    def _chunk(self, rid, created, delta: Dict[str, Any], finish=None) -> bytes:
-        obj = {
-            "id": rid, "object": "chat.completion.chunk", "created": created,
-            "model": STATE.model_name,
-            "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
-        }
-        return f"data: {json.dumps(obj)}\n\n".encode()
-
-    def _stream_response(self, rid, created, prompt_ids, max_tokens, sampling):
-        self.send_response(200)
-        self.send_header("Content-Type", "text/event-stream")
-        self.send_header("Cache-Control", "no-cache")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.end_headers()
-
-        def write_chunk(b: bytes):
-            self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
-            self.wfile.flush()
-
-        # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
-        write_chunk(self._chunk(rid, created, {"role": "assistant"}))
-
-        dec = None
-        if STATE.tokenizer is not None:
-            from .runtime.tokenizer import IncrementalDecoder
-            dec = IncrementalDecoder(STATE.tokenizer)
-
-        cancelled = threading.Event()
-
-        def on_token(tok: int):
-            if cancelled.is_set():
-                raise StopIteration  # client went away → cancel decode
-            text = dec.push(tok) if dec is not None else f"<{tok}>"
-            if text:
-                try:
-                    write_chunk(self._chunk(rid, created, {"content": text}))
-                except (BrokenPipeError, ConnectionResetError):
-                    cancelled.set()
-                    raise StopIteration
-
-        try:
-            STATE.engine.generate(
-                prompt_ids, max_new_tokens=max_tokens,
-                sampling=sampling, on_token=on_token,
-            )
-        except StopIteration:
-            pass
-        try:
-            write_chunk(self._chunk(rid, created, {}, finish="stop"))
-            write_chunk(b"data: [DONE]\n\n")
-            self.wfile.write(b"0\r\n\r\n")
-            self.wfile.flush()
-        except (BrokenPipeError, ConnectionResetError):
-            pass
-
-    def _full_response(self, rid, created, prompt_ids, max_tokens, sampling):
-        res = STATE.engine.generate(
-            prompt_ids, max_new_tokens=max_tokens, sampling=sampling
-        )
-        if STATE.tokenizer is not None:
-            text = STATE.tokenizer.decode(res.tokens)
-        else:
-            text = " ".join(str(t) for t in res.tokens)
-        self._json(200, {
-            "id": rid, "object": "chat.completion", "created": created,
-            "model": STATE.model_name,
-            "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
-                         "finish_reason": "stop"}],
-            "usage": {
-                "prompt_tokens": res.prompt_len,
-                "completion_tokens": len(res.tokens),
-                "total_tokens": res.prompt_len + len(res.tokens),
-            },
-            "timing": {
-                "prefill_tok_s": round(res.prefill_tok_s, 2),
-                "decode_tok_s": round(res.decode_tok_s, 2),
-            },
-        })
+    def do_POST(self):
+        self._dispatch()
 
 
-    def _stream_response_batched(self, rid, created, prompt_ids,
-                                 max_tokens, sampling):
-        self.send_response(200)
-        self.send_header("Content-Type", "text/event-stream")
-        self.send_header("Cache-Control", "no-cache")
-        self.send_header("Transfer-Encoding", "chunked")
-        self.end_headers()
-
-        def write_chunk(b: bytes):
-            self.wfile.write(f"{len(b):x}\r\n".encode() + b + b"\r\n")
-            self.wfile.flush()
-
-        write_chunk(self._chunk(rid, created, {"role": "assistant"}))
-        dec = None
-        if STATE.tokenizer is not None:
-            from .runtime.tokenizer import IncrementalDecoder
-            dec = IncrementalDecoder(STATE.tokenizer)
-
-        req = STATE.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
-                                     sampling=sampling)
-        try:
-            while True:
-                tok = req.out_queue.get()
-                if tok is None:
-                    break
-                text = dec.push(tok) if dec is not None else f"<{tok}>"
-                if text:
-                    write_chunk(self._chunk(rid, created, {"content": text}))
-            write_chunk(self._chunk(rid, created, {}, finish="stop"))
-            write_chunk(b"data: [DONE]\n\n")
-            self.wfile.write(b"0\r\n\r\n")
-            self.wfile.flush()
-        except (BrokenPipeError, ConnectionResetError):
-            req.cancelled.set()
-
-    def _full_response_batched(self, rid, created, prompt_ids,
-                               max_tokens, sampling):
-        req = STATE.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
-                                     sampling=sampling)
-        toks = []
-        while True:
-            t = req.out_queue.get()
-            if t is None:
-                break
-            toks.append(t)
-        if STATE.tokenizer is not None:
-            text = STATE.tokenizer.decode(toks)
-        else:
-            text = " ".join(str(t) for t in toks)
-        self._json(200, {
-            "id": rid, "object": "chat.completion", "created": created,
-            "model": STATE.model_name,
-            "choices": [{"index": 0,
-                         "message": {"role": "assistant", "content": text},
-                         "finish_reason": "stop"}],
-            "usage": {"prompt_tokens": len(prompt_ids),
-                      "completion_tokens": len(toks),
-                      "total_tokens": len(prompt_ids) + len(toks)},
-        })
+# ---- lifecycle -------------------------------------------------------------
 
 
 def register_server(port: int, model_name: str):
@@ -274,27 +333,45 @@ def register_server(port: int, model_name: str):
     return path
 
 
+def _make_httpd(host: str, port: int, backend: str = "auto"):
+    """Build the requested transport. Returns (httpd, backend_used)."""
+    if backend in ("auto", "native"):
+        from .native import serve as native_serve
+
+        if native_serve.available():
+            httpd = native_serve.NativeHTTPServer(
+                host, port,
+                lambda m, p, b, w: handle_request(STATE, m, p, b, w),
+            )
+            return httpd, "native"
+        if backend == "native":
+            raise RuntimeError("native server requested but the C++ "
+                               "library failed to build")
+    return ThreadingHTTPServer((host, port), Handler), "python"
+
+
 def start_temp_server(engine, tokenizer, model_name: str,
-                      host="127.0.0.1", port=8398, scheduler=None):
+                      host="127.0.0.1", port=8398, scheduler=None,
+                      backend: str = "auto"):
     """Non-blocking server for the benchmark's network re-measurement
     (reference benchmark.py:648 spins a temp RustServer the same way).
     Returns the httpd; call .shutdown() when done."""
-    import threading
-
     global STATE
     STATE = ServerState(engine, tokenizer, model_name, scheduler=scheduler)
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    httpd, used = _make_httpd(host, port, backend)
+    if used == "python":
+        threading.Thread(target=httpd.serve_forever, daemon=True).start()
     return httpd
 
 
 def run_server(engine, tokenizer, model_name: str, host="127.0.0.1",
-               port=8399, scheduler=None):
+               port=8399, scheduler=None, backend: str = "auto"):
     global STATE
     STATE = ServerState(engine, tokenizer, model_name, scheduler=scheduler)
     reg = register_server(port, model_name)
-    httpd = ThreadingHTTPServer((host, port), Handler)
-    print(f"krasis-tpu serving {model_name} on http://{host}:{port}")
+    httpd, used = _make_httpd(host, port, backend)
+    print(f"krasis-tpu serving {model_name} on http://{host}:{port} "
+          f"[{used} transport]")
     try:
         httpd.serve_forever()
     finally:
@@ -334,6 +411,8 @@ def main():
     ap.add_argument("--expert-bits", type=int, default=4, choices=(4, 8))
     ap.add_argument("--kv-dtype", default="auto",
                     choices=("auto", "fp8", "bf16"))
+    ap.add_argument("--attention-quant", default="bf16",
+                    choices=("bf16", "int8", "int4"))
     ap.add_argument("--shared-expert-quant", default="int8",
                     choices=("bf16", "int8"))
     ap.add_argument("--dense-mlp-quant", default="int8",
@@ -341,6 +420,13 @@ def main():
     ap.add_argument("--lm-head-quant", default="int8", choices=("bf16", "int8"))
     ap.add_argument("--slots", type=int, default=0,
                     help="continuous-batching slots (0 = single-request)")
+    ap.add_argument("--decode-block", type=int, default=8,
+                    help="tokens per fused device call in the batch "
+                         "scheduler (higher amortizes dispatch latency, "
+                         "coarser stop/cancel granularity)")
+    ap.add_argument("--server-backend", default="auto",
+                    choices=("auto", "native", "python"),
+                    help="HTTP transport: C++ epoll server or stdlib")
     ap.add_argument("--note", default=None,
                     help="run note written to the top of the log file")
     ap.add_argument("--no-warmup", action="store_true",
@@ -360,6 +446,7 @@ def main():
         return QuantConfig(
             expert_bits=args.expert_bits, group_size=group_size,
             kv_cache_dtype=args.kv_dtype,
+            attention=args.attention_quant,
             shared_expert=args.shared_expert_quant,
             dense_mlp=args.dense_mlp_quant, lm_head=args.lm_head_quant,
         )
@@ -392,10 +479,12 @@ def main():
     if args.slots > 0:
         from .runtime.scheduler import BatchScheduler
         sched = BatchScheduler(cfg, quant, params,
-                               max_len=args.max_len, num_slots=args.slots)
+                               max_len=args.max_len, num_slots=args.slots,
+                               decode_block=args.decode_block)
     if not args.no_warmup:
         warmup(engine, sched)
-    run_server(engine, tok, name, args.host, args.port, scheduler=sched)
+    run_server(engine, tok, name, args.host, args.port, scheduler=sched,
+               backend=args.server_backend)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,271 @@
+"""Native C++ HTTP/SSE server (native/serve.cpp) — full battery, plus the
+same routes over the stdlib transport to pin behavioral parity.
+
+Reference parity target: src/server.rs (health/models/chat, SSE with
+immediate first chunk, disconnect cancellation). Runs self-contained on
+the CPU backend with a tiny synthetic engine.
+"""
+
+import http.client
+import json
+import socket
+import threading
+import time
+
+import pytest
+
+from krasis_tpu.config import QuantConfig
+from krasis_tpu.models.synthetic import build_synthetic_engine, tiny_config
+from krasis_tpu.native import serve as native_serve
+from krasis_tpu.ops.sampling import SamplingParams
+from krasis_tpu.server import start_temp_server
+
+pytestmark = pytest.mark.skipif(
+    not native_serve.available(), reason="no C++ toolchain for native server"
+)
+
+
+class SpyEngine:
+    """Delegates to a real engine, counting emitted tokens (cancellation
+    observability)."""
+
+    def __init__(self, eng):
+        self._eng = eng
+        self.cfg = eng.cfg
+        self.max_len = eng.max_len
+        self.tokens_emitted = 0
+
+    def generate(self, prompt_ids, max_new_tokens, sampling, on_token=None,
+                 **kw):
+        def counting(tok):
+            self.tokens_emitted += 1
+            if on_token is not None:
+                on_token(tok)
+
+        return self._eng.generate(prompt_ids, max_new_tokens=max_new_tokens,
+                                  sampling=sampling, on_token=counting, **kw)
+
+
+@pytest.fixture(scope="module")
+def engine():
+    cfg = tiny_config("qwen3-moe")
+    return build_synthetic_engine(
+        cfg, QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16"),
+        max_len=512,
+    )
+
+
+@pytest.fixture(scope="module", params=["native", "python"])
+def server(request, engine):
+    port = 8461 if request.param == "native" else 8462
+    spy = SpyEngine(engine)
+    httpd = start_temp_server(spy, None, "synthetic/tiny", port=port,
+                              backend=request.param)
+    # the native transport reports its actual backend via the class
+    if request.param == "native":
+        assert type(httpd).__name__ == "NativeHTTPServer"
+    yield port, spy
+    httpd.shutdown()
+
+
+def _post(port, obj, timeout=300):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", "/v1/chat/completions", json.dumps(obj),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = r.read()
+    conn.close()
+    return r.status, body
+
+
+def test_health_and_models(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/health")
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["status"] == "ok"
+    # keep-alive: second request over the SAME connection
+    conn.request("GET", "/v1/models")
+    r = conn.getresponse()
+    data = json.loads(r.read())
+    assert data["object"] == "list" and data["data"][0]["id"] == "synthetic/tiny"
+    conn.close()
+
+
+def test_not_found_and_bad_json(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/nope")
+    assert conn.getresponse().status == 404
+    conn.close()
+    status, _ = _post(port, None)  # "null" body → not a JSON object
+    assert status == 400
+    status, _ = _post_raw(port, b"{not json")
+    assert status == 400
+
+
+def _post_raw(port, raw, timeout=60):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=timeout)
+    conn.request("POST", "/v1/chat/completions", raw,
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    body = r.read()
+    conn.close()
+    return r.status, body
+
+
+def test_chat_completion_json(server):
+    port, _ = server
+    status, body = _post(port, {
+        "messages": [{"role": "user", "content": "hello"}],
+        "max_tokens": 4, "temperature": 0.0,
+    })
+    assert status == 200
+    obj = json.loads(body)
+    assert obj["choices"][0]["message"]["content"]
+    assert obj["usage"]["completion_tokens"] >= 1
+
+
+def test_sse_stream(server):
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/chat/completions", json.dumps({
+        "messages": [{"role": "user", "content": "hi"}],
+        "max_tokens": 4, "temperature": 0.0, "stream": True,
+    }), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    assert r.status == 200
+    assert r.getheader("Content-Type") == "text/event-stream"
+    chunks, done = 0, False
+    for raw in r:
+        line = raw.decode().strip()
+        if line.startswith("data: "):
+            if line == "data: [DONE]":
+                done = True
+                break
+            chunks += 1
+    conn.close()
+    assert done and chunks >= 2  # role chunk + ≥1 content chunk
+
+
+def test_concurrent_requests(server):
+    port, _ = server
+    results = []
+
+    def worker():
+        status, body = _post(port, {
+            "messages": [{"role": "user", "content": "go"}],
+            "max_tokens": 2, "temperature": 0.0,
+        })
+        results.append(status)
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=300)
+    assert results == [200, 200, 200, 200]
+
+
+def test_greedy_determinism(server):
+    port, _ = server
+    outs = []
+    for _ in range(2):
+        _, body = _post(port, {
+            "messages": [{"role": "user", "content": "determinism"}],
+            "max_tokens": 6, "temperature": 0.0,
+        })
+        outs.append(json.loads(body)["choices"][0]["message"]["content"])
+    assert outs[0] == outs[1]
+
+
+def test_disconnect_cancels_generation(engine):
+    """Client drops mid-stream → the native transport observes EPOLLRDHUP
+    and the generation loop stops early (reference server.rs disconnect
+    cancellation). Native-only: stdlib sockets can't see a disconnect
+    without writing."""
+    port = 8463
+    spy = SpyEngine(engine)
+    httpd = start_temp_server(spy, None, "synthetic/tiny", port=port,
+                              backend="native")
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=60)
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "long"}],
+            "max_tokens": 400, "temperature": 0.0, "stream": True,
+        }).encode()
+        s.sendall(
+            b"POST /v1/chat/completions HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        s.recv(1024)  # wait for the first bytes (headers + role chunk)
+        s.close()     # client goes away
+        # generation should stop well before 400 tokens
+        deadline = time.time() + 120
+        while time.time() < deadline:
+            done = spy.tokens_emitted
+            time.sleep(1.0)
+            if spy.tokens_emitted == done and done > 0:
+                break  # token counter stopped moving
+        assert 0 < spy.tokens_emitted < 400
+    finally:
+        httpd.shutdown()
+
+
+def test_native_with_batch_scheduler(engine):
+    """Continuous batching behind the native transport: two concurrent
+    SSE streams multiplexed through scheduler slots."""
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    port = 8464
+    sched = BatchScheduler(engine.cfg, engine.quant, engine.params,
+                           max_len=512, num_slots=2)
+    httpd = start_temp_server(engine, None, "synthetic/tiny", port=port,
+                              scheduler=sched, backend="native")
+    try:
+        results = []
+
+        def worker():
+            conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+            conn.request("POST", "/v1/chat/completions", json.dumps({
+                "messages": [{"role": "user", "content": "batch me"}],
+                "max_tokens": 4, "temperature": 0.0, "stream": True,
+            }), {"Content-Type": "application/json"})
+            r = conn.getresponse()
+            chunks, done = 0, False
+            for raw in r:
+                line = raw.decode().strip()
+                if line == "data: [DONE]":
+                    done = True
+                    break
+                if line.startswith("data: "):
+                    chunks += 1
+            conn.close()
+            results.append((done, chunks))
+
+        ts = [threading.Thread(target=worker) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert len(results) == 2
+        assert all(done and chunks >= 2 for done, chunks in results)
+    finally:
+        httpd.shutdown()
+        sched.shutdown()
+
+
+def test_oversized_path_request(server):
+    """A request the parser must reject (no crash, connection dropped)."""
+    port, _ = server
+    s = socket.create_connection(("127.0.0.1", port), timeout=10)
+    s.sendall(b"GET /" + b"x" * (80 * 1024) + b" HTTP/1.1\r\n")
+    time.sleep(0.2)
+    s.close()
+    # server still alive
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=10)
+    conn.request("GET", "/health")
+    assert conn.getresponse().status == 200
+    conn.close()

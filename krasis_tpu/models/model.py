@@ -626,3 +626,36 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
         return toks, cache, key, seen   # toks: [steps, B]
 
     return fn
+
+
+def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
+                                 steps: int, mesh=None):
+    """Fused decode+sample block with PER-SLOT sampling params — the
+    batched-scheduler analog of make_multi_decode_fn. One device call
+    advances every active slot by `steps` tokens (per-token dispatch
+    costs a host↔device round trip per step — ~28 ms through a relay
+    tunnel, which would cap scheduler throughput at ~35 tok/s/slot no
+    matter the model)."""
+    from ..ops.sampling import sample_batched
+
+    def fn(params, tok, cache, key, seen, temp, top_p, pres, top_k):
+        B = tok.shape[0]
+        seq1 = jnp.ones((B,), jnp.int32)
+
+        def body(carry, _):
+            tok, cache, key, seen = carry
+            logits, cache = forward(
+                params, tok[:, None], seq1, cache, cfg, quant, prefill=False,
+                mesh=mesh,
+            )
+            key, sk = jax.random.split(key)
+            nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k)
+            seen = seen.at[jnp.arange(B), nxt].set(True)
+            return (nxt, cache, key, seen), nxt
+
+        (tok, cache, key, seen), toks = jax.lax.scan(
+            body, (tok, cache, key, seen), None, length=steps
+        )
+        return toks, cache, key, seen   # toks: [steps, B]
+
+    return fn

@@ -146,11 +146,18 @@ def use_grouped_path(T: int, k: int, E: int) -> bool:
     """Dispatch predicate: grouped (prefill) kernel vs gathered (decode).
 
     Decode regime = few tokens: the gathered kernels read each selected
-    expert exactly once. The grouped (prefill) kernel pads every hit
-    expert to a full token tile — catastrophic at T≈1 (measured 3×
-    decode-step blowup on QCN when this keyed off E instead of T; pinned
-    by tests/test_moe_dispatch.py so it can't regress)."""
-    return T * k >= 2 * E or T >= 64
+    expert exactly once per (token, expert) pick. The grouped (prefill)
+    kernel reads every expert ONCE but pads each hit expert to a full
+    token tile — catastrophic at T≈1 (measured 3× decode-step blowup on
+    QCN when this keyed off E instead of T).
+
+    Crossover measured on v5e (V2-Lite E=64 k=6, batched-scheduler
+    steady decode, benchmarks/probe_grouped_decode.py): at T=8 slots the
+    grouped kernel wins 477 vs 312 tok/s (T·k=48 ≈ 0.75·E — most experts
+    are hit anyway, so one pass over the expert stack beats re-reading
+    per pick); at T=4 (T·k=24) gathered wins 255 vs 193. Threshold set
+    at T·k ≥ 0.75·E. Pinned by tests/test_moe_dispatch.py."""
+    return 4 * T * k >= 3 * E or T >= 64
 
 
 def moe_forward(

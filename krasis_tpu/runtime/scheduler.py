@@ -29,7 +29,11 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import ModelConfig, QuantConfig
-from ..models.model import make_chunk_prefill_fn, make_forward_fns
+from ..models.model import (
+    make_chunk_prefill_fn,
+    make_forward_fns,
+    make_multi_decode_batched_fn,
+)
 from ..ops.sampling import SamplingParams, sample, sample_batched
 from .engine import CHUNK, PREFILL_BUCKETS, pick_bucket, pick_history_bucket
 from .kv_cache import init_cache, resolve_kv_quant
@@ -95,6 +99,7 @@ class BatchScheduler:
         max_len: int = 4096,
         num_slots: int = 4,
         mesh=None,
+        decode_block: int = 8,
     ):
         self.cfg = cfg
         self.quant = quant = resolve_kv_quant(cfg, quant, num_slots, max_len)
@@ -102,22 +107,21 @@ class BatchScheduler:
         self.max_len = max_len
         self.num_slots = num_slots
         self.mesh = mesh
+        self.decode_block = max(1, decode_block)
 
         prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant, mesh=mesh)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._insert = jax.jit(insert_slot, donate_argnums=(0,))
 
-        # one fused decode+sample step for ALL slots (per-slot eager
-        # sampling would cost a host round trip per slot per token)
-        def decode_sample(params, tok, cache, key, seen, temp, top_p, pres, top_k):
-            logits, cache = decode_fn(params, tok[:, None], cache)
-            key, sk = jax.random.split(key)
-            nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k)
-            seen = seen.at[jnp.arange(tok.shape[0]), nxt].set(True)
-            return nxt, cache, key, seen
-
-        self._decode_sample = jax.jit(decode_sample, donate_argnums=(2,))
+        # one fused decode+sample BLOCK for ALL slots: `decode_block`
+        # tokens per device call (per-token dispatch costs a host round
+        # trip per step); per-slot sampling params stay vectorized
+        self._decode_sample = jax.jit(
+            make_multi_decode_batched_fn(cfg, quant, self.decode_block,
+                                         mesh=mesh),
+            donate_argnums=(2,),
+        )
         self._chunk_fns = {}
         self._first_sample = jax.jit(
             lambda key, logits, temp, top_p, pres, seen, top_k: sample_batched(
@@ -314,10 +318,15 @@ class BatchScheduler:
                     jnp.asarray(self._pres), jnp.asarray(self._top_k),
                 )
             )
-            toks_host = np.asarray(toks)
-            for slot, req in enumerate(self._active):
-                if req is None:
-                    continue
-                tok = int(toks_host[slot])
-                self._tokens[slot] = tok
-                self._emit(req, tok)
+            toks_host = np.asarray(toks)  # [decode_block, num_slots]
+            # Emit block tokens in generation order per slot. A slot that
+            # hits its stop condition mid-block stops emitting (the rest
+            # of its block is bounded overshoot, like Engine.generate);
+            # the freed slot is reused at the next admission.
+            for step in range(toks_host.shape[0]):
+                for slot, req in enumerate(self._active):
+                    if req is None:
+                        continue
+                    tok = int(toks_host[step, slot])
+                    self._tokens[slot] = tok
+                    self._emit(req, tok)

@@ -25,13 +25,28 @@ ARCHS = [
 
 
 @pytest.mark.parametrize("name,E,k", ARCHS)
-@pytest.mark.parametrize("T", [1, 2, 4, 8, 16])
+@pytest.mark.parametrize("T", [1, 2, 4])
 def test_decode_shapes_take_gathered_path(name, E, k, T):
-    # batched decode up to 16 slots must never hit the tile-padded
+    # single-stream / small-batch decode must never hit the tile-padded
     # grouped kernel on any preset architecture
     assert not use_grouped_path(T, k, E), (
         f"{name}: decode shape T={T} k={k} E={E} routed to grouped kernel"
     )
+
+
+@pytest.mark.parametrize("T", [8, 16])
+def test_qcn_batched_decode_stays_gathered(T):
+    # the original ed7e34d regression: T≈10 tokens on 512 experts must
+    # stay gathered even at high slot counts (T·k ≪ E)
+    assert not use_grouped_path(T, 10, 512)
+
+
+def test_v2lite_batched_decode_crossover():
+    # measured on v5e (probe_grouped_decode.py): 8 slots × top-6 of 64
+    # experts runs 53% faster through the grouped kernel; 4 slots is
+    # faster gathered
+    assert use_grouped_path(8, 6, 64)
+    assert not use_grouped_path(4, 6, 64)
 
 
 @pytest.mark.parametrize("name,E,k", ARCHS)

@@ -63,10 +63,17 @@ def run_engine_benchmark(
             return prompt_ids[:n]
         return corpus.prompt_ids(domain, n, vocab, tokenizer=tokenizer)
 
-    # warmup: full generate compiles prefill + decode (warmup-only domain)
+    # warmup: full generate at the LARGEST timed length (warmup-only
+    # domain) — warming shorter would leave the timed runs' prefill
+    # buckets / history-chunk programs uncompiled, and remote compiles
+    # land inside the measurement (seen as a 9 s "prefill" at 2048).
+    warm_n = min(
+        max([*prefill_lengths, 2048], default=2048),
+        engine.max_len - decode_tokens - 8,
+    )
     engine.generate(
-        make_prompt(min(1024, engine.max_len // 2), corpus.WARMUP_DOMAIN),
-        max_new_tokens=4, sampling=greedy, stop_ids={-1})
+        make_prompt(warm_n, corpus.WARMUP_DOMAIN),
+        max_new_tokens=decode_tokens, sampling=greedy, stop_ids={-1})
 
     results: Dict = {"prefill": {}, "decode": {}}
     for i, n in enumerate(prefill_lengths):
@@ -162,6 +169,13 @@ def main():
     ap.add_argument("--model", help="checkpoint path")
     ap.add_argument("--synthetic", help="synthetic preset name")
     ap.add_argument("--expert-bits", type=int, default=4)
+    ap.add_argument("--attention-quant", default="bf16",
+                    choices=("bf16", "int8", "int4"))
+    ap.add_argument("--expert-activation", default="bf16",
+                    choices=("bf16", "int8"))
+    ap.add_argument("--decode-block", type=int, default=32,
+                    help="tokens per fused decode call (32 amortizes "
+                         "remote-tunnel dispatch; match bench.py)")
     ap.add_argument("--max-len", type=int, default=65536)
     ap.add_argument("--prefill-lengths", type=int, nargs="*",
                     default=list(PREFILL_LENGTHS))
@@ -174,7 +188,9 @@ def main():
 
     from .config import ModelConfig, QuantConfig, preset_config
 
-    quant = QuantConfig(expert_bits=args.expert_bits)
+    quant = QuantConfig(expert_bits=args.expert_bits,
+                        attention=args.attention_quant,
+                        expert_activation=args.expert_activation)
     if args.synthetic:
         from .models.synthetic import build_synthetic_engine
 
@@ -189,10 +205,12 @@ def main():
         params = load_params(cfg, quant)
         engine = Engine(cfg, quant, params, max_len=args.max_len)
         model_name = args.model
+    engine.decode_block = args.decode_block
 
     report = {
         "model": model_name,
-        "quant": {"expert_bits": args.expert_bits},
+        "quant": {"expert_bits": args.expert_bits,
+                  "attention": args.attention_quant},
         "system": _system_info(),
         "results": run_engine_benchmark(
             engine, prefill_lengths=tuple(args.prefill_lengths)

@@ -322,7 +322,8 @@ def _la_attention(
     return out, {"state": new_state, "conv": new_conv}
 
 
-def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None) -> jax.Array:
+def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
+         activation: str = "bf16") -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
     if spec.mlp_kind == "dense":
         return mlp_forward(
@@ -343,14 +344,14 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None) -> jax.Array:
             x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
             mesh=mesh, swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
             w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
-            layer_idx=lp.get("_layer_idx"),
+            layer_idx=lp.get("_layer_idx"), activation=activation,
         )
     else:
         out = moe_forward(
             x2d, lp["w13"], lp["w2"], routing.topk_idx, routing.topk_weights,
             swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
             w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
-            layer_idx=lp.get("_layer_idx"),
+            layer_idx=lp.get("_layer_idx"), activation=activation,
         )
     if "shared_w13" in lp:
         shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
@@ -397,6 +398,7 @@ def forward(
     layer_step = make_layer_step(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
+        activation=(quant.expert_activation if not prefill else "bf16"),
     )
 
     new_prefix = []
@@ -430,6 +432,7 @@ def forward(
 def make_layer_step(
     cfg: ModelConfig, *, prefill: bool, history: int, mesh,
     positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
+    activation: str = "bf16",
 ):
     """Build the per-layer step closure (norm → attention → norm → MLP).
 
@@ -463,7 +466,8 @@ def make_layer_step(
         x = x + attn_out
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         B, S = x.shape[:2]
-        mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh)
+        mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh,
+                       activation=activation)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     return layer_step

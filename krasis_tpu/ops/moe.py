@@ -173,6 +173,7 @@ def moe_forward(
     precision=None,
     layer_idx=None,
     pick_valid: Optional[jax.Array] = None,
+    activation: str = "bf16",
 ) -> jax.Array:
     """Routed MoE forward; picks the dispatch strategy by batch size
     (the TPU analog of the reference's prefill/decode threshold switch,
@@ -214,6 +215,13 @@ def moe_forward(
     from . import moe_pallas  # deferred: keeps CPU-only paths pallas-free
 
     if w13_bias is None and w2_bias is None and moe_pallas.available():
+        if activation == "int8" and moe_pallas.w4a8_supported(x, w13, w2):
+            return moe_pallas.moe_gathered_w4a8_pallas(
+                x, w13, w2, topk_idx, topk_weights,
+                swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                layer_idx=layer_idx,
+                interpret=moe_pallas.interpret_mode(),
+            )
         if moe_pallas.supported(x, w13, w2):
             return moe_pallas.moe_gathered_pallas(
                 x, w13, w2, topk_idx, topk_weights,

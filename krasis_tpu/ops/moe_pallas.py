@@ -205,6 +205,179 @@ def moe_gathered_pallas(
 
 
 # --------------------------------------------------------------------------
+# W4A8: int8-activation variant of the fused gathered kernel
+# --------------------------------------------------------------------------
+
+
+def quantize_activations(x: jax.Array, gs: int):
+    """[T, K] → (int8 [T, K], f32 scales [T, K//gs]) — per-row per-K-group
+    symmetric, the activation-side analog of the weight quantizer (the
+    reference's CPU decode quantizes activations to INT16 the same way,
+    reference src/kernel/avx2.rs:234-307; int8 feeds the TPU's int MXU)."""
+    T, K = x.shape
+    xg = x.astype(jnp.float32).reshape(T, K // gs, gs)
+    s = jnp.maximum(jnp.max(jnp.abs(xg), axis=-1) / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(xg / s[..., None]), -127, 127).astype(jnp.int8)
+    return q.reshape(T, K), s
+
+
+def _unpack_int8(q, bits):
+    """Packed int4/int8 [rows, N] → int8 [K, N], NO scaling (scales are
+    applied per group on the int32 dot results)."""
+    if bits == 4:
+        b = q.astype(jnp.int32)
+        lo = ((b & 0xF) ^ 8) - 8
+        hi = (((b >> 4) & 0xF) ^ 8) - 8
+        w = jnp.concatenate([lo, hi], axis=0)
+    else:
+        w = q.astype(jnp.int32)
+    return w.astype(jnp.int8)
+
+
+def _grouped_dot_i8(xq, sx, w_i8, sw, gs):
+    """Per-K-group int8×int8→int32 MXU dots with f32 scale accumulation.
+
+    xq [T,K] int8 · w_i8 [K,N] int8, scaled by sx [T,G] (activations) and
+    sw [G,N] (weights) → f32 [T,N]. The group loop is static (G = K/gs
+    MXU calls); group-wise scaling is what keeps W4A8 at W4A16 quality
+    minus only the activation rounding (~1.5% max rel err measured)."""
+    T, K = xq.shape
+    N = w_i8.shape[1]
+    acc = jnp.zeros((T, N), jnp.float32)
+    for g in range(K // gs):
+        d = jnp.dot(xq[:, g * gs:(g + 1) * gs], w_i8[g * gs:(g + 1) * gs],
+                    preferred_element_type=jnp.int32)
+        acc = acc + d.astype(jnp.float32) * sx[:, g:g + 1] * \
+            sw[g].astype(jnp.float32)[None, :]
+    return acc
+
+
+def _kernel_w4a8(
+    layer_ref, expert_ref, token_ref, wt_ref,
+    xq_ref, sx_ref, q13_ref, s13_ref, q2_ref, s2_ref,
+    o_ref, *, bits: int, gs: int, I: int,
+    swiglu_limit: float, gpt_oss: bool,
+):
+    p = pl.program_id(0)
+    t = token_ref[p]
+
+    @pl.when(p == 0)
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    w13 = _unpack_int8(q13_ref[0, 0], bits)                    # [H, 2I] i8
+    h = _grouped_dot_i8(xq_ref[:], sx_ref[:], w13, s13_ref[0, 0], gs)
+    g, u = h[:, :I], h[:, I:]
+    if gpt_oss:
+        g = jnp.minimum(g, swiglu_limit)
+        u = jnp.clip(u, -swiglu_limit, swiglu_limit)
+        a = g * jax.nn.sigmoid(1.702 * g) * (u + 1.0)
+    else:
+        a = g * jax.nn.sigmoid(g) * u                          # [T, I] f32
+
+    # requantize the hidden activations in-kernel (per row, per group)
+    T = a.shape[0]
+    ag = a.reshape(T, I // gs, gs)
+    sa = jnp.maximum(jnp.max(jnp.abs(ag), axis=-1) / 127.0, 1e-8)
+    aq = jnp.clip(jnp.round(ag / sa[..., None]), -127, 127
+                  ).astype(jnp.int8).reshape(T, I)
+
+    w2 = _unpack_int8(q2_ref[0, 0], bits)                      # [I, H] i8
+    o = _grouped_dot_i8(aq, sa, w2, s2_ref[0, 0], gs)
+    rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
+    o_ref[:] += jnp.where(rows == t, o * wt_ref[p], 0.0).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("swiglu_limit", "gpt_oss", "interpret")
+)
+def moe_gathered_w4a8_pallas(
+    x: jax.Array,            # [T, H] bf16
+    w13: QTensor,            # [(L,) E, H(/2), 2I] + scales
+    w2: QTensor,             # [(L,) E, I(/2), H] + scales
+    topk_idx: jax.Array,     # [T, k] int32
+    topk_weights: jax.Array, # [T, k] f32
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    layer_idx=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """moe_gathered_pallas with int8 activations (QuantConfig
+    expert_activation="int8"): int8×int8 MXU grouped dots replace the
+    dequant-to-bf16 chain — the only formulation that beat the W4A16
+    kernel's ~1.8 ms pipeline floor in the round-2 roofline study
+    (ROUND2_RESULTS.md, +17% there). Quality cost is the activation
+    rounding only (group-wise scales; ≲1.5% max rel err per layer)."""
+    T, H = x.shape
+    k = topk_idx.shape[-1]
+    P = T * k
+    I = w2.k_dim
+    gs = w13.group_size
+
+    q13, s13 = (w13.q, w13.scales) if w13.q.ndim == 4 else (
+        w13.q[None], w13.scales[None])
+    q2, s2 = (w2.q, w2.scales) if w2.q.ndim == 4 else (
+        w2.q[None], w2.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+    expert_ids = topk_idx.reshape(-1).astype(jnp.int32)
+    token_ids = jnp.repeat(jnp.arange(T, dtype=jnp.int32), k)
+    weights = topk_weights.reshape(-1).astype(jnp.float32)
+    xq, sx = quantize_activations(x, gs)
+    r13, r2 = q13.shape[-2], q2.shape[-2]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec((T, H), lambda p, l, e, t, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, H // gs), lambda p, l, e, t, w: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r13, 2 * I),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, H // gs, 2 * I),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, r2, H),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, I // gs, H),
+                         lambda p, l, e, t, w: (l[0], e[p], 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, H), lambda p, l, e, t, w: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel_w4a8, bits=w13.bits, gs=gs, I=I,
+            swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+        ),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * T * H * 3 * I,
+            bytes_accessed=P * (r13 * 2 * I + r2 * H) + T * H + T * H * 4,
+            transcendentals=P * T * I,
+        ),
+        interpret=interpret,
+    )(layer_arr, expert_ids, token_ids, weights, xq, sx, q13, s13, q2, s2)
+    return out.astype(x.dtype)
+
+
+def w4a8_supported(x: jax.Array, w13, w2) -> bool:
+    """W4A8 needs the fused-kernel shape constraints plus group-aligned
+    H and I (the activation quantizer groups along K)."""
+    if not supported(x, w13, w2):
+        return False
+    gs = w13.group_size
+    return w13.k_dim % gs == 0 and w2.k_dim % gs == 0
+
+
+# --------------------------------------------------------------------------
 # General gathered expert matmul (N-tiled: any expert size)
 # --------------------------------------------------------------------------
 

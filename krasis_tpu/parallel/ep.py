@@ -94,6 +94,7 @@ def moe_forward_ep(
     w13_bias: Optional[jax.Array] = None,
     w2_bias: Optional[jax.Array] = None,
     layer_idx=None,
+    activation: str = "bf16",
 ) -> jax.Array:
     from ..ops.moe import moe_forward  # deferred: avoids import cycle
 
@@ -139,7 +140,7 @@ def moe_forward_ep(
             x, w13_l, w2_l, ids, wts_s,
             swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
             w13_bias=b13, w2_bias=b2,
-            layer_idx=li, pick_valid=valid_s,
+            layer_idx=li, pick_valid=valid_s, activation=activation,
         )
         # f32 combine: with high top-k (QCN k=10) the 8 bf16 partials
         # round visibly (0.1 logit drift at k=10/E=512); f32 on the wire

@@ -413,6 +413,10 @@ def main():
                     choices=("auto", "fp8", "bf16"))
     ap.add_argument("--attention-quant", default="bf16",
                     choices=("bf16", "int8", "int4"))
+    ap.add_argument("--expert-activation", default="bf16",
+                    choices=("bf16", "int8"),
+                    help="int8 = W4A8 decode MoE (int8 MXU dots; "
+                         "adds bounded activation rounding)")
     ap.add_argument("--shared-expert-quant", default="int8",
                     choices=("bf16", "int8"))
     ap.add_argument("--dense-mlp-quant", default="int8",
@@ -447,6 +451,7 @@ def main():
             expert_bits=args.expert_bits, group_size=group_size,
             kv_cache_dtype=args.kv_dtype,
             attention=args.attention_quant,
+            expert_activation=args.expert_activation,
             shared_expert=args.shared_expert_quant,
             dense_mlp=args.dense_mlp_quant, lm_head=args.lm_head_quant,
         )

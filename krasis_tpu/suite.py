@@ -36,6 +36,10 @@ def run_combo(combo: Dict, suite_cfg: Dict, log_dir: str) -> Dict:
     else:
         cmd += ["--model", combo["model"]]
     cmd += ["--expert-bits", str(combo.get("expert_bits", 4))]
+    if combo.get("attention_quant"):
+        cmd += ["--attention-quant", combo["attention_quant"]]
+    if combo.get("decode_block"):
+        cmd += ["--decode-block", str(combo["decode_block"])]
     pl = suite_cfg.get("prefill_lengths")
     if pl:
         cmd += ["--prefill-lengths"] + [str(x) for x in pl]

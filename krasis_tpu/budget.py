@@ -31,10 +31,22 @@ class BudgetReport:
     kv_bytes_per_token: int
     total_weight_bytes: int
 
-    def per_chip(self, n_chips: int, ep_shard_experts: bool = True) -> int:
-        """Weight bytes per chip: experts sharded over EP, rest replicated."""
+    def per_chip(self, n_chips: int, ep_shard_experts: bool = True,
+                 tp_shard_attention: bool = False) -> int:
+        """Weight bytes per chip: experts sharded over EP, rest replicated.
+
+        `tp_shard_attention` models head-sharded attention projections
+        over the same mesh axis (parallel/mesh.py TP) — required for
+        dense-attention-heavy models like Qwen3-235B, whose 12.5 GiB of
+        BF16 attention would otherwise replicate onto every chip.
+        Approximation: the whole attention component divides by n_chips
+        (KV projections replicate when head counts don't divide, but
+        they are a small share of attention bytes)."""
         expert_total = self.components["experts"]
         rest = self.total_weight_bytes - expert_total
+        if tp_shard_attention:
+            att = self.components.get("attention", 0)
+            rest = rest - att + att // n_chips
         if ep_shard_experts:
             return rest + expert_total // n_chips
         return self.total_weight_bytes // n_chips

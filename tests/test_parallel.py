@@ -266,6 +266,19 @@ def test_model_sharded_with_pallas_interpret(cfg_fn, dp, monkeypatch):
     np.testing.assert_allclose(ref_dec, dec, atol=3e-2, rtol=3e-2)
 
 
+def test_model_sharded_w4a8_interpret(monkeypatch):
+    """W4A8 (expert_activation=int8) under shard_map EP: sharded decode
+    must match the unsharded W4A8 decode (both add the same activation
+    rounding; sharding must not change it)."""
+    quant = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16",
+                        expert_activation="int8")
+    ref_logits, logits, ref_dec, dec = _run_pair(
+        _gqa_cfg_128(), dp=2, interpret=True, monkeypatch=monkeypatch,
+        quant=quant)
+    np.testing.assert_allclose(ref_logits, logits, atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(ref_dec, dec, atol=3e-2, rtol=3e-2)
+
+
 def test_qcn_full_512_expert_shape_sharded(monkeypatch):
     """QCN at its FULL 512-expert / top-10 routing shape (tiny hidden
     dims) ep-sharded over the 8-device mesh: 64 experts per shard, the

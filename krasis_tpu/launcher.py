@@ -131,8 +131,16 @@ def show_budget(model_path: str, expert_bits: int, kv_dtype: str = "auto"):
 SETTINGS = [
     ("expert_bits", "expert bits (4/8)", "4", "--expert-bits"),
     ("kv_dtype", "kv cache dtype (auto/fp8/bf16)", "auto", "--kv-dtype"),
+    ("attention_quant", "attention quant (bf16/int8/int4)", "bf16",
+     "--attention-quant"),
+    ("expert_activation", "expert activations (bf16/int8=W4A8)", "bf16",
+     "--expert-activation"),
     ("max_len", "max context length", "4096", "--max-len"),
     ("slots", "batching slots (0 = single)", "0", "--slots"),
+    ("decode_block", "decode block (tokens/device call)", "8",
+     "--decode-block"),
+    ("server_backend", "server transport (auto/native/python)", "auto",
+     "--server-backend"),
     ("port", "port", "8399", "--port"),
 ]
 

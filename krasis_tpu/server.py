@@ -119,23 +119,24 @@ def handle_request(state: ServerState, method: str, path: str,
 
     rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
     created = int(time.time())
+    stops = _parse_stops(req)
 
     if state.scheduler is not None:
         # continuous batching: no lock — scheduler multiplexes slots
         if stream:
             _stream_batched(state, w, rid, created, prompt_ids, max_tokens,
-                            sampling)
+                            sampling, stops)
         else:
             _full_batched(state, w, rid, created, prompt_ids, max_tokens,
-                          sampling)
+                          sampling, stops)
         return
     with state.lock:
         if stream:
             _stream_single(state, w, rid, created, prompt_ids, max_tokens,
-                           sampling)
+                           sampling, stops)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
-                         sampling)
+                         sampling, stops)
 
 
 def _make_decoder(state: ServerState):
@@ -146,19 +147,76 @@ def _make_decoder(state: ServerState):
     return IncrementalDecoder(state.tokenizer)
 
 
-def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
+class StopMatcher:
+    """Streaming `stop`-string matcher (reference server.rs:295 stop
+    tokens): emits text only once it can no longer be the prefix of a
+    stop string, so a stop sequence straddling chunk boundaries is still
+    caught and never leaks to the client."""
+
+    def __init__(self, stops):
+        self.stops = [s for s in (stops or []) if s]
+        self.hold = max((len(s) for s in self.stops), default=0)
+        self.buf = ""
+        self.stopped = False
+
+    def push(self, text: str) -> str:
+        """Feed decoded text; returns the text safe to emit now."""
+        if self.stopped:
+            return ""
+        if not self.stops:
+            return text
+        self.buf += text
+        hits = [i for i in (self.buf.find(s) for s in self.stops) if i >= 0]
+        if hits:
+            self.stopped = True
+            out, self.buf = self.buf[:min(hits)], ""
+            return out
+        # emit everything except a tail that could still start a stop
+        keep = 0
+        for j in range(min(self.hold - 1, len(self.buf)), 0, -1):
+            tail = self.buf[-j:]
+            if any(s.startswith(tail) for s in self.stops):
+                keep = j
+                break
+        if keep:
+            out, self.buf = self.buf[:-keep], self.buf[-keep:]
+        else:
+            out, self.buf = self.buf, ""
+        return out
+
+    def flush(self) -> str:
+        """End of generation: release any held-back tail."""
+        out, self.buf = ("" if self.stopped else self.buf), ""
+        return out
+
+
+def _parse_stops(req) -> list:
+    stop = req.get("stop")
+    if stop is None:
+        return []
+    if isinstance(stop, str):
+        stop = [stop]
+    return [s for s in stop[:8] if isinstance(s, str) and s]
+
+
+def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
+                   stops=()):
     w.sse_start()
     # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
+    sm = StopMatcher(stops)
 
     def on_token(tok: int):
         if w.cancelled():
             raise StopIteration  # client went away → cancel decode
         text = dec.push(tok) if dec is not None else f"<{tok}>"
+        text = sm.push(text)
         if text:
             if not w.sse_send(_chunk(state, rid, created, {"content": text})):
                 raise StopIteration
+        if sm.stopped:
+            raise StopIteration  # stop string hit → cancel decode
 
     try:
         state.engine.generate(
@@ -167,12 +225,16 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
         )
     except StopIteration:
         pass
+    tail = sm.flush()
+    if tail:
+        w.sse_send(_chunk(state, rid, created, {"content": tail}))
     w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
     w.sse_send(b"data: [DONE]\n\n")
     w.sse_end()
 
 
-def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
+def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
+                 stops=()):
     res = state.engine.generate(
         prompt_ids, max_new_tokens=max_tokens, sampling=sampling
     )
@@ -180,6 +242,7 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
         text = state.tokenizer.decode(res.tokens)
     else:
         text = " ".join(str(t) for t in res.tokens)
+    text = _truncate_at_stop(text, stops)
     w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,
@@ -197,10 +260,12 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling):
     }))
 
 
-def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
+def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
+                    stops=()):
     w.sse_start()
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
+    sm = StopMatcher(stops)
 
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
@@ -212,16 +277,32 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
             req.cancelled.set()
             return
         text = dec.push(tok) if dec is not None else f"<{tok}>"
+        text = sm.push(text)
         if text:
             if not w.sse_send(_chunk(state, rid, created, {"content": text})):
                 req.cancelled.set()
                 return
+        if sm.stopped:
+            req.cancelled.set()   # frees the slot at the next emission
+            break
+    tail = sm.flush()
+    if tail:
+        w.sse_send(_chunk(state, rid, created, {"content": tail}))
     w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
     w.sse_send(b"data: [DONE]\n\n")
     w.sse_end()
 
 
-def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
+def _truncate_at_stop(text: str, stops) -> str:
+    for s in stops or []:
+        i = text.find(s)
+        if i >= 0:
+            text = text[:i]
+    return text
+
+
+def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
+                  stops=()):
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
     toks = []
@@ -234,6 +315,7 @@ def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling):
         text = state.tokenizer.decode(toks)
     else:
         text = " ".join(str(t) for t in toks)
+    text = _truncate_at_stop(text, stops)
     w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,

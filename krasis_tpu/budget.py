@@ -44,12 +44,14 @@ class BudgetReport:
         they are a small share of attention bytes)."""
         expert_total = self.components["experts"]
         rest = self.total_weight_bytes - expert_total
+        if not ep_shard_experts:
+            # everything (incl. attention) divides evenly — the TP flag
+            # is already subsumed and must not double-count
+            return self.total_weight_bytes // n_chips
         if tp_shard_attention:
             att = self.components.get("attention", 0)
             rest = rest - att + att // n_chips
-        if ep_shard_experts:
-            return rest + expert_total // n_chips
-        return self.total_weight_bytes // n_chips
+        return rest + expert_total // n_chips
 
     def max_context_tokens(self, n_chips: int, hbm_per_chip: int,
                            reserve_frac: float = 0.15) -> int:

@@ -599,47 +599,14 @@ def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
     return fn
 
 
-def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
-                         sampling, steps: int, mesh=None):
-    """Fused decode+sample loop: `steps` tokens per device call.
-
-    Per-token eager dispatch costs a host↔device round trip each op —
-    ruinous through a remote tunnel; one jitted lax.scan emits a block of
-    tokens per call (the analog of the reference's whole-decode-loop-in-
-    one-Rust-call, decode.rs:3525 generate_batch)."""
-    from ..ops.sampling import sample
-
-    def fn(params, tok, cache, key, seen):
-        B = tok.shape[0]
-        seq1 = jnp.ones((B,), jnp.int32)
-
-        def body(carry, _):
-            tok, cache, key, seen = carry
-            logits, cache = forward(
-                params, tok[:, None], seq1, cache, cfg, quant, prefill=False,
-                mesh=mesh,
-            )
-            key, sk = jax.random.split(key)
-            nxt = sample(sk, logits, sampling, seen)
-            seen = seen.at[jnp.arange(B), nxt].set(True)
-            return (nxt, cache, key, seen), nxt
-
-        (tok, cache, key, seen), toks = jax.lax.scan(
-            body, (tok, cache, key, seen), None, length=steps
-        )
-        return toks, cache, key, seen   # toks: [steps, B]
-
-    return fn
-
-
 def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
-                                 steps: int, mesh=None):
-    """Fused decode+sample block with PER-SLOT sampling params — the
-    batched-scheduler analog of make_multi_decode_fn. One device call
-    advances every active slot by `steps` tokens (per-token dispatch
-    costs a host↔device round trip per step — ~28 ms through a relay
-    tunnel, which would cap scheduler throughput at ~35 tok/s/slot no
-    matter the model)."""
+                                 steps: int, mesh=None, max_top_k: int = 64):
+    """Fused decode+sample block with PER-SLOT sampling params. One
+    device call advances every slot by `steps` tokens (per-token
+    dispatch costs a host↔device round trip per step — ~28 ms through a
+    relay tunnel, which would cap throughput at ~35 tok/s/slot no matter
+    the model; the analog of the reference's whole-decode-loop-in-one-
+    Rust-call, decode.rs:3525 generate_batch)."""
     from ..ops.sampling import sample_batched
 
     def fn(params, tok, cache, key, seen, temp, top_p, pres, top_k):
@@ -653,7 +620,8 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
                 mesh=mesh,
             )
             key, sk = jax.random.split(key)
-            nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k)
+            nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k,
+                                 max_top_k=max_top_k)
             seen = seen.at[jnp.arange(B), nxt].set(True)
             return (nxt, cache, key, seen), nxt
 
@@ -661,5 +629,31 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
             body, (tok, cache, key, seen), None, length=steps
         )
         return toks, cache, key, seen   # toks: [steps, B]
+
+    return fn
+
+
+def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
+                         sampling, steps: int, mesh=None):
+    """Single-request fused decode+sample loop: the batched block fn
+    with `sampling` broadcast to per-row arrays (one code path — a fix
+    to the scan/cache threading cannot drift between engine and
+    scheduler). `max_top_k` is bound to the request's static top_k so
+    truncation is exact for any k."""
+    V = cfg.vocab_size
+    mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
+    inner = make_multi_decode_batched_fn(cfg, quant, steps, mesh=mesh,
+                                         max_top_k=mtk)
+
+    def fn(params, tok, cache, key, seen):
+        B = tok.shape[0]
+        full = lambda v: jnp.full((B,), v)
+        return inner(
+            params, tok, cache, key, seen,
+            full(jnp.float32(sampling.temperature)),
+            full(jnp.float32(sampling.top_p)),
+            full(jnp.float32(sampling.presence_penalty)),
+            full(jnp.int32(sampling.top_k)),
+        )
 
     return fn

@@ -57,6 +57,8 @@ struct Conn {
   bool close_after_flush = false;
   std::atomic<bool> in_flight{false};  // a parsed request is being handled
   std::atomic<bool> reparse{false};    // leftover inbuf may hold next request
+  std::atomic<bool> peer_eof{false};   // client half-closed (SHUT_WR / close)
+  std::atomic<bool> streaming{false};  // SSE response in progress
   // parser state for the current request
   bool have_headers = false;
   size_t body_start = 0;
@@ -300,36 +302,55 @@ void event_loop(Server* s) {
         if (it == s->conns.end()) continue;
         c = it->second;
       }
-      if (e & (EPOLLHUP | EPOLLERR | EPOLLRDHUP)) {
-        // client went away; in-flight handlers observe closed=true via
-        // ks_cancelled / failed sends
+      if (e & (EPOLLHUP | EPOLLERR)) {
+        // hard error: both directions are gone; in-flight handlers
+        // observe closed=true via ks_cancelled / failed sends
         reap_conn(s, c);
         continue;
       }
-      if (e & EPOLLIN) {
+      if (e & (EPOLLIN | EPOLLRDHUP)) {
+        // Drain BEFORE honoring a hangup: EPOLLIN|EPOLLRDHUP arrive
+        // together when a client writes a full request then half-closes
+        // (shutdown(SHUT_WR)) — that request must still be parsed and
+        // served; only the response path learns whether the peer truly
+        // disappeared (write error) or just finished sending.
         char buf[16384];
-        bool eof = false;
+        bool oversized = false;
         for (;;) {
           ssize_t r = ::recv(fd, buf, sizeof buf, MSG_DONTWAIT);
           if (r > 0) {
             c->inbuf.append(buf, (size_t)r);
             if (c->inbuf.size() > kMaxHeaderBytes + kMaxBodyBytes) {
-              eof = true;  // oversized request
+              oversized = true;
               break;
             }
           } else if (r == 0) {
-            eof = true;
+            c->peer_eof.store(true);
             break;
           } else {
-            if (errno != EAGAIN && errno != EWOULDBLOCK) eof = true;
+            if (errno != EAGAIN && errno != EWOULDBLOCK)
+              c->peer_eof.store(true);
             break;
           }
         }
-        if (eof) {
+        if (e & EPOLLRDHUP) c->peer_eof.store(true);
+        if (oversized) {
           reap_conn(s, c);
           continue;
         }
-        try_parse(s, c);
+        bool queued = try_parse(s, c);
+        if (c->peer_eof.load()) {
+          if (c->streaming.load()) {
+            // client aborted an in-progress SSE stream → cancel decode
+            std::lock_guard<std::mutex> lk(c->mu);
+            c->closed = true;
+          } else if (!c->in_flight.load() && !queued) {
+            reap_conn(s, c);  // idle connection closed normally
+            continue;
+          }
+          // else: a pending one-shot request from a half-closed client —
+          // leave it; ks_respond closes after the response flushes
+        }
       }
       if (e & EPOLLOUT) {
         std::lock_guard<std::mutex> lk(c->mu);
@@ -534,6 +555,15 @@ int ks_respond(int h, long req_id, int status, const char* ctype,
   out.append(hdr, (size_t)hn);
   out.append(body, (size_t)n);
   int rc = conn_send(s, req->conn, out.data(), out.size());
+  if (req->conn->peer_eof.load()) {
+    // half-closed client: no further requests can arrive — close once
+    // the response has flushed
+    std::lock_guard<std::mutex> lk(req->conn->mu);
+    if (req->conn->outbuf.empty())
+      req->conn->closed = true;
+    else
+      req->conn->close_after_flush = true;
+  }
   finish_req(s, req_id);
   return rc;
 }
@@ -543,6 +573,7 @@ int ks_stream_start(int h, long req_id) {
   if (!s) return -1;
   auto req = take_req(s, req_id);
   if (!req) return -1;
+  req->conn->streaming.store(true);
   const char hdr[] =
       "HTTP/1.1 200 OK\r\nContent-Type: text/event-stream\r\n"
       "Cache-Control: no-cache\r\nTransfer-Encoding: chunked\r\n"

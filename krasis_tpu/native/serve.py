@@ -97,6 +97,7 @@ class NativeResponseWriter:
     def __init__(self, srv: "NativeHTTPServer", req_id: int):
         self._srv = srv
         self._id = req_id
+        self.streaming = False
 
     def send_json(self, code: int, body: bytes) -> None:
         self._srv._lib.ks_respond(
@@ -104,6 +105,7 @@ class NativeResponseWriter:
         )
 
     def sse_start(self) -> None:
+        self.streaming = True
         self._srv._lib.ks_stream_start(self._srv._h, self._id)
 
     def sse_send(self, data: bytes) -> bool:
@@ -123,7 +125,11 @@ class NativeHTTPServer:
 
     def __init__(self, host: str, port: int,
                  handler: Callable[[str, str, bytes, NativeResponseWriter], None],
-                 workers: int = 8):
+                 workers: int = 32):
+        # workers bound concurrent in-flight requests; they must exceed
+        # the scheduler slot count (or the served API can never fill the
+        # slots) and leave headroom so /health stays answerable while
+        # generations hold the engine lock
         lib = _load()
         if lib is None:
             raise RuntimeError("native server library unavailable")
@@ -165,7 +171,13 @@ class NativeHTTPServer:
                 import json
 
                 try:
-                    w.send_json(500, json.dumps({"error": str(e)}).encode())
+                    if w.streaming:
+                        # the response already started as an SSE stream; a
+                        # raw 500 status line here would corrupt the chunk
+                        # framing — terminate the stream instead
+                        w.sse_end()
+                    else:
+                        w.send_json(500, json.dumps({"error": str(e)}).encode())
                 except Exception:
                     pass
 
@@ -173,10 +185,20 @@ class NativeHTTPServer:
     def shutdown(self) -> None:
         # Join workers BEFORE ks_stop: they poll ks_next with a 200 ms
         # timeout, and destroying the C server while a worker waits on
-        # its condvar would be use-after-free.
+        # its condvar (or inside any ks_* call mid-handler) would be
+        # use-after-free. If a worker is stuck in a long generation past
+        # the timeout, LEAK the C server rather than free it under a
+        # live ks_stream_send.
         self._stop.set()
         for t in self._threads:
             t.join(timeout=5)
+        if any(t.is_alive() for t in self._threads):
+            import sys
+
+            print("NativeHTTPServer.shutdown: worker still in a handler; "
+                  "leaking the native server to stay memory-safe",
+                  file=sys.stderr)
+            return
         self._lib.ks_stop(self._h)
 
     def serve_forever(self) -> None:

@@ -95,20 +95,24 @@ def handle_request(state: ServerState, method: str, path: str,
         req = json.loads(body)
         if not isinstance(req, dict):
             raise ValueError("request body must be a JSON object")
+        # field validation inside the 400 envelope: a null max_tokens or
+        # a non-list stop is a CLIENT error, not a 500/dropped socket
+        stream = bool(req.get("stream", False))
+        max_tokens = int(
+            req.get("max_tokens", req.get("max_completion_tokens", 512)))
+        sampling = SamplingParams(
+            temperature=float(req.get("temperature", 0.6)),
+            top_k=int(req.get("top_k", 20)),
+            top_p=float(req.get("top_p", 0.95)),
+            presence_penalty=float(req.get("presence_penalty", 0.0)),
+        )
+        stops = _parse_stops(req)
+        messages = req.get("messages", [])
+        if not isinstance(messages, list):
+            raise ValueError("messages must be a list")
     except Exception as e:  # malformed request
         w.send_json(400, _json_bytes({"error": str(e)}))
         return
-
-    stream = bool(req.get("stream", False))
-    max_tokens = int(req.get("max_tokens", req.get("max_completion_tokens", 512)))
-    sampling = SamplingParams(
-        temperature=float(req.get("temperature", 0.6)),
-        top_k=int(req.get("top_k", 20)),
-        top_p=float(req.get("top_p", 0.95)),
-        presence_penalty=float(req.get("presence_penalty", 0.0)),
-    )
-
-    messages = req.get("messages", [])
     if state.tokenizer is not None:
         prompt_ids = state.tokenizer.apply_chat_template(messages)
     else:
@@ -119,7 +123,6 @@ def handle_request(state: ServerState, method: str, path: str,
 
     rid = f"chatcmpl-{uuid.uuid4().hex[:12]}"
     created = int(time.time())
-    stops = _parse_stops(req)
 
     if state.scheduler is not None:
         # continuous batching: no lock — scheduler multiplexes slots
@@ -235,29 +238,56 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
 def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
                  stops=()):
-    res = state.engine.generate(
-        prompt_ids, max_new_tokens=max_tokens, sampling=sampling
-    )
-    if state.tokenizer is not None:
-        text = state.tokenizer.decode(res.tokens)
-    else:
-        text = " ".join(str(t) for t in res.tokens)
-    text = _truncate_at_stop(text, stops)
-    w.send_json(200, _json_bytes({
+    # Stop strings must CANCEL generation, not post-truncate — a stop on
+    # token 3 of a 512-max_tokens request must not pay for 512 tokens
+    # (reference server.rs:295 halts at the stop token).
+    sm = StopMatcher(stops)
+    dec = _make_decoder(state) if stops else None
+    n_tok = 0
+    pieces = []
+    timing = {}
+
+    def on_token(tok: int):
+        nonlocal n_tok
+        n_tok += 1
+        if not stops:
+            return
+        piece = dec.push(tok) if dec is not None else (
+            ("" if n_tok == 1 else " ") + str(tok))
+        pieces.append(sm.push(piece))
+        if sm.stopped:
+            raise StopIteration
+
+    try:
+        res = state.engine.generate(
+            prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
+            on_token=on_token,
+        )
+        timing = {"prefill_tok_s": round(res.prefill_tok_s, 2),
+                  "decode_tok_s": round(res.decode_tok_s, 2)}
+        if not stops:
+            if state.tokenizer is not None:
+                pieces = [state.tokenizer.decode(res.tokens)]
+            else:
+                pieces = [" ".join(str(t) for t in res.tokens)]
+    except StopIteration:
+        pass
+    pieces.append(sm.flush())
+    text = "".join(pieces)
+    obj = {
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,
         "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
                      "finish_reason": "stop"}],
         "usage": {
-            "prompt_tokens": res.prompt_len,
-            "completion_tokens": len(res.tokens),
-            "total_tokens": res.prompt_len + len(res.tokens),
+            "prompt_tokens": len(prompt_ids),
+            "completion_tokens": n_tok,
+            "total_tokens": len(prompt_ids) + n_tok,
         },
-        "timing": {
-            "prefill_tok_s": round(res.prefill_tok_s, 2),
-            "decode_tok_s": round(res.decode_tok_s, 2),
-        },
-    }))
+    }
+    if timing:
+        obj["timing"] = timing
+    w.send_json(200, _json_bytes(obj))
 
 
 def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
@@ -269,22 +299,32 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
+    client_gone = False
     while True:
         tok = req.out_queue.get()
         if tok is None:
             break
+        if client_gone:
+            continue  # drain until the scheduler's end sentinel
         if w.cancelled():
             req.cancelled.set()
-            return
+            client_gone = True
+            continue
         text = dec.push(tok) if dec is not None else f"<{tok}>"
         text = sm.push(text)
         if text:
             if not w.sse_send(_chunk(state, rid, created, {"content": text})):
                 req.cancelled.set()
-                return
+                client_gone = True
+                continue
         if sm.stopped:
             req.cancelled.set()   # frees the slot at the next emission
-            break
+            client_gone = True    # drain; final chunks sent below
+    if not sm.stopped and client_gone:
+        # client went away: still sse_end() — on the native transport
+        # that is what releases the request in the C registry
+        w.sse_end()
+        return
     tail = sm.flush()
     if tail:
         w.sse_send(_chunk(state, rid, created, {"content": tail}))
@@ -293,29 +333,33 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
     w.sse_end()
 
 
-def _truncate_at_stop(text: str, stops) -> str:
-    for s in stops or []:
-        i = text.find(s)
-        if i >= 0:
-            text = text[:i]
-    return text
-
-
 def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
                   stops=()):
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
-    toks = []
+    sm = StopMatcher(stops)
+    dec = _make_decoder(state) if stops else None
+    toks, pieces = [], []
     while True:
         t = req.out_queue.get()
         if t is None:
             break
+        if sm.stopped:
+            continue  # draining after a stop hit (slot already cancelled)
         toks.append(t)
-    if state.tokenizer is not None:
+        if stops:
+            piece = dec.push(t) if dec is not None else (
+                ("" if len(toks) == 1 else " ") + str(t))
+            pieces.append(sm.push(piece))
+            if sm.stopped:
+                req.cancelled.set()  # stop paying for the rest
+    pieces.append(sm.flush())
+    if stops:
+        text = "".join(pieces)
+    elif state.tokenizer is not None:
         text = state.tokenizer.decode(toks)
     else:
         text = " ".join(str(t) for t in toks)
-    text = _truncate_at_stop(text, stops)
     w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,
@@ -421,9 +465,11 @@ def _make_httpd(host: str, port: int, backend: str = "auto"):
         from .native import serve as native_serve
 
         if native_serve.available():
+            slots = getattr(STATE.scheduler, "num_slots", 0) if STATE else 0
             httpd = native_serve.NativeHTTPServer(
                 host, port,
                 lambda m, p, b, w: handle_request(STATE, m, p, b, w),
+                workers=max(32, 2 * slots + 8),
             )
             return httpd, "native"
         if backend == "native":

@@ -331,6 +331,41 @@ def test_stop_strings_over_http(server):
     assert len(s_cut) < len(s_full)
 
 
+def test_half_close_client_still_served(engine):
+    """A client that writes a full request then shutdown(SHUT_WR) must
+    still get its response (EPOLLIN and EPOLLRDHUP arrive together; the
+    request must be parsed before honoring the hangup)."""
+    port = 8465
+    httpd = start_temp_server(engine, None, "synthetic/tiny", port=port,
+                              backend="native")
+    try:
+        s = socket.create_connection(("127.0.0.1", port), timeout=120)
+        body = json.dumps({
+            "messages": [{"role": "user", "content": "half close"}],
+            "max_tokens": 2, "temperature": 0.0,
+        }).encode()
+        s.sendall(
+            b"POST /v1/chat/completions HTTP/1.1\r\n"
+            b"Host: x\r\nContent-Type: application/json\r\n"
+            b"Content-Length: " + str(len(body)).encode() + b"\r\n\r\n" + body
+        )
+        s.shutdown(socket.SHUT_WR)  # half-close: we still read the reply
+        data = b""
+        s.settimeout(120)
+        while True:
+            try:
+                chunk = s.recv(65536)
+            except socket.timeout:
+                break
+            if not chunk:
+                break
+            data += chunk
+        s.close()
+        assert b"200 OK" in data and b"chat.completion" in data
+    finally:
+        httpd.shutdown()
+
+
 def test_oversized_path_request(server):
     """A request the parser must reject (no crash, connection dropped)."""
     port, _ = server

@@ -143,6 +143,10 @@ class BatchScheduler:
         self._key = jax.random.PRNGKey(0)
         self.chunk = CHUNK
         self._pending = None   # in-progress chunked admission
+        # tokens currently materialized in the (single, reused) prefill
+        # cache — enables incremental prefix reuse across admissions
+        self._pc_tokens: List[int] = []
+        self.stats = {"prefill_chunks": 0, "prefix_reused_tokens": 0}
 
         self._in_queue: "queue.Queue[Request]" = queue.Queue()
         self._stop = threading.Event()
@@ -216,13 +220,33 @@ class BatchScheduler:
         )
         req.slot = slot
         pcache = self.prefill_cache
-        pcache["length"] = jnp.zeros((1,), jnp.int32)
-        # DeltaNet state must start clean (not masked by length)
-        for lc in list(pcache["prefix_layers"]) + list(pcache["pattern"]):
-            if "state" in lc:
-                lc["state"] = jnp.zeros_like(lc["state"])
-                lc["conv"] = jnp.zeros_like(lc["conv"])
-        self._pending = {"req": req, "ids": ids, "pos": 0,
+        # Incremental prefix reuse (multi-turn chat: every request re-sends
+        # the whole conversation): if the new prompt extends the tokens
+        # already materialized in the prefill cache — the previous
+        # admission's prompt, or the prefilled part of a cancelled one —
+        # resume prefill after the shared prefix instead of starting over.
+        # KV/DeltaNet state in the cache correspond exactly to
+        # self._pc_tokens (chunks advance them sequentially), and stale KV
+        # beyond `length` is masked. Only a STRICT extension qualifies:
+        # reusing a prefix shorter than _pc_tokens would need the DeltaNet
+        # state rewound, which a recurrence cannot do — and strictness
+        # also guarantees ≥1 new token to prefill (the last token
+        # produces the first-sample logits).
+        n_pc = len(self._pc_tokens)
+        reuse = 0
+        if 0 < n_pc < len(ids) and ids[:n_pc] == self._pc_tokens:
+            reuse = n_pc
+        if reuse == 0:
+            pcache["length"] = jnp.zeros((1,), jnp.int32)
+            # DeltaNet state must start clean (not masked by length)
+            for lc in list(pcache["prefix_layers"]) + list(pcache["pattern"]):
+                if "state" in lc:
+                    lc["state"] = jnp.zeros_like(lc["state"])
+                    lc["conv"] = jnp.zeros_like(lc["conv"])
+            self._pc_tokens = []
+        else:
+            self.stats["prefix_reused_tokens"] += reuse
+        self._pending = {"req": req, "ids": ids, "pos": reuse,
                          "pcache": pcache, "logits": None}
         return True
 
@@ -264,6 +288,8 @@ class BatchScheduler:
                 self.params, jnp.asarray(tokens), jnp.asarray([m]), p["pcache"],
             )
             p["pos"] = pos + m
+        self.stats["prefill_chunks"] += 1
+        self._pc_tokens = ids[: p["pos"]]
         if p["pos"] < n:
             return
         # prefill complete → insert into the reserved slot + first sample

@@ -142,3 +142,103 @@ def test_cancellation_mid_prefill_frees_slot(setup):
         assert len(toks) >= 1
     finally:
         sch.shutdown()
+
+
+def test_prefix_reuse_multiturn_chat(setup):
+    """Multi-turn chat pattern: turn 2 re-sends turn 1's whole prompt
+    plus new text. The scheduler must resume prefill after the shared
+    prefix (prefix_reused_tokens > 0) and produce EXACTLY the tokens a
+    fresh scheduler gives for the full prompt (greedy)."""
+    cfg, quant, params = setup
+    greedy = SamplingParams(temperature=0.0)
+    turn1 = [(i * 7) % 250 + 1 for i in range(40)]
+    turn2 = turn1 + [(i * 11) % 250 + 1 for i in range(24)]
+
+    fresh = BatchScheduler(cfg, quant, params, max_len=256, num_slots=1)
+    try:
+        want = _drain(fresh.submit(turn2, max_new_tokens=6,
+                                   sampling=greedy, stop_ids={-1}))
+    finally:
+        fresh.shutdown()
+
+    sch = BatchScheduler(cfg, quant, params, max_len=256, num_slots=1)
+    try:
+        sch.chunk = 16  # several chunks per turn at this scale
+        _drain(sch.submit(turn1, max_new_tokens=4,
+                          sampling=greedy, stop_ids={-1}))
+        assert sch.stats["prefix_reused_tokens"] == 0
+        got = _drain(sch.submit(turn2, max_new_tokens=6,
+                                sampling=greedy, stop_ids={-1}))
+        assert sch.stats["prefix_reused_tokens"] == len(turn1)
+    finally:
+        sch.shutdown()
+    assert got == want
+
+
+def test_prefix_reuse_hybrid_deltanet():
+    """Prefix reuse must carry the DeltaNet recurrent/conv state
+    correctly (the state at the reuse point IS the prefix state)."""
+    cfg = preset_config(
+        "qwen3-coder-next",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16,
+        layer_types=["linear_attention", "linear_attention",
+                     "linear_attention", "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2,
+        shared_expert_intermediate_size=32,
+    )
+    quant = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16")
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(0))
+    greedy = SamplingParams(temperature=0.0)
+    turn1 = [(i * 5) % 250 + 1 for i in range(30)]
+    turn2 = turn1 + [(i * 13) % 250 + 1 for i in range(18)]
+
+    fresh = BatchScheduler(cfg, quant, params, max_len=128, num_slots=1)
+    try:
+        want = _drain(fresh.submit(turn2, max_new_tokens=5,
+                                   sampling=greedy, stop_ids={-1}))
+    finally:
+        fresh.shutdown()
+
+    sch = BatchScheduler(cfg, quant, params, max_len=128, num_slots=1)
+    try:
+        sch.chunk = 16
+        _drain(sch.submit(turn1, max_new_tokens=3,
+                          sampling=greedy, stop_ids={-1}))
+        got = _drain(sch.submit(turn2, max_new_tokens=5,
+                                sampling=greedy, stop_ids={-1}))
+        assert sch.stats["prefix_reused_tokens"] == len(turn1)
+    finally:
+        sch.shutdown()
+    assert got == want
+
+
+def test_prefix_reuse_not_applied_on_mismatch(setup):
+    """A different prompt (or a shorter one) must NOT reuse the cache."""
+    cfg, quant, params = setup
+    greedy = SamplingParams(temperature=0.0)
+    sch = BatchScheduler(cfg, quant, params, max_len=256, num_slots=1)
+    try:
+        _drain(sch.submit([1, 2, 3, 4, 5, 6], max_new_tokens=3,
+                          sampling=greedy, stop_ids={-1}))
+        # mismatching continuation
+        got = _drain(sch.submit([1, 2, 9, 9, 9, 9, 9], max_new_tokens=3,
+                                sampling=greedy, stop_ids={-1}))
+        assert sch.stats["prefix_reused_tokens"] == 0
+        # shorter prompt (prefix of the cache) must also run fresh
+        got2 = _drain(sch.submit([1, 2], max_new_tokens=3,
+                                 sampling=greedy, stop_ids={-1}))
+        assert sch.stats["prefix_reused_tokens"] == 0
+    finally:
+        sch.shutdown()
+
+    eng = Engine(cfg, quant, params, max_len=256)
+    ref = eng.generate([1, 2, 9, 9, 9, 9, 9], max_new_tokens=3,
+                       sampling=greedy, stop_ids={-1})
+    assert got == ref.tokens
+    ref2 = eng.generate([1, 2], max_new_tokens=3,
+                        sampling=greedy, stop_ids={-1})
+    assert got2 == ref2.tokens

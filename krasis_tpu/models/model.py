@@ -622,15 +622,25 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
             key, sk = jax.random.split(key)
             nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k,
                                  max_top_k=max_top_k)
+            # logprob of the chosen token under the RAW model distribution
+            # (pre-temperature/penalty — the OpenAI `logprobs` quantity)
+            lp = chosen_logprob(logits, nxt)
             seen = seen.at[jnp.arange(B), nxt].set(True)
-            return (nxt, cache, key, seen), nxt
+            return (nxt, cache, key, seen), (nxt, lp)
 
-        (tok, cache, key, seen), toks = jax.lax.scan(
+        (tok, cache, key, seen), (toks, lps) = jax.lax.scan(
             body, (tok, cache, key, seen), None, length=steps
         )
-        return toks, cache, key, seen   # toks: [steps, B]
+        return toks, lps, cache, key, seen   # toks/lps: [steps, B]
 
     return fn
+
+
+def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
+    """log P(tok) under log_softmax(logits): [B, V], [B] → [B] f32."""
+    lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return jnp.take_along_axis(lsm, tok[:, None].astype(jnp.int32),
+                               axis=-1)[:, 0]
 
 
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,

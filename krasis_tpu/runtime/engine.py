@@ -88,6 +88,8 @@ class GenerationResult:
     prompt_len: int
     prefill_s: float
     decode_s: float
+    # log P(token) under the raw model distribution, aligned with tokens
+    logprobs: Optional[List[float]] = None
 
     @property
     def prefill_tok_s(self) -> float:
@@ -138,9 +140,13 @@ class Engine:
 
     def _sample_fn(self, sampling: SamplingParams):
         if sampling not in self._sample_fns:
-            self._sample_fns[sampling] = jax.jit(
-                lambda key, logits, seen: sample(key, logits, sampling, seen)
-            )
+            from ..models.model import chosen_logprob
+
+            def fn(key, logits, seen):
+                tok = sample(key, logits, sampling, seen)
+                return tok, chosen_logprob(logits, tok)
+
+            self._sample_fns[sampling] = jax.jit(fn)
         return self._sample_fns[sampling]
 
     def _multi_decode_fn(self, sampling: SamplingParams, steps: int):
@@ -255,30 +261,43 @@ class Engine:
         key = jax.random.PRNGKey(seed)
         seen = jnp.zeros((B, self.cfg.vocab_size), jnp.bool_)
         out_tokens: List[int] = []
+        out_lps: List[float] = []
         key, sk = jax.random.split(key)
-        next_tok = self._sample_fn(sampling)(sk, logits, seen)
+        next_tok, first_lp = self._sample_fn(sampling)(sk, logits, seen)
         seen = seen.at[0, next_tok[0]].set(True)
 
-        # first (prefill) token
+        # first (prefill) token. on_token raising StopIteration is the
+        # caller's cancel signal (client gone / stop string hit): stop
+        # cleanly and still return the partial GenerationResult.
         first = int(next_tok[0])
         out_tokens.append(first)
-        if on_token is not None:
-            on_token(first)
+        out_lps.append(float(first_lp[0]))
         stopped = first in stop_ids
+        if on_token is not None:
+            try:
+                on_token(first)
+            except StopIteration:
+                stopped = True
 
         # decode in fused blocks (one device call per `decode_block` tokens)
         t2 = time.perf_counter()
         block = self.decode_block
         fn = self._multi_decode_fn(sampling, block)
         while not stopped and len(out_tokens) < max_new_tokens:
-            toks, self.cache, key, seen = fn(
+            toks, lps, self.cache, key, seen = fn(
                 self.params, next_tok, self.cache, key, seen
             )
             next_tok = toks[-1]
-            for tok in np.asarray(toks[:, 0]).tolist():
+            lps_host = np.asarray(lps[:, 0]).tolist()
+            for i, tok in enumerate(np.asarray(toks[:, 0]).tolist()):
                 out_tokens.append(tok)
+                out_lps.append(lps_host[i])
                 if on_token is not None:
-                    on_token(tok)
+                    try:
+                        on_token(tok)
+                    except StopIteration:
+                        stopped = True
+                        break
                 if tok in stop_ids or len(out_tokens) >= max_new_tokens:
                     stopped = True
                     break
@@ -288,6 +307,7 @@ class Engine:
         return GenerationResult(
             tokens=out_tokens, prompt_len=n,
             prefill_s=t1 - t0, decode_s=t3 - t2,
+            logprobs=out_lps,
         )
 
     def forward_all_logits(self, prompt_ids: Sequence[int]) -> jax.Array:

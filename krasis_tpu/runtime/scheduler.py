@@ -83,6 +83,10 @@ class Request:
     stop_ids: set
     out_queue: "queue.Queue[Optional[int]]" = field(default_factory=queue.Queue)
     cancelled: threading.Event = field(default_factory=threading.Event)
+    # log P(token) under the raw model distribution, index-aligned with
+    # emitted tokens; appended BEFORE the token lands in out_queue, so a
+    # consumer reading token i may read logprobs[i]
+    logprobs: List[float] = field(default_factory=list)
     # assigned at schedule time
     slot: int = -1
     emitted: int = 0
@@ -123,11 +127,13 @@ class BatchScheduler:
             donate_argnums=(2,),
         )
         self._chunk_fns = {}
-        self._first_sample = jax.jit(
-            lambda key, logits, temp, top_p, pres, seen, top_k: sample_batched(
-                key, logits, temp, top_p, pres, seen, top_k
-            )
-        )
+        from ..models.model import chosen_logprob
+
+        def first_sample(key, logits, temp, top_p, pres, seen, top_k):
+            tok = sample_batched(key, logits, temp, top_p, pres, seen, top_k)
+            return tok, chosen_logprob(logits, tok)
+
+        self._first_sample = jax.jit(first_sample)
 
         self.decode_cache = init_cache(cfg, quant, num_slots, max_len)
         # one reusable batch-1 prefill cache (length reset per admission;
@@ -299,14 +305,16 @@ class BatchScheduler:
                                          jnp.int32(slot))
         self._key, sk = jax.random.split(self._key)
         sp = req.sampling
-        tok = int(self._first_sample(
+        tok_a, lp_a = self._first_sample(
             sk, p["logits"],
             jnp.asarray([sp.temperature], jnp.float32),
             jnp.asarray([sp.top_p], jnp.float32),
             jnp.asarray([sp.presence_penalty], jnp.float32),
             jnp.zeros((1, self.cfg.vocab_size), jnp.bool_),
             jnp.asarray([sp.top_k], jnp.int32),
-        )[0])
+        )
+        tok = int(tok_a[0])
+        req.logprobs.append(float(lp_a[0]))
         self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
         self._temp[slot] = sp.temperature
         self._top_p[slot] = sp.top_p
@@ -336,7 +344,7 @@ class BatchScheduler:
                 if self._pending is None:
                     time.sleep(0.002)
                 continue
-            toks, self.decode_cache, self._key, self._seen = (
+            toks, lps, self.decode_cache, self._key, self._seen = (
                 self._decode_sample(
                     self.params, jnp.asarray(self._tokens), self.decode_cache,
                     self._key, self._seen,
@@ -345,6 +353,7 @@ class BatchScheduler:
                 )
             )
             toks_host = np.asarray(toks)  # [decode_block, num_slots]
+            lps_host = np.asarray(lps)
             # Emit block tokens in generation order per slot. A slot that
             # hits its stop condition mid-block stops emitting (the rest
             # of its block is bounded overshoot, like Engine.generate);
@@ -355,4 +364,5 @@ class BatchScheduler:
                         continue
                     tok = int(toks_host[step, slot])
                     self._tokens[slot] = tok
+                    req.logprobs.append(float(lps_host[step, slot]))
                     self._emit(req, tok)

@@ -107,6 +107,7 @@ def handle_request(state: ServerState, method: str, path: str,
             presence_penalty=float(req.get("presence_penalty", 0.0)),
         )
         stops = _parse_stops(req)
+        want_logprobs = bool(req.get("logprobs", False))
         messages = req.get("messages", [])
         if not isinstance(messages, list):
             raise ValueError("messages must be a list")
@@ -131,7 +132,7 @@ def handle_request(state: ServerState, method: str, path: str,
                             sampling, stops)
         else:
             _full_batched(state, w, rid, created, prompt_ids, max_tokens,
-                          sampling, stops)
+                          sampling, stops, want_logprobs)
         return
     with state.lock:
         if stream:
@@ -139,7 +140,7 @@ def handle_request(state: ServerState, method: str, path: str,
                            sampling, stops)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
-                         sampling, stops)
+                         sampling, stops, want_logprobs)
 
 
 def _make_decoder(state: ServerState):
@@ -236,58 +237,70 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     w.sse_end()
 
 
+def _logprobs_content(state, tokens, lps):
+    """OpenAI `logprobs.content` entries: per-token text + raw-model
+    logprob (top_logprobs not computed — empty list)."""
+    out = []
+    for t, lp in zip(tokens, lps or []):
+        if state.tokenizer is not None:
+            tok_str = state.tokenizer.decode([t])
+        else:
+            tok_str = str(t)
+        out.append({"token": tok_str, "logprob": round(lp, 6),
+                    "top_logprobs": []})
+    return out
+
+
 def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                 stops=()):
+                 stops=(), want_logprobs=False):
     # Stop strings must CANCEL generation, not post-truncate — a stop on
     # token 3 of a 512-max_tokens request must not pay for 512 tokens
     # (reference server.rs:295 halts at the stop token).
     sm = StopMatcher(stops)
     dec = _make_decoder(state) if stops else None
-    n_tok = 0
     pieces = []
-    timing = {}
 
     def on_token(tok: int):
-        nonlocal n_tok
-        n_tok += 1
         if not stops:
             return
         piece = dec.push(tok) if dec is not None else (
-            ("" if n_tok == 1 else " ") + str(tok))
+            ("" if not pieces else " ") + str(tok))
         pieces.append(sm.push(piece))
         if sm.stopped:
             raise StopIteration
 
-    try:
-        res = state.engine.generate(
-            prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
-            on_token=on_token,
-        )
-        timing = {"prefill_tok_s": round(res.prefill_tok_s, 2),
-                  "decode_tok_s": round(res.decode_tok_s, 2)}
-        if not stops:
-            if state.tokenizer is not None:
-                pieces = [state.tokenizer.decode(res.tokens)]
-            else:
-                pieces = [" ".join(str(t) for t in res.tokens)]
-    except StopIteration:
-        pass
-    pieces.append(sm.flush())
-    text = "".join(pieces)
-    obj = {
+    res = state.engine.generate(
+        prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
+        on_token=on_token,
+    )
+    if stops:
+        pieces.append(sm.flush())
+        text = "".join(pieces)
+    elif state.tokenizer is not None:
+        text = state.tokenizer.decode(res.tokens)
+    else:
+        text = " ".join(str(t) for t in res.tokens)
+    n_tok = len(res.tokens)
+    choice = {"index": 0,
+              "message": {"role": "assistant", "content": text},
+              "finish_reason": "stop"}
+    if want_logprobs:
+        choice["logprobs"] = {
+            "content": _logprobs_content(state, res.tokens, res.logprobs)}
+    w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,
-        "choices": [{"index": 0, "message": {"role": "assistant", "content": text},
-                     "finish_reason": "stop"}],
+        "choices": [choice],
         "usage": {
-            "prompt_tokens": len(prompt_ids),
+            "prompt_tokens": res.prompt_len,
             "completion_tokens": n_tok,
-            "total_tokens": len(prompt_ids) + n_tok,
+            "total_tokens": res.prompt_len + n_tok,
         },
-    }
-    if timing:
-        obj["timing"] = timing
-    w.send_json(200, _json_bytes(obj))
+        "timing": {
+            "prefill_tok_s": round(res.prefill_tok_s, 2),
+            "decode_tok_s": round(res.decode_tok_s, 2),
+        },
+    }))
 
 
 def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
@@ -334,7 +347,7 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
 
 def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                  stops=()):
+                  stops=(), want_logprobs=False):
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
     sm = StopMatcher(stops)
@@ -360,12 +373,16 @@ def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
         text = state.tokenizer.decode(toks)
     else:
         text = " ".join(str(t) for t in toks)
+    choice = {"index": 0,
+              "message": {"role": "assistant", "content": text},
+              "finish_reason": "stop"}
+    if want_logprobs:
+        choice["logprobs"] = {
+            "content": _logprobs_content(state, toks, req.logprobs)}
     w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,
-        "choices": [{"index": 0,
-                     "message": {"role": "assistant", "content": text},
-                     "finish_reason": "stop"}],
+        "choices": [choice],
         "usage": {"prompt_tokens": len(prompt_ids),
                   "completion_tokens": len(toks),
                   "total_tokens": len(prompt_ids) + len(toks)},

@@ -252,6 +252,15 @@ def test_native_with_batch_scheduler(engine):
             t.join(timeout=300)
         assert len(results) == 2
         assert all(done and chunks >= 2 for done, chunks in results)
+
+        # logprobs through the scheduler path
+        status, body = _post(port, {
+            "messages": [{"role": "user", "content": "lp batched"}],
+            "max_tokens": 3, "temperature": 0.0, "logprobs": True,
+        })
+        assert status == 200
+        content = json.loads(body)["choices"][0]["logprobs"]["content"]
+        assert len(content) == 3 and all(e["logprob"] <= 0 for e in content)
     finally:
         httpd.shutdown()
         sched.shutdown()
@@ -329,6 +338,31 @@ def test_stop_strings_over_http(server):
     assert s_stop not in s_cut
     assert s_full.startswith(s_cut)
     assert len(s_cut) < len(s_full)
+
+
+def test_logprobs_in_response(server):
+    """OpenAI `logprobs: true` returns per-token raw-model logprobs
+    (capability the reference server lacks)."""
+    port, _ = server
+    status, body = _post(port, {
+        "messages": [{"role": "user", "content": "lp"}],
+        "max_tokens": 5, "temperature": 0.0, "logprobs": True,
+    })
+    assert status == 200
+    obj = json.loads(body)
+    content = obj["choices"][0]["logprobs"]["content"]
+    assert len(content) == obj["usage"]["completion_tokens"] == 5
+    for e in content:
+        assert e["logprob"] <= 0.0 and e["token"]
+    # greedy sampling: the chosen token is the argmax, so its raw-model
+    # logprob must be 'large' (> log(1/V) by a wide margin)
+    assert all(e["logprob"] > -20.0 for e in content)
+    # and absent unless requested
+    _, body2 = _post(port, {
+        "messages": [{"role": "user", "content": "lp"}],
+        "max_tokens": 2, "temperature": 0.0,
+    })
+    assert "logprobs" not in json.loads(body2)["choices"][0]
 
 
 def test_half_close_client_still_served(engine):

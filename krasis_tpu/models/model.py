@@ -323,8 +323,25 @@ def _la_attention(
 
 
 def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
-         activation: str = "bf16") -> jax.Array:
+         activation: str = "bf16", sp_axis=None) -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
+
+    if sp_axis is not None:
+        # Sequence-parallel prefill (parallel/sp.py): activations arrive
+        # REPLICATED; this shard computes the MLP — where prefill FLOPs
+        # live — for its token slice only, then all_gathers the outputs.
+        # Routing is per-token, so it moves inside the slice.
+        n = jax.lax.axis_size(sp_axis)
+        rows = x2d.shape[0]
+        if n > 1 and rows % n == 0:
+            r = jax.lax.axis_index(sp_axis)
+            loc = jax.lax.dynamic_slice_in_dim(x2d, r * (rows // n),
+                                               rows // n)
+            out_loc = _mlp(lp, loc, cfg, spec, mesh=None,
+                           activation=activation, sp_axis=None)
+            return jax.lax.all_gather(out_loc, sp_axis, axis=0, tiled=True)
+        # fall through: tiny chunks that don't split run replicated
+
     if spec.mlp_kind == "dense":
         return mlp_forward(
             x2d, lp["mlp_w13"], lp["mlp_w2"],
@@ -375,6 +392,7 @@ def forward(
     return_all_logits: bool = False,
     history: int = 0,
     mesh=None,
+    sp_axis=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -399,6 +417,7 @@ def forward(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
         activation=(quant.expert_activation if not prefill else "bf16"),
+        sp_axis=sp_axis,
     )
 
     new_prefix = []
@@ -432,7 +451,7 @@ def forward(
 def make_layer_step(
     cfg: ModelConfig, *, prefill: bool, history: int, mesh,
     positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
-    activation: str = "bf16",
+    activation: str = "bf16", sp_axis=None,
 ):
     """Build the per-layer step closure (norm → attention → norm → MLP).
 
@@ -467,7 +486,7 @@ def make_layer_step(
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         B, S = x.shape[:2]
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh,
-                       activation=activation)
+                       activation=activation, sp_axis=sp_axis)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     return layer_step

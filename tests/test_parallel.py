@@ -400,6 +400,78 @@ def test_pp_forward_matches_unsharded(cfg_fn, pp, interpret, monkeypatch):
     )
 
 
+@pytest.mark.parametrize("cfg_fn", [_gqa_cfg, _mla_cfg, _hybrid_cfg])
+def test_sp_prefill_matches_unsharded(cfg_fn, monkeypatch):
+    """Sequence-parallel prefill (parallel/sp.py): MLP tokens sharded
+    over `sp`, activations/cache replicated — logits AND the cache it
+    leaves behind must match the unsharded prefill exactly enough that
+    plain decode continues identically."""
+    from krasis_tpu.parallel.sp import make_sp_mesh, make_sp_prefill_fns
+
+    cfg = cfg_fn()
+    params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B, S = 1, 16
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, S)).astype(np.int32)
+    seq_lens = np.full((B,), S, np.int32)
+
+    prefill_fn, decode_fn, _ = make_forward_fns(cfg, QUANT)
+    cache = init_cache(cfg, QUANT, B, 32)
+    ref_logits, ref_cache = jax.jit(prefill_fn)(
+        params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache)
+    nxt = jnp.argmax(ref_logits, -1).astype(jnp.int32)[:, None]
+    ref_dec, _ = jax.jit(decode_fn)(params, nxt, ref_cache)
+
+    mesh = make_sp_mesh(8)
+    sp_prefill, _ = make_sp_prefill_fns(cfg, QUANT, mesh)
+    cache2 = init_cache(cfg, QUANT, B, 32)
+    with mesh:
+        logits, cache2 = jax.jit(sp_prefill)(
+            params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache2)
+    # decode on the SP-produced cache through the ordinary decode path
+    dec, _ = jax.jit(decode_fn)(params, nxt, cache2)
+
+    np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(logits),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_array_equal(np.argmax(ref_logits, -1),
+                                  np.argmax(logits, -1))
+    np.testing.assert_allclose(np.asarray(ref_dec), np.asarray(dec),
+                               atol=3e-2, rtol=3e-2)
+
+
+def test_sp_chunked_prefill_matches_unsharded(monkeypatch):
+    """SP chunk-continuation path (history buckets) stays consistent."""
+    from krasis_tpu.models.model import make_chunk_prefill_fn
+    from krasis_tpu.parallel.sp import make_sp_mesh, make_sp_prefill_fns
+
+    cfg = _gqa_cfg()
+    params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(4)
+    B = 1
+    t1 = rng.integers(0, cfg.vocab_size, size=(B, 16)).astype(np.int32)
+    t2 = rng.integers(0, cfg.vocab_size, size=(B, 16)).astype(np.int32)
+    sl = np.full((B,), 16, np.int32)
+
+    prefill_fn, _, _ = make_forward_fns(cfg, QUANT)
+    chunk_fn = make_chunk_prefill_fn(cfg, QUANT, history=16)
+    cache = init_cache(cfg, QUANT, B, 64)
+    _, cache = jax.jit(prefill_fn)(params, jnp.asarray(t1),
+                                   jnp.asarray(sl), cache)
+    ref_logits, _ = jax.jit(chunk_fn)(params, jnp.asarray(t2),
+                                      jnp.asarray(sl), cache)
+
+    mesh = make_sp_mesh(8)
+    sp_prefill, sp_chunk = make_sp_prefill_fns(cfg, QUANT, mesh)
+    cache2 = init_cache(cfg, QUANT, B, 64)
+    with mesh:
+        _, cache2 = jax.jit(sp_prefill)(params, jnp.asarray(t1),
+                                        jnp.asarray(sl), cache2)
+        logits, _ = jax.jit(sp_chunk(16))(params, jnp.asarray(t2),
+                                          jnp.asarray(sl), cache2)
+    np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(logits),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_multihost_mesh_degenerates_single_host():
     from krasis_tpu.parallel.mesh import init_distributed, make_multihost_mesh
 

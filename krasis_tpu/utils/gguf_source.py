@@ -200,4 +200,9 @@ class GgufCheckpoint:
             )
         if g("expert_weights_norm") is not None:
             cfg["norm_topk_prob"] = bool(g("expert_weights_norm"))
+        # llama.cpp convention: a tied lm_head is simply OMITTED from the
+        # file ("output.weight" absent → reuse token_embd). Without this
+        # the generic config fallback defaults to tied and silently
+        # serves embed^T as the lm_head of an untied model.
+        cfg["tie_word_embeddings"] = "output.weight" not in self.gguf.tensors
         return {k: v for k, v in cfg.items() if v is not None}

@@ -159,3 +159,84 @@ def test_perplexity_on_natural_text_matches_hf_oracle(checkpoint, engine):
 
     assert got["tokens_scored"] == scored
     assert got["ppl"] == pytest.approx(want_ppl, rel=1e-3)
+
+
+def test_gguf_checkpoint_matches_safetensors(checkpoint, engine, tmp_path):
+    from krasis_tpu.ops.sampling import SamplingParams
+    """The SAME model served from a GGUF file must generate exactly what
+    the safetensors checkpoint does (loader + config-synthesis e2e: the
+    reference's load_from_gguf path, mod.rs:3251). Weights are written
+    as F32 GGUF tensors under llama.cpp names, config comes only from
+    GGUF metadata — no config.json."""
+    from test_gguf import write_gguf, GGML_F32
+
+    path, model = checkpoint
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in model.state_dict().items()}
+    hf_cfg = model.config
+
+    tensors = [
+        ("token_embd.weight", sd["model.embed_tokens.weight"], GGML_F32, None),
+        ("output.weight", sd["lm_head.weight"], GGML_F32, None),
+        ("output_norm.weight", sd["model.norm.weight"], GGML_F32, None),
+    ]
+    for i in range(hf_cfg.num_hidden_layers):
+        L = f"model.layers.{i}"
+        for gsuf, hsuf in [
+            ("attn_norm.weight", "input_layernorm.weight"),
+            ("ffn_norm.weight", "post_attention_layernorm.weight"),
+            ("attn_q.weight", "self_attn.q_proj.weight"),
+            ("attn_k.weight", "self_attn.k_proj.weight"),
+            ("attn_v.weight", "self_attn.v_proj.weight"),
+            ("attn_output.weight", "self_attn.o_proj.weight"),
+            ("attn_q_norm.weight", "self_attn.q_norm.weight"),
+            ("attn_k_norm.weight", "self_attn.k_norm.weight"),
+            ("ffn_gate_inp.weight", "mlp.gate.weight"),
+        ]:
+            tensors.append((f"blk.{i}.{gsuf}", sd[f"{L}.{hsuf}"],
+                            GGML_F32, None))
+        for gsuf, proj in [("ffn_gate_exps.weight", "gate_proj"),
+                           ("ffn_up_exps.weight", "up_proj"),
+                           ("ffn_down_exps.weight", "down_proj")]:
+            fused = np.stack([
+                sd[f"{L}.mlp.experts.{e}.{proj}.weight"]
+                for e in range(hf_cfg.num_experts)
+            ])
+            tensors.append((f"blk.{i}.{gsuf}", fused, GGML_F32, None))
+
+    gpath = tmp_path / "tiny-e2e.gguf"
+    write_gguf(str(gpath), tensors, {
+        "general.architecture": "qwen3moe",
+        "qwen3moe.block_count": hf_cfg.num_hidden_layers,
+        "qwen3moe.embedding_length": hf_cfg.hidden_size,
+        "qwen3moe.attention.head_count": hf_cfg.num_attention_heads,
+        "qwen3moe.attention.head_count_kv": hf_cfg.num_key_value_heads,
+        "qwen3moe.attention.key_length": hf_cfg.head_dim,
+        "qwen3moe.attention.layer_norm_rms_epsilon": hf_cfg.rms_norm_eps,
+        "qwen3moe.feed_forward_length": hf_cfg.intermediate_size,
+        "qwen3moe.expert_count": hf_cfg.num_experts,
+        "qwen3moe.expert_used_count": hf_cfg.num_experts_per_tok,
+        "qwen3moe.expert_feed_forward_length": hf_cfg.moe_intermediate_size,
+        "qwen3moe.expert_weights_norm": bool(hf_cfg.norm_topk_prob),
+        "qwen3moe.vocab_size": hf_cfg.vocab_size,
+        "qwen3moe.rope.freq_base": float(hf_cfg.rope_theta),
+        "qwen3moe.context_length": hf_cfg.max_position_embeddings,
+    })
+
+    from krasis_tpu.models.loader import load_params
+    from krasis_tpu.runtime.engine import Engine
+
+    cfg2 = ModelConfig.from_model_path(str(gpath))
+    assert cfg2.n_routed_experts == hf_cfg.num_experts
+    assert cfg2.head_dim == hf_cfg.head_dim
+    params2 = load_params(cfg2, FP32_QUANT, dtype=jnp.float32)
+    eng2 = Engine(cfg2, FP32_QUANT, params2, max_len=512)
+
+    greedy = SamplingParams(temperature=0.0)
+    prompt = [5, 17, 101, 42, 900, 33, 7, 250]
+    r1 = engine.generate(prompt, max_new_tokens=10, sampling=greedy,
+                         stop_ids={-1})
+    r2 = eng2.generate(prompt, max_new_tokens=10, sampling=greedy,
+                       stop_ids={-1})
+    assert r1.tokens == r2.tokens
+    np.testing.assert_allclose(r1.logprobs, r2.logprobs, atol=1e-3)

@@ -619,7 +619,8 @@ def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
 
 
 def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
-                                 steps: int, mesh=None, max_top_k: int = 64):
+                                 steps: int, mesh=None, max_top_k: int = 64,
+                                 top_logprobs: int = 0):
     """Fused decode+sample block with PER-SLOT sampling params. One
     device call advances every slot by `steps` tokens (per-token
     dispatch costs a host↔device round trip per step — ~28 ms through a
@@ -643,14 +644,23 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
                                  max_top_k=max_top_k)
             # logprob of the chosen token under the RAW model distribution
             # (pre-temperature/penalty — the OpenAI `logprobs` quantity)
-            lp = chosen_logprob(logits, nxt)
+            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            lp = jnp.take_along_axis(
+                lsm, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            if top_logprobs > 0:
+                tv, ti = jax.lax.top_k(lsm, top_logprobs)   # [B, N]
+            else:  # placeholder so the scan output structure is static
+                tv = jnp.zeros((B, 1), jnp.float32)
+                ti = jnp.zeros((B, 1), jnp.int32)
             seen = seen.at[jnp.arange(B), nxt].set(True)
-            return (nxt, cache, key, seen), (nxt, lp)
+            return (nxt, cache, key, seen), (nxt, lp, tv, ti)
 
-        (tok, cache, key, seen), (toks, lps) = jax.lax.scan(
+        (tok, cache, key, seen), (toks, lps, tvs, tis) = jax.lax.scan(
             body, (tok, cache, key, seen), None, length=steps
         )
-        return toks, lps, cache, key, seen   # toks/lps: [steps, B]
+        # toks/lps: [steps, B]; tvs/tis: [steps, B, N] (N=1 dummies when
+        # top_logprobs == 0)
+        return toks, lps, (tvs, tis), cache, key, seen
 
     return fn
 
@@ -663,7 +673,8 @@ def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
 
 
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
-                         sampling, steps: int, mesh=None):
+                         sampling, steps: int, mesh=None,
+                         top_logprobs: int = 0):
     """Single-request fused decode+sample loop: the batched block fn
     with `sampling` broadcast to per-row arrays (one code path — a fix
     to the scan/cache threading cannot drift between engine and
@@ -672,7 +683,8 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
     V = cfg.vocab_size
     mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
     inner = make_multi_decode_batched_fn(cfg, quant, steps, mesh=mesh,
-                                         max_top_k=mtk)
+                                         max_top_k=mtk,
+                                         top_logprobs=top_logprobs)
 
     def fn(params, tok, cache, key, seen):
         B = tok.shape[0]

@@ -90,6 +90,9 @@ class GenerationResult:
     decode_s: float
     # log P(token) under the raw model distribution, aligned with tokens
     logprobs: Optional[List[float]] = None
+    # per token: list of (token_id, logprob) for the top-N alternatives
+    # (only when generate(top_logprobs=N>0))
+    top_logprobs: Optional[List[List[tuple]]] = None
 
     @property
     def prefill_tok_s(self) -> float:
@@ -149,14 +152,16 @@ class Engine:
             self._sample_fns[sampling] = jax.jit(fn)
         return self._sample_fns[sampling]
 
-    def _multi_decode_fn(self, sampling: SamplingParams, steps: int):
+    def _multi_decode_fn(self, sampling: SamplingParams, steps: int,
+                         top_logprobs: int = 0):
         from ..models.model import make_multi_decode_fn
 
-        key = (sampling, steps)
+        key = (sampling, steps, top_logprobs)
         if key not in self._multi_decode_fns:
             self._multi_decode_fns[key] = jax.jit(
                 make_multi_decode_fn(self.cfg, self.quant, sampling, steps,
-                                     mesh=self.mesh),
+                                     mesh=self.mesh,
+                                     top_logprobs=top_logprobs),
                 donate_argnums=(2,),
             )
         return self._multi_decode_fns[key]
@@ -234,8 +239,11 @@ class Engine:
         stop_ids: Optional[set] = None,
         seed: int = 0,
         on_token=None,
+        top_logprobs: int = 0,
     ) -> GenerationResult:
-        """Single-sequence generation (batch slot 0)."""
+        """Single-sequence generation (batch slot 0). `top_logprobs=N`
+        additionally returns the top-N (token, logprob) alternatives per
+        step from the raw model distribution."""
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
         n = len(prompt_ids)
@@ -262,8 +270,14 @@ class Engine:
         seen = jnp.zeros((B, self.cfg.vocab_size), jnp.bool_)
         out_tokens: List[int] = []
         out_lps: List[float] = []
+        out_top: List[List[tuple]] = []
         key, sk = jax.random.split(key)
         next_tok, first_lp = self._sample_fn(sampling)(sk, logits, seen)
+        if top_logprobs > 0:
+            lsm = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+            tv, ti = jax.lax.top_k(lsm, top_logprobs)
+            out_top.append(list(zip(np.asarray(ti).tolist(),
+                                    np.asarray(tv).tolist())))
         seen = seen.at[0, next_tok[0]].set(True)
 
         # first (prefill) token. on_token raising StopIteration is the
@@ -282,16 +296,21 @@ class Engine:
         # decode in fused blocks (one device call per `decode_block` tokens)
         t2 = time.perf_counter()
         block = self.decode_block
-        fn = self._multi_decode_fn(sampling, block)
+        fn = self._multi_decode_fn(sampling, block, top_logprobs)
         while not stopped and len(out_tokens) < max_new_tokens:
-            toks, lps, self.cache, key, seen = fn(
+            toks, lps, (tvs, tis), self.cache, key, seen = fn(
                 self.params, next_tok, self.cache, key, seen
             )
             next_tok = toks[-1]
             lps_host = np.asarray(lps[:, 0]).tolist()
+            if top_logprobs > 0:
+                tvs_h = np.asarray(tvs[:, 0]).tolist()   # [steps][N]
+                tis_h = np.asarray(tis[:, 0]).tolist()
             for i, tok in enumerate(np.asarray(toks[:, 0]).tolist()):
                 out_tokens.append(tok)
                 out_lps.append(lps_host[i])
+                if top_logprobs > 0:
+                    out_top.append(list(zip(tis_h[i], tvs_h[i])))
                 if on_token is not None:
                     try:
                         on_token(tok)
@@ -308,6 +327,8 @@ class Engine:
             tokens=out_tokens, prompt_len=n,
             prefill_s=t1 - t0, decode_s=t3 - t2,
             logprobs=out_lps,
+            top_logprobs=(out_top[: len(out_tokens)]
+                          if top_logprobs > 0 else None),
         )
 
     def forward_all_logits(self, prompt_ids: Sequence[int]) -> jax.Array:

@@ -344,7 +344,7 @@ class BatchScheduler:
                 if self._pending is None:
                     time.sleep(0.002)
                 continue
-            toks, lps, self.decode_cache, self._key, self._seen = (
+            toks, lps, _top, self.decode_cache, self._key, self._seen = (
                 self._decode_sample(
                     self.params, jnp.asarray(self._tokens), self.decode_cache,
                     self._key, self._seen,

@@ -108,6 +108,9 @@ def handle_request(state: ServerState, method: str, path: str,
         )
         stops = _parse_stops(req)
         want_logprobs = bool(req.get("logprobs", False))
+        top_logprobs = int(req.get("top_logprobs", 0) or 0)
+        if not 0 <= top_logprobs <= 8:
+            raise ValueError("top_logprobs must be in [0, 8]")
         messages = req.get("messages", [])
         if not isinstance(messages, list):
             raise ValueError("messages must be a list")
@@ -140,7 +143,7 @@ def handle_request(state: ServerState, method: str, path: str,
                            sampling, stops)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
-                         sampling, stops, want_logprobs)
+                         sampling, stops, want_logprobs, top_logprobs)
 
 
 def _make_decoder(state: ServerState):
@@ -237,22 +240,26 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     w.sse_end()
 
 
-def _logprobs_content(state, tokens, lps):
+def _logprobs_content(state, tokens, lps, top=None):
     """OpenAI `logprobs.content` entries: per-token text + raw-model
-    logprob (top_logprobs not computed — empty list)."""
+    logprob (+ top-N alternatives when computed)."""
+    def tok_str(t):
+        return (state.tokenizer.decode([t])
+                if state.tokenizer is not None else str(t))
+
     out = []
-    for t, lp in zip(tokens, lps or []):
-        if state.tokenizer is not None:
-            tok_str = state.tokenizer.decode([t])
-        else:
-            tok_str = str(t)
-        out.append({"token": tok_str, "logprob": round(lp, 6),
-                    "top_logprobs": []})
+    for i, (t, lp) in enumerate(zip(tokens, lps or [])):
+        alts = []
+        if top is not None and i < len(top):
+            alts = [{"token": tok_str(tid), "logprob": round(tlp, 6)}
+                    for tid, tlp in top[i]]
+        out.append({"token": tok_str(t), "logprob": round(lp, 6),
+                    "top_logprobs": alts})
     return out
 
 
 def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                 stops=(), want_logprobs=False):
+                 stops=(), want_logprobs=False, top_logprobs=0):
     # Stop strings must CANCEL generation, not post-truncate — a stop on
     # token 3 of a 512-max_tokens request must not pay for 512 tokens
     # (reference server.rs:295 halts at the stop token).
@@ -272,6 +279,7 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     res = state.engine.generate(
         prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
         on_token=on_token,
+        top_logprobs=(top_logprobs if want_logprobs else 0),
     )
     if stops:
         pieces.append(sm.flush())
@@ -286,7 +294,8 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
               "finish_reason": "stop"}
     if want_logprobs:
         choice["logprobs"] = {
-            "content": _logprobs_content(state, res.tokens, res.logprobs)}
+            "content": _logprobs_content(state, res.tokens, res.logprobs,
+                                         res.top_logprobs)}
     w.send_json(200, _json_bytes({
         "id": rid, "object": "chat.completion", "created": created,
         "model": state.model_name,

@@ -363,6 +363,27 @@ def test_logprobs_in_response(server):
         "max_tokens": 2, "temperature": 0.0,
     })
     assert "logprobs" not in json.loads(body2)["choices"][0]
+    # top_logprobs: N alternatives per token; greedy → the chosen token
+    # is the top-1 alternative with the same logprob
+    status, body3 = _post(port, {
+        "messages": [{"role": "user", "content": "lp"}],
+        "max_tokens": 3, "temperature": 0.0, "logprobs": True,
+        "top_logprobs": 4,
+    })
+    assert status == 200
+    for e in json.loads(body3)["choices"][0]["logprobs"]["content"]:
+        alts = e["top_logprobs"]
+        assert len(alts) == 4
+        assert alts[0]["token"] == e["token"]
+        assert abs(alts[0]["logprob"] - e["logprob"]) < 1e-4
+        lps = [a["logprob"] for a in alts]
+        assert lps == sorted(lps, reverse=True)
+    # out-of-range top_logprobs is a client error
+    status, _ = _post(port, {
+        "messages": [{"role": "user", "content": "lp"}],
+        "max_tokens": 1, "logprobs": True, "top_logprobs": 50,
+    })
+    assert status == 400
 
 
 def test_half_close_client_still_served(engine):

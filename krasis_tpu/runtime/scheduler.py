@@ -35,7 +35,13 @@ from ..models.model import (
     make_multi_decode_batched_fn,
 )
 from ..ops.sampling import SamplingParams, sample, sample_batched
-from .engine import CHUNK, PREFILL_BUCKETS, pick_bucket, pick_history_bucket
+from .engine import (
+    CHUNK,
+    PREFILL_BUCKETS,
+    _is_oom,
+    pick_bucket,
+    pick_history_bucket,
+)
 from .kv_cache import init_cache, resolve_kv_quant
 
 
@@ -337,9 +343,35 @@ class BatchScheduler:
             req.out_queue.put(None)          # end-of-stream sentinel
             self._active[req.slot] = None
 
+    def _admit_step_with_oom_retry(self):
+        """Engine-parity HBM-OOM handling (reference model.py:2613 chunk
+        halving): a prefill chunk that exhausts device memory restarts
+        the CURRENT admission from scratch with half the chunk size —
+        active decode slots are untouched."""
+        try:
+            self._admit_step()
+        except Exception as e:
+            if not _is_oom(e) or self.chunk <= 128 or self._pending is None:
+                raise
+            self.chunk //= 2
+            import logging
+
+            logging.getLogger("krasis_tpu.scheduler").warning(
+                "admission prefill hit RESOURCE_EXHAUSTED; retrying with "
+                "chunk=%d", self.chunk,
+            )
+            p = self._pending
+            # restart this admission on a FRESH prefill cache: the old
+            # buffer was donated into the failed call and may be invalid
+            fresh = init_cache(self.cfg, self.quant, 1, self.max_len)
+            self.prefill_cache = fresh
+            self._pc_tokens = []
+            self._pending = {"req": p["req"], "ids": p["ids"], "pos": 0,
+                             "pcache": fresh, "logits": None}
+
     def _loop(self):
         while not self._stop.is_set():
-            self._admit_step()
+            self._admit_step_with_oom_retry()
             if not any(self._active):
                 if self._pending is None:
                     time.sleep(0.002)

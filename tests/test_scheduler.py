@@ -242,3 +242,34 @@ def test_prefix_reuse_not_applied_on_mismatch(setup):
     ref2 = eng.generate([1, 2], max_new_tokens=3,
                         sampling=greedy, stop_ids={-1})
     assert got2 == ref2.tokens
+
+
+def test_admission_oom_retry_halves_chunk(setup):
+    """Engine-parity failure handling: an HBM OOM during an admission's
+    prefill restarts that admission with half the chunk size; the
+    request still completes with the correct greedy output."""
+    cfg, quant, params = setup
+    greedy = SamplingParams(temperature=0.0)
+    eng = Engine(cfg, quant, params, max_len=256)
+    want = eng.generate([3, 1, 4, 1, 5, 9, 2, 6], max_new_tokens=4,
+                        sampling=greedy, stop_ids={-1}).tokens
+
+    sch = BatchScheduler(cfg, quant, params, max_len=256, num_slots=1)
+    try:
+        sch.chunk = 256
+        real_prefill = sch._prefill
+        state = {"failed": False}
+
+        def failing_prefill(*a, **k):
+            if not state["failed"]:
+                state["failed"] = True
+                raise RuntimeError("RESOURCE_EXHAUSTED: fake HBM OOM")
+            return real_prefill(*a, **k)
+
+        sch._prefill = failing_prefill
+        got = _drain(sch.submit([3, 1, 4, 1, 5, 9, 2, 6], max_new_tokens=4,
+                                sampling=greedy, stop_ids={-1}))
+        assert state["failed"] and sch.chunk == 128
+    finally:
+        sch.shutdown()
+    assert got == want

@@ -323,7 +323,7 @@ def _la_attention(
 
 
 def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
-         activation: str = "bf16", sp_axis=None) -> jax.Array:
+         activation: str = "bf16", sp_axis=None, ep_axis=None) -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
 
     if sp_axis is not None:
@@ -338,7 +338,8 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
             loc = jax.lax.dynamic_slice_in_dim(x2d, r * (rows // n),
                                                rows // n)
             out_loc = _mlp(lp, loc, cfg, spec, mesh=None,
-                           activation=activation, sp_axis=None)
+                           activation=activation, sp_axis=None,
+                           ep_axis=ep_axis)
             return jax.lax.all_gather(out_loc, sp_axis, axis=0, tiled=True)
         # fall through: tiny chunks that don't split run replicated
 
@@ -351,8 +352,20 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
         x2d, lp["gate_w"], cfg, lp.get("gate_bias"),
         logit_bias=lp.get("gate_logit_bias"),
     )
-    from ..parallel.ep import ep_supported, moe_forward_ep
+    from ..parallel.ep import (
+        ep_supported, moe_forward_ep, moe_forward_ep_local,
+    )
 
+    if ep_axis is not None:
+        # Ambient-shard_map EP (parallel/sp.py sp×ep composition): the
+        # expert leaves arriving here are already THIS shard's slice.
+        return _mlp_shared(lp, x2d, cfg, gpt_oss, moe_forward_ep_local(
+            x2d, lp["w13"], lp["w2"], routing.topk_idx,
+            routing.topk_weights, axis=ep_axis,
+            swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+            w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
+            layer_idx=lp.get("_layer_idx"), activation=activation,
+        ))
     if ep_supported(mesh, lp["w13"], lp["w2"]):
         # Explicit EP: shard_map over the expert axis so the Pallas
         # kernels run on each shard's local expert slice (GSPMD cannot
@@ -370,6 +383,12 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
             w13_bias=lp.get("w13_bias"), w2_bias=lp.get("w2_bias"),
             layer_idx=lp.get("_layer_idx"), activation=activation,
         )
+    return _mlp_shared(lp, x2d, cfg, gpt_oss, out)
+
+
+def _mlp_shared(lp, x2d, cfg, gpt_oss, out):
+    """Add the (replicated) shared-expert contribution to a routed-MoE
+    output."""
     if "shared_w13" in lp:
         shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
         if "shared_gate_w" in lp:
@@ -393,6 +412,7 @@ def forward(
     history: int = 0,
     mesh=None,
     sp_axis=None,
+    ep_axis=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -417,7 +437,7 @@ def forward(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
         activation=(quant.expert_activation if not prefill else "bf16"),
-        sp_axis=sp_axis,
+        sp_axis=sp_axis, ep_axis=ep_axis,
     )
 
     new_prefix = []
@@ -451,7 +471,7 @@ def forward(
 def make_layer_step(
     cfg: ModelConfig, *, prefill: bool, history: int, mesh,
     positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
-    activation: str = "bf16", sp_axis=None,
+    activation: str = "bf16", sp_axis=None, ep_axis=None,
 ):
     """Build the per-layer step closure (norm → attention → norm → MLP).
 
@@ -486,7 +506,8 @@ def make_layer_step(
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         B, S = x.shape[:2]
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh,
-                       activation=activation, sp_axis=sp_axis)
+                       activation=activation, sp_axis=sp_axis,
+                       ep_axis=ep_axis)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     return layer_step

@@ -81,6 +81,65 @@ def ep_supported(mesh: Optional[Mesh], w13, w2) -> bool:
     return E % ep == 0
 
 
+def moe_forward_ep_local(
+    x: jax.Array,             # [T_local, H]
+    w13_l: QTensor,           # [(L,) E_local, H(/2), 2I] — THIS shard's slice
+    w2_l: QTensor,
+    topk_idx: jax.Array,      # [T_local, k] GLOBAL expert ids
+    topk_weights: jax.Array,
+    *,
+    axis: str = "ep",
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    w13_bias=None,
+    w2_bias=None,
+    layer_idx=None,
+    activation: str = "bf16",
+) -> jax.Array:
+    """EP MoE body for use INSIDE an ambient shard_map that has `axis`
+    in scope and the expert stacks already sharded (moe_forward_ep wraps
+    this in its own shard_map; parallel/sp.py composes it under sp×ep).
+
+    Global → shard-local expert ids. Remote picks: weight 0, and the id
+    is replaced by the row's last LOCAL pick (valids sorted first) so
+    the kernels' redirected index maps stay constant over the remote
+    tail — no extra weight DMA. Rows with no local pick clamp to expert
+    0 (one cheap fetch, zero contribution)."""
+    from ..ops.moe import moe_forward  # deferred: avoids import cycle
+
+    rank = jax.lax.axis_index(axis)
+    e_dim = w13_l.q.ndim - 3
+    E_local = w13_l.q.shape[e_dim]
+
+    local = topk_idx - rank * E_local
+    valid = (local >= 0) & (local < E_local)
+    order = jnp.argsort((~valid).astype(jnp.int8), axis=1, stable=True)
+    local_s = jnp.take_along_axis(local, order, axis=1)
+    valid_s = jnp.take_along_axis(valid, order, axis=1)
+    wts_s = jnp.where(
+        valid_s, jnp.take_along_axis(topk_weights, order, axis=1), 0.0)
+    # Fill the invalid tail with the row's LAST valid id (valids sort
+    # first, so that is position n_valid-1); valid entries must pass
+    # through untouched (a cummax would corrupt descending id pairs).
+    nv = valid_s.sum(axis=1)
+    fill = jnp.take_along_axis(
+        local_s, jnp.maximum(nv - 1, 0)[:, None], axis=1)
+    fill = jnp.where(nv[:, None] > 0, fill, 0)
+    ids = jnp.where(valid_s, local_s, fill).astype(jnp.int32)
+
+    out = moe_forward(
+        x, w13_l, w2_l, ids, wts_s,
+        swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+        w13_bias=w13_bias, w2_bias=w2_bias,
+        layer_idx=layer_idx, pick_valid=valid_s, activation=activation,
+    )
+    # f32 combine: with high top-k (QCN k=10) the 8 bf16 partials round
+    # visibly (0.1 logit drift at k=10/E=512); f32 on the wire costs 2x
+    # ICI bytes on a [T, H] tensor but keeps sharded == unsharded
+    # numerics.
+    return jax.lax.psum(out.astype(jnp.float32), axis).astype(x.dtype)
+
+
 def moe_forward_ep(
     x: jax.Array,             # [T, H] (rows dp-sharded when dp > 1)
     w13: QTensor,             # [(L,) E, H(/2), 2I]
@@ -96,8 +155,6 @@ def moe_forward_ep(
     layer_idx=None,
     activation: str = "bf16",
 ) -> jax.Array:
-    from ..ops.moe import moe_forward  # deferred: avoids import cycle
-
     T, H = x.shape
     dp = mesh.shape.get("dp", 1)
     row_axis = "dp" if ("dp" in mesh.axis_names and dp > 1 and T % dp == 0) \
@@ -108,45 +165,15 @@ def moe_forward_ep(
     has_bias = w13_bias is not None and w2_bias is not None
 
     def local_moe(x, q13, s13, q2, s2, idx, wts, li, *biases):
-        rank = jax.lax.axis_index("ep")
-        e_dim = q13.ndim - 3
-        E_local = q13.shape[e_dim]
-
-        # Global → shard-local expert ids. Remote picks: weight 0, and the
-        # id is replaced by the row's last LOCAL pick (cummax over valids
-        # sorted first) so the kernels' redirected index maps stay constant
-        # over the remote tail — no extra weight DMA. Rows with no local
-        # pick clamp to expert 0 (one cheap fetch, zero contribution).
-        local = idx - rank * E_local
-        valid = (local >= 0) & (local < E_local)
-        order = jnp.argsort((~valid).astype(jnp.int8), axis=1, stable=True)
-        local_s = jnp.take_along_axis(local, order, axis=1)
-        valid_s = jnp.take_along_axis(valid, order, axis=1)
-        wts_s = jnp.where(
-            valid_s, jnp.take_along_axis(wts, order, axis=1), 0.0)
-        # Fill the invalid tail with the row's LAST valid id (valids sort
-        # first, so that is position n_valid-1); valid entries must pass
-        # through untouched (a cummax would corrupt descending id pairs).
-        nv = valid_s.sum(axis=1)
-        fill = jnp.take_along_axis(
-            local_s, jnp.maximum(nv - 1, 0)[:, None], axis=1)
-        fill = jnp.where(nv[:, None] > 0, fill, 0)
-        ids = jnp.where(valid_s, local_s, fill).astype(jnp.int32)
-
         w13_l = QTensor(q13, s13, w13.bits, w13.group_size)
         w2_l = QTensor(q2, s2, w2.bits, w2.group_size)
         b13, b2 = (biases[0], biases[1]) if biases else (None, None)
-        out = moe_forward(
-            x, w13_l, w2_l, ids, wts_s,
+        return moe_forward_ep_local(
+            x, w13_l, w2_l, idx, wts,
             swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
             w13_bias=b13, w2_bias=b2,
-            layer_idx=li, pick_valid=valid_s, activation=activation,
+            layer_idx=li, activation=activation,
         )
-        # f32 combine: with high top-k (QCN k=10) the 8 bf16 partials
-        # round visibly (0.1 logit drift at k=10/E=512); f32 on the wire
-        # costs 2x ICI bytes on a [T, H] tensor but keeps sharded ==
-        # unsharded numerics.
-        return jax.lax.psum(out.astype(jnp.float32), "ep").astype(x.dtype)
 
     args = [x, w13.q, w13.scales, w2.q, w2.scales, topk_idx, topk_weights, li]
     in_specs = [

@@ -32,10 +32,58 @@ from ..config import ModelConfig, QuantConfig
 from .ep import _smap
 
 
-def make_sp_mesh(n_devices: Optional[int] = None) -> Mesh:
+def make_sp_mesh(n_devices: Optional[int] = None, ep: int = 1) -> Mesh:
+    """1D ``sp`` mesh, or a 2D ``sp × ep`` mesh when ep > 1 (tokens split
+    over `sp`, experts over `ep` — the composed long-context-prefill
+    layout for pods bigger than the expert count needs)."""
     devs = jax.devices()
     n = n_devices or len(devs)
+    if ep > 1:
+        assert n % ep == 0, (n, ep)
+        return Mesh(np.asarray(devs[:n]).reshape(n // ep, ep), ("sp", "ep"))
     return Mesh(np.asarray(devs[:n]).reshape(n), ("sp",))
+
+
+def _expert_pspec(leaf) -> P:
+    """Expert-dim spec: dim 0 for [E,...] leaves, dim 1 for stacked
+    [L, E, ...] leaves (QTensor q/scales are ndim-3; biases ndim-2)."""
+    s: list = [None] * leaf.ndim
+    s[max(leaf.ndim - 3, 0) if leaf.ndim >= 3 else 0] = "ep"
+    return P(*s)
+
+
+def _bias_pspec(leaf) -> P:
+    s: list = [None] * leaf.ndim
+    s[leaf.ndim - 2] = "ep"
+    return P(*s)
+
+
+def param_pspecs(params, ep: bool):
+    """PartitionSpec pytree for shard_map in_specs: expert stacks (and
+    their biases) sharded over ``ep``; everything else replicated."""
+    import jax.tree_util as jtu
+
+    if not ep:
+        return jtu.tree_map(lambda _: P(), params)
+
+    def layer_specs(lp):
+        out = {}
+        for k, v in lp.items():
+            if k in ("w13", "w2"):
+                out[k] = jtu.tree_map(_expert_pspec, v)
+            elif k in ("w13_bias", "w2_bias") and v is not None:
+                out[k] = _bias_pspec(v)
+            else:
+                out[k] = jtu.tree_map(lambda _: P(), v)
+        return out
+
+    return {
+        "embed": P(),
+        "final_norm": P(),
+        "lm_head": jtu.tree_map(lambda _: P(), params["lm_head"]),
+        "prefix_layers": [layer_specs(lp) for lp in params["prefix_layers"]],
+        "pattern": [layer_specs(lp) for lp in params["pattern"]],
+    }
 
 
 def sp_supported(mesh: Optional[Mesh]) -> bool:
@@ -51,15 +99,19 @@ def make_sp_prefill_fns(cfg: ModelConfig, quant: QuantConfig, mesh: Mesh):
     path."""
     from ..models.model import forward, make_chunk_prefill_fn
 
+    ep = "ep" in mesh.axis_names and mesh.shape["ep"] > 1
+    ep_axis = "ep" if ep else None
+
     def _wrap(history: int):
         def worker(params, tokens, seq_lens, cache):
             return forward(params, tokens, seq_lens, cache, cfg, quant,
-                           prefill=True, history=history, sp_axis="sp")
+                           prefill=True, history=history, sp_axis="sp",
+                           ep_axis=ep_axis)
 
         def fn(params, tokens, seq_lens, cache):
             return _smap(
                 worker, mesh,
-                in_specs=(P(), P(), P(), P()),
+                in_specs=(param_pspecs(params, ep), P(), P(), P()),
                 out_specs=(P(), P()),
             )(params, tokens, seq_lens, cache)
 

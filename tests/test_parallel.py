@@ -439,6 +439,45 @@ def test_sp_prefill_matches_unsharded(cfg_fn, monkeypatch):
                                atol=3e-2, rtol=3e-2)
 
 
+@pytest.mark.parametrize("interpret", [False, True])
+def test_sp_ep_composed_prefill_matches_unsharded(interpret, monkeypatch):
+    """Composed sp×ep mesh (4 token shards × 2 expert shards): MLP
+    tokens split over `sp`, expert stacks split over `ep` with the
+    ambient-shard_map EP body (moe_forward_ep_local) — logits and the
+    cache-continuation decode must match the single-device forward,
+    including with the real Pallas kernels (interpret)."""
+    from krasis_tpu.parallel.sp import make_sp_mesh, make_sp_prefill_fns
+
+    if interpret:
+        monkeypatch.setenv("KRASIS_TPU_PALLAS_INTERPRET", "1")
+    cfg = _gqa_cfg_128() if interpret else _gqa_cfg()
+    params = init_synthetic_params(cfg, QUANT, jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    B, S = 1, 16
+    tokens = rng.integers(0, cfg.vocab_size, size=(B, S)).astype(np.int32)
+    seq_lens = np.full((B,), S, np.int32)
+
+    prefill_fn, decode_fn, _ = make_forward_fns(cfg, QUANT)
+    cache = init_cache(cfg, QUANT, B, 32)
+    ref_logits, ref_cache = jax.jit(prefill_fn)(
+        params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache)
+    nxt = jnp.argmax(ref_logits, -1).astype(jnp.int32)[:, None]
+    ref_dec, _ = jax.jit(decode_fn)(params, nxt, ref_cache)
+
+    mesh = make_sp_mesh(8, ep=2)
+    sp_prefill, _ = make_sp_prefill_fns(cfg, QUANT, mesh)
+    cache2 = init_cache(cfg, QUANT, B, 32)
+    with mesh:
+        logits, cache2 = jax.jit(sp_prefill)(
+            params, jnp.asarray(tokens), jnp.asarray(seq_lens), cache2)
+    dec, _ = jax.jit(decode_fn)(params, nxt, cache2)
+
+    np.testing.assert_allclose(np.asarray(ref_logits), np.asarray(logits),
+                               atol=3e-2, rtol=3e-2)
+    np.testing.assert_allclose(np.asarray(ref_dec), np.asarray(dec),
+                               atol=3e-2, rtol=3e-2)
+
+
 def test_sp_chunked_prefill_matches_unsharded(monkeypatch):
     """SP chunk-continuation path (history buckets) stays consistent."""
     from krasis_tpu.models.model import make_chunk_prefill_fn

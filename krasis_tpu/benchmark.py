@@ -108,6 +108,67 @@ def run_engine_benchmark(
     return results
 
 
+def run_slots_benchmark(cfg, quant, params, slots_list=(1, 4, 8, 16),
+                        max_len: int = 2048, prompt_len: int = 512,
+                        decode_tokens: int = 128,
+                        decode_block: int = 32) -> Dict:
+    """Continuous-batching aggregate decode throughput vs slot count
+    (capability the single-request reference cannot measure). All slots
+    decode concurrently from `prompt_len`-token prompts; the steady rate
+    counts tokens after the LAST stream's first token."""
+    import threading
+
+    from .ops.sampling import SamplingParams
+    from .runtime.scheduler import BatchScheduler
+
+    greedy = SamplingParams(temperature=0.0)
+    rng = np.random.default_rng(0)
+    results: Dict = {}
+    for slots in slots_list:
+        sched = BatchScheduler(cfg, quant, params, max_len=max_len,
+                               num_slots=slots, decode_block=decode_block)
+        prompts = [rng.integers(100, cfg.vocab_size - 100,
+                                size=prompt_len).tolist()
+                   for _ in range(slots)]
+
+        def run_one(out, idx):
+            req = sched.submit(prompts[idx], max_new_tokens=decode_tokens,
+                               sampling=greedy, stop_ids={-1})
+            n, first = 0, None
+            while True:
+                t = req.out_queue.get(timeout=1800)
+                if t is None:
+                    break
+                if first is None:
+                    first = time.time()
+                n += 1
+            out[idx] = (n, first)
+
+        warm = [None]
+        run_one(warm, 0)  # compile prefill/insert/block-decode
+        out = [None] * slots
+        threads = [threading.Thread(target=run_one, args=(out, i))
+                   for i in range(slots)]
+        t0 = time.time()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        end = time.time()
+        total = sum(o[0] for o in out)
+        last_first = max(o[1] for o in out)
+        steady = (total - slots) / (end - last_first) \
+            if end > last_first else 0.0
+        results[str(slots)] = {
+            "total_tok": total,
+            "wall_s": round(end - t0, 2),
+            "agg_tok_s": round(total / (end - t0), 1),
+            "steady_decode_tok_s": round(steady, 1),
+        }
+        sched.shutdown()
+    return results
+
+
 def run_network_benchmark(port: int, n_prompt_tokens: int = 2048,
                           decode_tokens: int = DECODE_TOKENS) -> Dict:
     """Re-measure through a running HTTP server via SSE: network-side
@@ -183,6 +244,10 @@ def main():
     ap.add_argument("--network", action="store_true",
                     help="also re-measure through a temp HTTP server and "
                          "report the engine→network overhead")
+    ap.add_argument("--slots-bench", type=int, nargs="*", default=None,
+                    help="measure continuous-batching aggregate decode "
+                         "throughput at these slot counts (skips the "
+                         "single-request protocol)")
     ap.add_argument("--port", type=int, default=8398)
     args = ap.parse_args()
 
@@ -212,10 +277,18 @@ def main():
         "quant": {"expert_bits": args.expert_bits,
                   "attention": args.attention_quant},
         "system": _system_info(),
-        "results": run_engine_benchmark(
-            engine, prefill_lengths=tuple(args.prefill_lengths)
-        ),
     }
+    if args.slots_bench is not None:
+        slots = tuple(args.slots_bench) or (1, 4, 8, 16)
+        report["results"] = {"slots_throughput": run_slots_benchmark(
+            cfg, quant, engine.params, slots_list=slots,
+            max_len=min(args.max_len, 2048),
+            decode_block=args.decode_block,
+        )}
+    else:
+        report["results"] = run_engine_benchmark(
+            engine, prefill_lengths=tuple(args.prefill_lengths)
+        )
     if args.network:
         from .server import start_temp_server
 

@@ -111,6 +111,7 @@ def handle_request(state: ServerState, method: str, path: str,
         top_logprobs = int(req.get("top_logprobs", 0) or 0)
         if not 0 <= top_logprobs <= 8:
             raise ValueError("top_logprobs must be in [0, 8]")
+        seed = int(req.get("seed", 0) or 0)
         messages = req.get("messages", [])
         if not isinstance(messages, list):
             raise ValueError("messages must be a list")
@@ -140,10 +141,10 @@ def handle_request(state: ServerState, method: str, path: str,
     with state.lock:
         if stream:
             _stream_single(state, w, rid, created, prompt_ids, max_tokens,
-                           sampling, stops)
+                           sampling, stops, seed)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
-                         sampling, stops, want_logprobs, top_logprobs)
+                         sampling, stops, want_logprobs, top_logprobs, seed)
 
 
 def _make_decoder(state: ServerState):
@@ -207,7 +208,7 @@ def _parse_stops(req) -> list:
 
 
 def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                   stops=()):
+                   stops=(), seed=0):
     w.sse_start()
     # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
@@ -228,7 +229,7 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     try:
         state.engine.generate(
             prompt_ids, max_new_tokens=max_tokens,
-            sampling=sampling, on_token=on_token,
+            sampling=sampling, on_token=on_token, seed=seed,
         )
     except StopIteration:
         pass
@@ -259,7 +260,7 @@ def _logprobs_content(state, tokens, lps, top=None):
 
 
 def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                 stops=(), want_logprobs=False, top_logprobs=0):
+                 stops=(), want_logprobs=False, top_logprobs=0, seed=0):
     # Stop strings must CANCEL generation, not post-truncate — a stop on
     # token 3 of a 512-max_tokens request must not pay for 512 tokens
     # (reference server.rs:295 halts at the stop token).
@@ -278,7 +279,7 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
     res = state.engine.generate(
         prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
-        on_token=on_token,
+        on_token=on_token, seed=seed,
         top_logprobs=(top_logprobs if want_logprobs else 0),
     )
     if stops:

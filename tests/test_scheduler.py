@@ -273,3 +273,19 @@ def test_admission_oom_retry_halves_chunk(setup):
     finally:
         sch.shutdown()
     assert got == want
+
+
+def test_slots_benchmark_mode(setup):
+    """benchmark.run_slots_benchmark: the reproducible tooling form of
+    the aggregate-throughput measurement (structure + token counts)."""
+    from krasis_tpu.benchmark import run_slots_benchmark
+
+    cfg, quant, params = setup
+    res = run_slots_benchmark(cfg, quant, params, slots_list=(1, 2),
+                              max_len=256, prompt_len=32,
+                              decode_tokens=8, decode_block=4)
+    assert set(res) == {"1", "2"}
+    assert res["1"]["total_tok"] == 8
+    assert res["2"]["total_tok"] == 16
+    for v in res.values():
+        assert v["agg_tok_s"] > 0 and v["wall_s"] > 0

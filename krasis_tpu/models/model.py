@@ -19,14 +19,12 @@ the DeltaNet recurrence (β=0, g=0 ⇒ state unchanged).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..config import ModelConfig, QuantConfig
-from ..ops.activations import swiglu
 from ..ops.attention import attend, build_mask, mla_absorbed_attention
 from ..ops.deltanet import (
     DeltaNetDims,

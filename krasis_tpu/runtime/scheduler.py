@@ -34,14 +34,8 @@ from ..models.model import (
     make_forward_fns,
     make_multi_decode_batched_fn,
 )
-from ..ops.sampling import SamplingParams, sample, sample_batched
-from .engine import (
-    CHUNK,
-    PREFILL_BUCKETS,
-    _is_oom,
-    pick_bucket,
-    pick_history_bucket,
-)
+from ..ops.sampling import SamplingParams, sample_batched
+from .engine import CHUNK, _is_oom, pick_bucket, pick_history_bucket
 from .kv_cache import init_cache, resolve_kv_quant
 
 

@@ -112,6 +112,8 @@ def handle_request(state: ServerState, method: str, path: str,
         if not 0 <= top_logprobs <= 8:
             raise ValueError("top_logprobs must be in [0, 8]")
         seed = int(req.get("seed", 0) or 0)
+        include_usage = bool(
+            (req.get("stream_options") or {}).get("include_usage", False))
         messages = req.get("messages", [])
         if not isinstance(messages, list):
             raise ValueError("messages must be a list")
@@ -133,7 +135,7 @@ def handle_request(state: ServerState, method: str, path: str,
         # continuous batching: no lock — scheduler multiplexes slots
         if stream:
             _stream_batched(state, w, rid, created, prompt_ids, max_tokens,
-                            sampling, stops)
+                            sampling, stops, include_usage)
         else:
             _full_batched(state, w, rid, created, prompt_ids, max_tokens,
                           sampling, stops, want_logprobs)
@@ -141,7 +143,7 @@ def handle_request(state: ServerState, method: str, path: str,
     with state.lock:
         if stream:
             _stream_single(state, w, rid, created, prompt_ids, max_tokens,
-                           sampling, stops, seed)
+                           sampling, stops, seed, include_usage)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
                          sampling, stops, want_logprobs, top_logprobs, seed)
@@ -207,15 +209,29 @@ def _parse_stops(req) -> list:
     return [s for s in stop[:8] if isinstance(s, str) and s]
 
 
+def _usage_chunk(state, rid, created, prompt_tokens, completion) -> bytes:
+    obj = {
+        "id": rid, "object": "chat.completion.chunk", "created": created,
+        "model": state.model_name, "choices": [],
+        "usage": {"prompt_tokens": prompt_tokens,
+                  "completion_tokens": completion,
+                  "total_tokens": prompt_tokens + completion},
+    }
+    return f"data: {json.dumps(obj)}\n\n".encode()
+
+
 def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                   stops=(), seed=0):
+                   stops=(), seed=0, include_usage=False):
     w.sse_start()
     # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
     sm = StopMatcher(stops)
+    n_tok = 0
 
     def on_token(tok: int):
+        nonlocal n_tok
+        n_tok += 1
         if w.cancelled():
             raise StopIteration  # client went away → cancel decode
         text = dec.push(tok) if dec is not None else f"<{tok}>"
@@ -237,6 +253,8 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     if tail:
         w.sse_send(_chunk(state, rid, created, {"content": tail}))
     w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
+    if include_usage:
+        w.sse_send(_usage_chunk(state, rid, created, len(prompt_ids), n_tok))
     w.sse_send(b"data: [DONE]\n\n")
     w.sse_end()
 
@@ -314,11 +332,12 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
 
 def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                    stops=()):
+                    stops=(), include_usage=False):
     w.sse_start()
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
     sm = StopMatcher(stops)
+    n_tok = 0
 
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
@@ -329,6 +348,7 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
             break
         if client_gone:
             continue  # drain until the scheduler's end sentinel
+        n_tok += 1
         if w.cancelled():
             req.cancelled.set()
             client_gone = True
@@ -352,6 +372,8 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
     if tail:
         w.sse_send(_chunk(state, rid, created, {"content": tail}))
     w.sse_send(_chunk(state, rid, created, {}, finish="stop"))
+    if include_usage:
+        w.sse_send(_usage_chunk(state, rid, created, len(prompt_ids), n_tok))
     w.sse_send(b"data: [DONE]\n\n")
     w.sse_end()
 

@@ -266,6 +266,32 @@ def test_native_with_batch_scheduler(engine):
         sched.shutdown()
 
 
+def test_stream_include_usage(server):
+    """stream_options.include_usage: a final usage chunk (empty choices)
+    arrives before [DONE]."""
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/chat/completions", json.dumps({
+        "messages": [{"role": "user", "content": "usage"}],
+        "max_tokens": 3, "temperature": 0.0, "stream": True,
+        "stream_options": {"include_usage": True},
+    }), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    usage = None
+    for raw in r:
+        line = raw.decode().strip()
+        if line == "data: [DONE]":
+            break
+        if line.startswith("data: "):
+            obj = json.loads(line[6:])
+            if obj.get("usage"):
+                assert obj["choices"] == []
+                usage = obj["usage"]
+    conn.close()
+    assert usage and usage["completion_tokens"] == 3
+    assert usage["total_tokens"] == usage["prompt_tokens"] + 3
+
+
 def test_stop_matcher_unit():
     from krasis_tpu.server import StopMatcher
 

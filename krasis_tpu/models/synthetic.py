@@ -36,7 +36,13 @@ def build_synthetic_engine(
     max_len: int = 4096,
     batch_size: int = 1,
     seed: int = 0,
+    mesh=None,
 ) -> Engine:
     quant = quant or QuantConfig()
     params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(seed))
-    return Engine(cfg, quant, params, max_len=max_len, batch_size=batch_size)
+    if mesh is not None:
+        from ..parallel.mesh import shard_params
+
+        params = shard_params(params, cfg, mesh)
+    return Engine(cfg, quant, params, max_len=max_len,
+                  batch_size=batch_size, mesh=mesh)

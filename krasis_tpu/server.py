@@ -599,6 +599,11 @@ def main():
     ap.add_argument("--dense-mlp-quant", default="int8",
                     choices=("bf16", "int8"))
     ap.add_argument("--lm-head-quant", default="int8", choices=("bf16", "int8"))
+    ap.add_argument("--mesh", default=None, metavar="DP,EP",
+                    help="shard over the local chips: e.g. 1,8 = 8-way "
+                         "expert parallelism, 2,4 = 2 data x 4 expert "
+                         "(parallel/mesh.py; weights are placed onto the "
+                         "mesh after load)")
     ap.add_argument("--slots", type=int, default=0,
                     help="continuous-batching slots (0 = single-request)")
     ap.add_argument("--decode-block", type=int, default=8,
@@ -633,6 +638,13 @@ def main():
             dense_mlp=args.dense_mlp_quant, lm_head=args.lm_head_quant,
         )
 
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        dp, ep = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(dp * ep, dp=dp)
+
     if args.synthetic:
         from .models.synthetic import build_synthetic_engine, tiny_config
 
@@ -642,7 +654,8 @@ def main():
         else:
             cfg = preset_config(args.synthetic)
             quant = make_quant()
-        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
+                                        mesh=mesh)
         tok, params = None, engine.params
         name = f"synthetic/{args.synthetic}"
     else:
@@ -653,7 +666,11 @@ def main():
         cfg = ModelConfig.from_model_path(args.model)
         quant = make_quant()
         params = load_params(cfg, quant)
-        engine = Engine(cfg, quant, params, max_len=args.max_len)
+        if mesh is not None:
+            from .parallel.mesh import shard_params
+
+            params = shard_params(params, cfg, mesh)
+        engine = Engine(cfg, quant, params, max_len=args.max_len, mesh=mesh)
         tok = Tokenizer(args.model)
         name = os.path.basename(args.model)
 
@@ -662,7 +679,7 @@ def main():
         from .runtime.scheduler import BatchScheduler
         sched = BatchScheduler(cfg, quant, params,
                                max_len=args.max_len, num_slots=args.slots,
-                               decode_block=args.decode_block)
+                               decode_block=args.decode_block, mesh=mesh)
     if not args.no_warmup:
         warmup(engine, sched)
     run_server(engine, tok, name, args.host, args.port, scheduler=sched,

@@ -447,6 +447,47 @@ def test_half_close_client_still_served(engine):
         httpd.shutdown()
 
 
+def test_served_on_mesh():
+    """Multi-chip serving wiring (--mesh): an 8-way expert-parallel
+    engine + scheduler served over HTTP must answer exactly like the
+    unsharded engine (greedy)."""
+    from krasis_tpu.parallel.mesh import make_mesh
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    cfg = tiny_config("qwen3-moe")
+    quant = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16")
+    ref_eng = build_synthetic_engine(cfg, quant, max_len=512)
+
+    mesh = make_mesh(8, dp=1)
+    eng = build_synthetic_engine(cfg, quant, max_len=512, mesh=mesh)
+    sched = BatchScheduler(cfg, quant, eng.params, max_len=512,
+                           num_slots=2, mesh=mesh)
+    port = 8466
+    httpd = start_temp_server(eng, None, "synthetic/tiny-mesh", port=port,
+                              scheduler=sched, backend="native")
+    try:
+        status, body = _post(port, {
+            "messages": [{"role": "user", "content": "mesh serve"}],
+            "max_tokens": 5, "temperature": 0.0,
+        })
+        assert status == 200
+        got = json.loads(body)["choices"][0]["message"]["content"]
+    finally:
+        httpd.shutdown()
+        sched.shutdown()
+
+    # unsharded reference through the same text→token hashing
+    text = "mesh serve"
+    vocab = cfg.vocab_size
+    ids = [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in text]
+    from krasis_tpu.ops.sampling import SamplingParams
+
+    ref = ref_eng.generate(ids, max_new_tokens=5,
+                           sampling=SamplingParams(temperature=0.0),
+                           stop_ids={-1})
+    assert got == " ".join(str(t) for t in ref.tokens)
+
+
 def test_oversized_path_request(server):
     """A request the parser must reject (no crash, connection dropped)."""
     port, _ = server

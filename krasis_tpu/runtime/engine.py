@@ -239,11 +239,21 @@ class Engine:
         stop_ids: Optional[set] = None,
         seed: int = 0,
         on_token=None,
+        on_token_lp=None,
         top_logprobs: int = 0,
     ) -> GenerationResult:
         """Single-sequence generation (batch slot 0). `top_logprobs=N`
         additionally returns the top-N (token, logprob) alternatives per
-        step from the raw model distribution."""
+        step from the raw model distribution. `on_token_lp(tok, logprob)`
+        is the streaming-logprobs variant of `on_token(tok)`; both may be
+        set (each fires per token, on_token first)."""
+        if on_token_lp is not None:
+            tok_cb, lp_cb = on_token, on_token_lp
+
+            def on_token(tok):
+                if tok_cb is not None:
+                    tok_cb(tok)
+                lp_cb(tok, out_lps[-1])
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
         n = len(prompt_ids)

@@ -66,11 +66,15 @@ def _json_bytes(obj: Dict[str, Any]) -> bytes:
 
 
 def _chunk(state: ServerState, rid, created, delta: Dict[str, Any],
-           finish=None) -> bytes:
+           finish=None, logprobs=None) -> bytes:
+    choice: Dict[str, Any] = {"index": 0, "delta": delta,
+                              "finish_reason": finish}
+    if logprobs is not None:
+        choice["logprobs"] = {"content": logprobs}
     obj = {
         "id": rid, "object": "chat.completion.chunk", "created": created,
         "model": state.model_name,
-        "choices": [{"index": 0, "delta": delta, "finish_reason": finish}],
+        "choices": [choice],
     }
     return f"data: {json.dumps(obj)}\n\n".encode()
 
@@ -135,7 +139,7 @@ def handle_request(state: ServerState, method: str, path: str,
         # continuous batching: no lock — scheduler multiplexes slots
         if stream:
             _stream_batched(state, w, rid, created, prompt_ids, max_tokens,
-                            sampling, stops, include_usage)
+                            sampling, stops, include_usage, want_logprobs)
         else:
             _full_batched(state, w, rid, created, prompt_ids, max_tokens,
                           sampling, stops, want_logprobs)
@@ -143,7 +147,8 @@ def handle_request(state: ServerState, method: str, path: str,
     with state.lock:
         if stream:
             _stream_single(state, w, rid, created, prompt_ids, max_tokens,
-                           sampling, stops, seed, include_usage)
+                           sampling, stops, seed, include_usage,
+                           want_logprobs)
         else:
             _full_single(state, w, rid, created, prompt_ids, max_tokens,
                          sampling, stops, want_logprobs, top_logprobs, seed)
@@ -221,23 +226,34 @@ def _usage_chunk(state, rid, created, prompt_tokens, completion) -> bytes:
 
 
 def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                   stops=(), seed=0, include_usage=False):
+                   stops=(), seed=0, include_usage=False,
+                   want_logprobs=False):
     w.sse_start()
     # immediate role chunk (TTFT, reference server.rs:407 first-chunk)
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
     sm = StopMatcher(stops)
     n_tok = 0
+    pending_lp: list = []  # (tok, lp) since the last emitted chunk
 
-    def on_token(tok: int):
+    def on_token_lp(tok: int, lp: float):
         nonlocal n_tok
         n_tok += 1
         if w.cancelled():
             raise StopIteration  # client went away → cancel decode
+        if want_logprobs:
+            pending_lp.append((tok, lp))
         text = dec.push(tok) if dec is not None else f"<{tok}>"
         text = sm.push(text)
         if text:
-            if not w.sse_send(_chunk(state, rid, created, {"content": text})):
+            lps = None
+            if want_logprobs:
+                lps = _logprobs_content(
+                    state, [t for t, _ in pending_lp],
+                    [l for _, l in pending_lp])
+                pending_lp.clear()
+            if not w.sse_send(_chunk(state, rid, created, {"content": text},
+                                     logprobs=lps)):
                 raise StopIteration
         if sm.stopped:
             raise StopIteration  # stop string hit → cancel decode
@@ -245,7 +261,7 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
     try:
         state.engine.generate(
             prompt_ids, max_new_tokens=max_tokens,
-            sampling=sampling, on_token=on_token, seed=seed,
+            sampling=sampling, on_token_lp=on_token_lp, seed=seed,
         )
     except StopIteration:
         pass
@@ -332,12 +348,13 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
 
 
 def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
-                    stops=(), include_usage=False):
+                    stops=(), include_usage=False, want_logprobs=False):
     w.sse_start()
     w.sse_send(_chunk(state, rid, created, {"role": "assistant"}))
     dec = _make_decoder(state)
     sm = StopMatcher(stops)
     n_tok = 0
+    pending_lp: list = []
 
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
                                  sampling=sampling)
@@ -348,15 +365,25 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
             break
         if client_gone:
             continue  # drain until the scheduler's end sentinel
-        n_tok += 1
         if w.cancelled():
             req.cancelled.set()
             client_gone = True
             continue
+        if want_logprobs:
+            # logprobs[i] is appended before token i reaches the queue
+            pending_lp.append((tok, req.logprobs[n_tok]))
+        n_tok += 1
         text = dec.push(tok) if dec is not None else f"<{tok}>"
         text = sm.push(text)
         if text:
-            if not w.sse_send(_chunk(state, rid, created, {"content": text})):
+            lps = None
+            if want_logprobs:
+                lps = _logprobs_content(
+                    state, [t for t, _ in pending_lp],
+                    [l for _, l in pending_lp])
+                pending_lp.clear()
+            if not w.sse_send(_chunk(state, rid, created, {"content": text},
+                                     logprobs=lps)):
                 req.cancelled.set()
                 client_gone = True
                 continue

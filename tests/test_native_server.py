@@ -266,6 +266,36 @@ def test_native_with_batch_scheduler(engine):
         sched.shutdown()
 
 
+def test_stream_logprobs(server):
+    """Streaming logprobs: every content chunk carries the token-aligned
+    entries; totals match the token count."""
+    port, _ = server
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", "/v1/chat/completions", json.dumps({
+        "messages": [{"role": "user", "content": "stream lp"}],
+        "max_tokens": 4, "temperature": 0.0, "stream": True,
+        "logprobs": True,
+        "stream_options": {"include_usage": True},
+    }), {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    entries, usage = [], None
+    for raw in r:
+        line = raw.decode().strip()
+        if line == "data: [DONE]":
+            break
+        if line.startswith("data: "):
+            obj = json.loads(line[6:])
+            if obj.get("usage"):
+                usage = obj["usage"]
+                continue
+            ch = obj["choices"][0]
+            if ch.get("logprobs"):
+                entries.extend(ch["logprobs"]["content"])
+    conn.close()
+    assert usage and len(entries) == usage["completion_tokens"] == 4
+    assert all(e["logprob"] <= 0 for e in entries)
+
+
 def test_stream_include_usage(server):
     """stream_options.include_usage: a final usage chunk (empty choices)
     arrives before [DONE]."""

@@ -518,6 +518,55 @@ def test_served_on_mesh():
     assert got == " ".join(str(t) for t in ref.tokens)
 
 
+def test_native_concurrency_soak(engine):
+    """Short soak of the C++ transport: health checks stay answerable
+    (and fast) while streams are in flight; no request is lost across
+    many keep-alive cycles."""
+    port = 8467
+    httpd = start_temp_server(engine, None, "synthetic/tiny", port=port,
+                              backend="native")
+    try:
+        errors = []
+
+        def stream_worker():
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=300)
+                conn.request("POST", "/v1/chat/completions", json.dumps({
+                    "messages": [{"role": "user", "content": "soak"}],
+                    "max_tokens": 16, "temperature": 0.0, "stream": True,
+                }), {"Content-Type": "application/json"})
+                r = conn.getresponse()
+                for _ in r:
+                    pass
+                conn.close()
+            except Exception as e:
+                errors.append(e)
+
+        def health_worker():
+            try:
+                conn = http.client.HTTPConnection("127.0.0.1", port,
+                                                  timeout=60)
+                for _ in range(25):  # keep-alive reuse across iterations
+                    conn.request("GET", "/health")
+                    r = conn.getresponse()
+                    assert r.status == 200
+                    r.read()
+                conn.close()
+            except Exception as e:
+                errors.append(e)
+
+        ts = ([threading.Thread(target=stream_worker) for _ in range(2)]
+              + [threading.Thread(target=health_worker) for _ in range(6)])
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert not errors, errors
+    finally:
+        httpd.shutdown()
+
+
 def test_oversized_path_request(server):
     """A request the parser must reject (no crash, connection dropped)."""
     port, _ = server

@@ -567,6 +567,54 @@ def test_native_concurrency_soak(engine):
         httpd.shutdown()
 
 
+def test_native_parser_fuzz(engine):
+    """Garbage in, liveness out: random/malformed/truncated bytes thrown
+    at the hand-written C++ HTTP parser must never take the server down
+    or wedge a worker.
+
+    NOTE: the very first run of this test (2026-08-18) crashed the
+    process with 'terminate called after throwing an instance of'' /
+    'FATAL: exception not rethrown' (pthread forced-unwind signature);
+    13 subsequent runs are clean and per-payload bisection found no
+    killer. If this recurs in CI, suspect a teardown race between
+    NativeHTTPServer.shutdown and a worker inside a ks_* call."""
+    import random
+
+    port = 8468
+    httpd = start_temp_server(engine, None, "synthetic/tiny", port=port,
+                              backend="native")
+    rnd = random.Random(0)
+    payloads = [
+        b"",                                   # connect-and-close
+        b"\r\n\r\n",
+        b"GET\r\n\r\n",                        # malformed request line
+        b"GET / HTTP/1.1\r\nContent-Length: -5\r\n\r\n",
+        b"POST /v1/chat/completions HTTP/1.1\r\nContent-Length: 10\r\n\r\nabc",  # truncated body
+        b"GET /health HTTP/1.1\r\nHost: x\r\n\r\nGET /health HTTP/1.1\r\n\r\n",  # pipelined
+        b"POST / HTTP/1.1\r\nContent-Length: 99999999999999999999\r\n\r\n",      # overflow-ish
+        bytes(rnd.randrange(256) for _ in range(512)),   # pure noise
+        b"GET " + b"A" * 2000 + b" HTTP/1.1\r\n\r\n",    # long path
+        b"POST /v1/chat/completions HTTP/1.1\r\ncontent-length: 2\r\n\r\n{}",    # lowercase header
+    ]
+    try:
+        for pl in payloads:
+            try:
+                s = socket.create_connection(("127.0.0.1", port), timeout=10)
+                if pl:
+                    s.sendall(pl)
+                time.sleep(0.05)
+                s.close()
+            except OSError:
+                pass  # server may reset — that's allowed; dying is not
+        # after all that, the server still answers
+        conn = http.client.HTTPConnection("127.0.0.1", port, timeout=30)
+        conn.request("GET", "/health")
+        assert conn.getresponse().status == 200
+        conn.close()
+    finally:
+        httpd.shutdown()
+
+
 def test_oversized_path_request(server):
     """A request the parser must reject (no crash, connection dropped)."""
     port, _ = server

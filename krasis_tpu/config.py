@@ -147,6 +147,13 @@ class ModelConfig:
     max_position_embeddings: int = 131072
     partial_rotary_factor: float = 1.0      # GLM-4.7: 0.5
 
+    # --- Multi-token prediction (DeepSeek V3/R1, Kimi K2) ---
+    # Number of MTP modules shipped in the checkpoint (layer indices
+    # num_hidden_layers..+n-1). Enables self-speculative decoding: the MTP
+    # head drafts token t+2 while the main model verifies — a capability
+    # the reference engine does not have.
+    num_nextn_predict_layers: int = 0
+
     # --- Misc ---
     tie_word_embeddings: bool = False
     bos_token_id: int = 0
@@ -345,6 +352,7 @@ class ModelConfig:
             rope_scaling=cfg.get("rope_scaling") or {},
             max_position_embeddings=cfg.get("max_position_embeddings", 131072),
             partial_rotary_factor=partial_rotary,
+            num_nextn_predict_layers=cfg.get("num_nextn_predict_layers", 0),
             tie_word_embeddings=tie,
             bos_token_id=raw.get("bos_token_id", cfg.get("bos_token_id", 0)) or 0,
             eos_token_id=eos,

@@ -194,7 +194,40 @@ class WeightLoader:
             self._load_layer(i, spec) for i, spec in enumerate(layer_specs(cfg))
         ]
         params.update(stack_layer_list(layers, cfg))
+        if self.has_mtp():
+            params["mtp"] = self._load_mtp()
         return params
+
+    def has_mtp(self) -> bool:
+        """Checkpoint ships an MTP module (DeepSeek V3/Kimi layer at index
+        num_hidden_layers with enorm/hnorm/eh_proj + shared head)."""
+        cfg = self.cfg
+        return cfg.num_nextn_predict_layers > 0 and self._has(
+            f"{self.prefix}.layers.{cfg.num_hidden_layers}.eh_proj.weight"
+        )
+
+    def _load_mtp(self, expert_sink=None) -> Dict[str, Any]:
+        """MTP module weights (models/mtp.py). The wrapped decoder layer
+        reuses the normal layer schema at index num_hidden_layers; the
+        module's embed_tokens copy is skipped (tied to the main one)."""
+        from .params import mtp_layer_spec
+
+        cfg, q = self.cfg, self.quant
+        L = f"{self.prefix}.layers.{cfg.num_hidden_layers}"
+        mtp: Dict[str, Any] = {
+            "enorm": self._norm(f"{L}.enorm.weight"),
+            "hnorm": self._norm(f"{L}.hnorm.weight"),
+            "eh_proj": self._linear(f"{L}.eh_proj.weight", q.attention),
+            "final_norm": self._norm(f"{L}.shared_head.norm.weight"),
+            "layer": self._load_layer(
+                cfg.num_hidden_layers, mtp_layer_spec(cfg),
+                expert_sink=expert_sink,
+            ),
+        }
+        head = f"{L}.shared_head.head.weight"
+        if self._has(head):
+            mtp["head"] = self._linear(head, q.lm_head)
+        return mtp
 
     def load_head(self) -> Dict[str, Any]:
         """embed / final_norm / lm_head (host arrays)."""
@@ -520,6 +553,37 @@ def build_cache(cfg: ModelConfig, quant: QuantConfig, cache_path: str,
                         cw.add_leaf(key, group, leaf)
                 else:
                     put_stacked(key, group, r, info.reps, leaf)
+
+        if wl.has_mtp():
+            from .params import mtp_layer_spec
+
+            spec = mtp_layer_spec(cfg)
+            sink = None
+            if spec.mlp_kind == "moe" and bits in (4, 8):
+                gs13, gs2 = pick_group_size(H, gs), pick_group_size(I, gs)
+                r13 = H // 2 if bits == 4 else H
+                r2 = I // 2 if bits == 4 else I
+                cw.alloc_qtensor("mtp/layer/w13", "mtp", (E, r13, 2 * I),
+                                 (E, H // gs13, 2 * I), bits, gs13)
+                cw.alloc_qtensor("mtp/layer/w2", "mtp", (E, r2, H),
+                                 (E, I // gs2, H), bits, gs2)
+
+                def sink(e, w13_e, w2_e):
+                    qt = quantize_host(w13_e, bits=bits, group_size=gs)
+                    cw.write_at("mtp/layer/w13.q", (e,), qt.q)
+                    cw.write_at("mtp/layer/w13.scales", (e,), qt.scales)
+                    qt = quantize_host(w2_e, bits=bits, group_size=gs)
+                    cw.write_at("mtp/layer/w2.q", (e,), qt.q)
+                    cw.write_at("mtp/layer/w2.scales", (e,), qt.scales)
+
+            mtp = wl._load_mtp(expert_sink=sink)
+            layer = mtp.pop("layer")
+            for name, leaf in mtp.items():
+                cw.add_leaf(f"mtp/{name}", "mtp", leaf)
+            for name, leaf in layer.items():
+                key = f"mtp/layer/{name}"
+                if f"{key}.q" not in cw.index and key not in cw.index:
+                    cw.add_leaf(key, "mtp", leaf)
         cw.finalize(n_prefix=info.prefix_n, n_pattern=max(info.period, 0))
     except BaseException:
         cw.abort()

@@ -411,6 +411,7 @@ def forward(
     mesh=None,
     sp_axis=None,
     ep_axis=None,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -420,6 +421,9 @@ def forward(
     Returns (logits, new_cache). logits: [B, V] at each row's last valid
     token, or [B, S, V] when return_all_logits (perplexity path,
     reference model.py forward(..., return_all_logits=True)).
+    With return_hidden, returns (logits, hidden, new_cache) where hidden
+    is the final-norm output at ALL positions [B, S, H] — the MTP
+    module's `previous_hidden_states` input (models/mtp.py).
     """
     B, S = tokens.shape
     length = cache["length"]                       # [B] tokens already cached
@@ -452,6 +456,7 @@ def forward(
         )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+    hidden = x  # [B, S, H] post-final-norm
 
     if not return_all_logits:
         idx = jnp.maximum(seq_lens - 1, 0)
@@ -463,6 +468,8 @@ def forward(
         "pattern": new_pattern,
         "length": kv_len,
     }
+    if return_hidden:
+        return logits, hidden, new_cache
     return logits, new_cache
 
 

@@ -99,6 +99,18 @@ def pattern_layer_index(info: PatternInfo, t: int, r: int) -> int:
     return info.prefix_n + r * info.period + t
 
 
+def mtp_layer_spec(cfg: ModelConfig) -> LayerSpec:
+    """Layer structure of the MTP (next-token-prediction) module.
+
+    DeepSeek V3 / Kimi K2 ship it as one more full transformer layer
+    (MLA attention + MoE MLP) at index num_hidden_layers, wrapped by
+    enorm/hnorm/eh_proj and its own head norm."""
+    return LayerSpec(
+        cfg.attention_type, False,
+        "moe" if cfg.layer_is_moe(cfg.num_hidden_layers) else "dense",
+    )
+
+
 # --------------------------------------------------------------------------
 # Synthetic init
 # --------------------------------------------------------------------------
@@ -269,6 +281,23 @@ def init_synthetic_params(
             for t in range(info.period)
         ],
     }
+    if cfg.num_nextn_predict_layers > 0:
+        # MTP module (depth 1): embedding and head are shared with the
+        # main model (DeepSeek V3 ties layers.61.embed_tokens /
+        # shared_head.head to them).
+        k1, k2 = jax.random.split(jax.random.fold_in(key, 0x317))
+        one = jnp.zeros((H,), dtype) if cfg.norm_plus_one else jnp.ones((H,), dtype)
+        params["mtp"] = {
+            "enorm": one,
+            "hnorm": one,
+            "eh_proj": _maybe_quant(
+                (jax.random.normal(k1, (2 * H, H), jnp.float32) * 0.02),
+                quant.attention, quant.group_size,
+            ),
+            "final_norm": one,
+            "layer": _init_layer(cfg, quant, mtp_layer_spec(cfg), k2,
+                                 dtype=dtype),
+        }
     return params
 
 

@@ -192,6 +192,12 @@ class CacheReader:
                 params["prefix_layers"][int(parts[1])][parts[2]] = leaf
             elif parts[0] == "pattern":
                 params["pattern"][int(parts[1])][parts[2]] = leaf
+            elif parts[0] == "mtp":  # MTP module (models/mtp.py)
+                mtp = params.setdefault("mtp", {})
+                if parts[1] == "layer":
+                    mtp.setdefault("layer", {})[parts[2]] = leaf
+                else:
+                    mtp[parts[1]] = leaf
             else:
                 raise ValueError(f"unknown cache key {base}")
         return params

@@ -303,7 +303,7 @@ def _decode_kernel(
     # scratch
     k_buf, v_buf, k_sem, v_sem,
     *, scale: float, window: int, BK: int, use_sink: bool,
-    v_from_k: bool, Dv: int, G: int, NBUF: int,
+    v_from_k: bool, Dv: int, G: int, NBUF: int, Sq: int,
 ):
     """Decode attention with an IN-KERNEL multi-buffered DMA loop.
 
@@ -314,6 +314,11 @@ def _decode_kernel(
     bound (~4.5 µs per block observed through this chip), so overlapping
     several multiplies effective bandwidth — double-buffering alone left
     decode attention at ~73 GB/s.
+
+    Sq > 1 (speculative-decode verify step): the Sq query tokens of a
+    slot sit at positions kv_len-Sq .. kv_len-1; their G group rows are
+    stacked into one [Sq*G, D] dot, and causal masking is per row group
+    (query s may only see kv positions <= kv_len - Sq + s).
     """
     b = pl.program_id(0)
     h = pl.program_id(1)
@@ -322,9 +327,13 @@ def _decode_kernel(
     nblk = jax.lax.div(kv_len + BK - 1, BK)
     j0 = jnp.int32(0)
     if window > 0:
-        j0 = jnp.maximum(kv_len - window, 0) // BK
+        j0 = jnp.maximum(kv_len - Sq + 1 - window, 0) // BK
+    # query-row absolute positions: row r belongs to query s = r // G at
+    # position kv_len - Sq + s
+    row_pos = (kv_len - Sq
+               + jax.lax.broadcasted_iota(jnp.int32, (Sq * G, 1), 0) // G)
 
-    q = q_ref[0, 0].astype(jnp.bfloat16)                      # [G, D]
+    q = q_ref[0, 0].astype(jnp.bfloat16)                      # [Sq*G, D]
 
     def k_copy(j, slot):
         return pltpu.make_async_copy(
@@ -364,11 +373,11 @@ def _decode_kernel(
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ) * scale                                             # [G, BK]
+        ) * scale                                             # [Sq*G, BK]
         kp = j * BK + jax.lax.broadcasted_iota(jnp.int32, (1, BK), 1)
-        mask = kp < kv_len
+        mask = kp <= row_pos                                  # causal, per row
         if window > 0:
-            mask &= kp > kv_len - 1 - window
+            mask &= kp > row_pos - window
         s = jnp.where(mask, s, NEG_INF)
 
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
@@ -387,13 +396,13 @@ def _decode_kernel(
         )
         return m_new, l_new, acc
 
-    m0 = jnp.full((G, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((G, 1), jnp.float32)
-    a0 = jnp.zeros((G, Dv), jnp.float32)
+    m0 = jnp.full((Sq * G, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((Sq * G, 1), jnp.float32)
+    a0 = jnp.zeros((Sq * G, Dv), jnp.float32)
     m, l, acc = jax.lax.fori_loop(j0, nblk, body, (m0, l0, a0))
 
     if use_sink:
-        sink = sink_ref[0, 0].reshape(-1, 1).astype(jnp.float32)  # [G, 1]
+        sink = sink_ref[0, 0].reshape(-1, 1).astype(jnp.float32)  # [Sq*G, 1]
         m_safe = jnp.where(m <= NEG_INF / 2, 0.0, m)
         l = l + jnp.exp(sink - m_safe)
     denom = jnp.where(l == 0.0, 1.0, l)
@@ -408,7 +417,8 @@ def _decode_kernel(
     ),
 )
 def decode_attention(
-    q: jax.Array,            # [B, 1, Hq, D]
+    q: jax.Array,            # [B, Sq, Hq, D] (Sq=1 decode; small Sq for
+                             #  speculative verify steps)
     k_cache: jax.Array,      # [B, Hkv, S, D] or [L, B, Hkv, S, D] stacked
     v_cache: Optional[jax.Array],
     kv_len: jax.Array,       # [B] valid entries INCLUDING this step's
@@ -447,7 +457,7 @@ def decode_attention(
     """
     if interpret is None:
         interpret = interpret_mode()
-    B, _, Hq, D = q.shape
+    B, Sq, Hq, D = q.shape
     if k_cache.ndim == 4:
         k_cache = k_cache[None]
         if v_cache is not None:
@@ -473,7 +483,10 @@ def decode_attention(
             f"decode_attention on TPU needs lane-padded D (got {D}); "
             "pad the cache minor dim to a multiple of 128"
         )
-    qg = q.reshape(B, Hkv, G, D)
+    # [B, Sq, Hq, D] → [B, Hkv, Sq*G, D]: the Sq query tokens' group rows
+    # stack into one dot per kv head (row r ↔ query s = r // G).
+    qg = (q.reshape(B, Sq, Hkv, G, D)
+          .transpose(0, 2, 1, 3, 4).reshape(B, Hkv, Sq * G, D))
     # The kernel DMAs [BK, D] rows itself, so the cache stays in HBM
     # (ANY) and only kv_len-bounded blocks ever move.
     kt = k_cache
@@ -486,21 +499,22 @@ def decode_attention(
     sink_in = (
         sinks.astype(jnp.float32).reshape(Hkv, G)
         if use_sink else jnp.zeros((Hkv, G), jnp.float32)
-    )[:, None, :]  # [Hkv, 1, G]
+    )
+    sink_in = jnp.tile(sink_in, (1, Sq))[:, None, :]  # [Hkv, 1, Sq*G]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv),
         in_specs=[
-            pl.BlockSpec((1, 1, G, D), lambda b, h, kl, li: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, Sq * G, D), lambda b, h, kl, li: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((1, 1, G), lambda b, h, kl, li: (h, 0, 0),
+            pl.BlockSpec((1, 1, Sq * G), lambda b, h, kl, li: (h, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, 1, G, Dv), lambda b, h, kl, li: (b, h, 0, 0),
+            (1, 1, Sq * G, Dv), lambda b, h, kl, li: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
@@ -516,16 +530,18 @@ def decode_attention(
         functools.partial(
             _decode_kernel, scale=scale, window=window, BK=BK,
             use_sink=use_sink, v_from_k=v_from_k, Dv=Dv, G=G, NBUF=NBUF,
+            Sq=Sq,
         ),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dv), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, Sq * G, Dv), q.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * Hq * S * (D + Dv) // 2,
+            flops=4 * B * Hq * Sq * S * (D + Dv) // 2,
             bytes_accessed=B * Hkv * S * (D + (0 if v_from_k else Dv))
-            + B * Hq * (D + Dv) * 4,
-            transcendentals=B * Hq * S,
+            + B * Hq * Sq * (D + Dv) * 4,
+            transcendentals=B * Hq * Sq * S,
         ),
         interpret=interpret,
     )(kv_len.astype(jnp.int32), layer, qg, kt, vt, sink_in)
 
-    return out.reshape(B, 1, Hq, Dv)
+    return (out.reshape(B, Hkv, Sq, G, Dv)
+            .transpose(0, 2, 1, 3, 4).reshape(B, Sq, Hq, Dv))

@@ -153,7 +153,7 @@ def _shard_layer(
 
 
 def shard_params(params: Dict[str, Any], cfg: ModelConfig, mesh: Mesh):
-    return {
+    out = {
         "embed": _put(params["embed"], mesh, P()),
         "final_norm": _put(params["final_norm"], mesh, P()),
         "lm_head": jax.tree_util.tree_map(
@@ -168,6 +168,14 @@ def shard_params(params: Dict[str, Any], cfg: ModelConfig, mesh: Mesh):
             for lp in params["pattern"]
         ],
     }
+    if "mtp" in params:
+        mtp = dict(params["mtp"])
+        layer = mtp.pop("layer")
+        out["mtp"] = jax.tree_util.tree_map(
+            lambda l: _put(l, mesh, P()), mtp)
+        out["mtp"]["layer"] = _shard_layer(layer, mesh, stacked=False,
+                                           cfg=cfg)
+    return out
 
 
 def cache_shardings(cache, mesh: Mesh):

@@ -41,7 +41,7 @@ def enable_persistent_compilation_cache():
     except Exception:
         pass
 from ..ops.sampling import SamplingParams, sample
-from .kv_cache import init_cache, resolve_kv_quant
+from .kv_cache import init_cache, init_mtp_cache, resolve_kv_quant
 
 # Single-shot prefill buckets; prompts beyond CHUNK go through chunked
 # prefill (reference model.py:2752 token chunking, here with cache-prefix
@@ -138,8 +138,27 @@ class Engine:
         self.decode_block = 8       # tokens per device call
         self.chunk = CHUNK          # prefill chunk; halves on HBM OOM
         self.sampling = SamplingParams()
+        # MTP self-speculative decoding (models/mtp.py): available when
+        # the checkpoint ships an MTP module and no layer carries
+        # unrollable recurrent state; used automatically for greedy
+        # requests (KRASIS_TPU_NO_SPEC=1 disables).
+        import os as _os
+
+        self.spec_available = (
+            cfg.num_nextn_predict_layers > 0
+            and "mtp" in params
+            and not cfg.is_hybrid
+            and not _os.environ.get("KRASIS_TPU_NO_SPEC")
+        )
+        self._spec_prefill_fns = {}   # history bucket → jitted chunk fn
+        self._spec_decode_fns = {}    # steps → jitted verify block
+        self._first_draft_fn_c = None
+        self.mtp_cache = None
+        self.last_spec_stats: Optional[Dict[str, int]] = None
         self._cache_len = max_len
         self.cache = init_cache(cfg, quant, batch_size, max_len)
+        if self.spec_available:
+            self.mtp_cache = init_mtp_cache(cfg, quant, batch_size, max_len)
 
     def _sample_fn(self, sampling: SamplingParams):
         if sampling not in self._sample_fns:
@@ -174,6 +193,173 @@ class Engine:
                 donate_argnums=(3,),
             )
         return self._chunk_fns[hist_bucket]
+
+    # -- speculative decoding (models/mtp.py) ---------------------------
+
+    def _spec_prefill_fn(self, hist_bucket: int):
+        if hist_bucket not in self._spec_prefill_fns:
+            from ..models.mtp import make_spec_prefill_fn
+
+            self._spec_prefill_fns[hist_bucket] = jax.jit(
+                make_spec_prefill_fn(self.cfg, self.quant, hist_bucket,
+                                     mesh=self.mesh),
+                donate_argnums=(5, 6),
+            )
+        return self._spec_prefill_fns[hist_bucket]
+
+    def _spec_decode_fn(self, steps: int):
+        if steps not in self._spec_decode_fns:
+            from ..models.mtp import make_spec_decode_fn
+
+            self._spec_decode_fns[steps] = jax.jit(
+                make_spec_decode_fn(self.cfg, self.quant, steps,
+                                    mesh=self.mesh),
+                donate_argnums=(3, 4),
+            )
+        return self._spec_decode_fns[steps]
+
+    def _first_draft_fn(self):
+        if self._first_draft_fn_c is None:
+            from ..models.mtp import make_first_draft_fn
+
+            self._first_draft_fn_c = jax.jit(
+                make_first_draft_fn(self.cfg, self.quant, mesh=self.mesh),
+                donate_argnums=(3,),
+            )
+        return self._first_draft_fn_c
+
+    def _spec_prefill_prompt(self, prompt_ids):
+        """Speculative prefill (main chunks + MTP module over the shifted
+        prompt), with the same OOM chunk-halving retry as the vanilla
+        path. Returns (last-token logits, last-position hidden)."""
+        while True:
+            try:
+                return self._spec_prefill_prompt_once(prompt_ids)
+            except Exception as e:
+                if not _is_oom(e) or self.chunk <= 128:
+                    raise
+                self.chunk //= 2
+                import logging
+
+                logging.getLogger("krasis_tpu.engine").warning(
+                    "spec prefill hit RESOURCE_EXHAUSTED; retrying with "
+                    "chunk=%d", self.chunk,
+                )
+                self.reset(self._cache_len)
+
+    def _spec_prefill_prompt_once(self, prompt_ids):
+        n = len(prompt_ids)
+        B = self.batch_size
+        pos = 0
+        logits = h_last = None
+        while pos < n:
+            m = min(self.chunk, n - pos)
+            width = pick_bucket(m) if pos == 0 else self.chunk
+            tokens = np.zeros((B, width), np.int32)
+            tokens[0, :m] = prompt_ids[pos : pos + m]
+            # MTP inputs are the prompt shifted left by one; the final
+            # chunk's last position waits for the first sampled token.
+            k = min(m, n - 1 - pos)
+            nxt = np.zeros((B, width), np.int32)
+            nxt[0, :k] = prompt_ids[pos + 1 : pos + 1 + k]
+            seq = np.zeros((B,), np.int32)
+            seq[0] = m
+            mseq = np.zeros((B,), np.int32)
+            mseq[0] = k
+            fn = self._spec_prefill_fn(
+                0 if pos == 0 else pick_history_bucket(pos))
+            logits, h_last, self.cache, self.mtp_cache = fn(
+                self.params, jnp.asarray(tokens), jnp.asarray(nxt),
+                jnp.asarray(seq), jnp.asarray(mseq), self.cache,
+                self.mtp_cache,
+            )
+            pos += m
+        return logits, h_last
+
+    def _generate_spec(
+        self, prompt_ids, max_new_tokens, sampling, stop_ids, seed,
+        on_token, on_token_lp,
+    ) -> GenerationResult:
+        """Greedy generation through MTP speculative decoding: identical
+        output to the vanilla path, 1-2 tokens committed per verify step
+        (models/mtp.py). Acceptance stats land in self.last_spec_stats."""
+        n = len(prompt_ids)
+        block = self.decode_block
+        # each verify step may touch 2 cache positions
+        room = self.max_len - n - 1 - 2 * block
+        if room < 1:
+            raise ValueError(
+                f"prompt ({n} tokens) leaves no room to generate within "
+                f"max_len={self.max_len}"
+            )
+        max_new_tokens = min(max_new_tokens, room)
+        self.reset(pick_cache_len(
+            n + max_new_tokens + 2 * block + 1, self.max_len))
+        t0 = time.perf_counter()
+        logits, h_last = self._spec_prefill_prompt(prompt_ids)
+        logits.block_until_ready()
+        t1 = time.perf_counter()
+        B = self.batch_size
+
+        key = jax.random.PRNGKey(seed)
+        seen = jnp.zeros((B, self.cfg.vocab_size), jnp.bool_)
+        out_tokens: List[int] = []
+        out_lps: List[float] = []
+        stopped = False
+
+        def emit(tok: int, lp: float) -> bool:
+            nonlocal stopped
+            out_tokens.append(tok)
+            out_lps.append(lp)
+            try:
+                if on_token is not None:
+                    on_token(tok)
+                if on_token_lp is not None:
+                    on_token_lp(tok, lp)
+            except StopIteration:
+                stopped = True
+            if tok in stop_ids or len(out_tokens) >= max_new_tokens:
+                stopped = True
+            return not stopped
+
+        key, sk = jax.random.split(key)
+        next_tok, first_lp = self._sample_fn(sampling)(sk, logits, seen)
+        emit(int(next_tok[0]), float(first_lp[0]))
+
+        t2 = time.perf_counter()
+        draft, self.mtp_cache = self._first_draft_fn()(
+            self.params, next_tok, h_last, self.mtp_cache)
+        steps_total = accepted_total = 0
+        fn = self._spec_decode_fn(block)
+        while not stopped:
+            t1s, t2s, accs, lp1s, lp2s, next_tok, draft, self.cache, \
+                self.mtp_cache = fn(
+                    self.params, next_tok, draft, self.cache, self.mtp_cache
+                )
+            t1h = np.asarray(t1s[:, 0]).tolist()
+            t2h = np.asarray(t2s[:, 0]).tolist()
+            acch = np.asarray(accs[:, 0]).tolist()
+            lp1h = np.asarray(lp1s[:, 0]).tolist()
+            lp2h = np.asarray(lp2s[:, 0]).tolist()
+            for i in range(block):
+                steps_total += 1
+                accepted_total += bool(acch[i])
+                if not emit(t1h[i], lp1h[i]):
+                    break
+                if acch[i] and not emit(t2h[i], lp2h[i]):
+                    break
+        jax.block_until_ready(next_tok)
+        t3 = time.perf_counter()
+        self.last_spec_stats = {
+            "steps": steps_total,
+            "accepted": accepted_total,
+            "emitted": len(out_tokens),
+        }
+        return GenerationResult(
+            tokens=out_tokens, prompt_len=n,
+            prefill_s=t1 - t0, decode_s=t3 - t2,
+            logprobs=out_lps,
+        )
 
     def _prefill_prompt(self, prompt_ids):
         """Prefill a prompt of any length (chunked beyond self.chunk),
@@ -228,6 +414,10 @@ class Engine:
         self.cache = init_cache(
             self.cfg, self.quant, self.batch_size, self._cache_len
         )
+        if self.spec_available:
+            self.mtp_cache = init_mtp_cache(
+                self.cfg, self.quant, self.batch_size, self._cache_len
+            )
 
     # ------------------------------------------------------------------
 
@@ -247,6 +437,20 @@ class Engine:
         step from the raw model distribution. `on_token_lp(tok, logprob)`
         is the streaming-logprobs variant of `on_token(tok)`; both may be
         set (each fires per token, on_token first)."""
+        sampling = sampling or SamplingParams(temperature=0.0)
+        stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
+        if (
+            self.spec_available
+            and sampling.temperature == 0.0
+            and sampling.presence_penalty == 0.0
+            and top_logprobs == 0
+        ):
+            # greedy + MTP module present: speculative decoding emits the
+            # exact same tokens, 1-2 per verify step
+            return self._generate_spec(
+                prompt_ids, max_new_tokens, sampling, stop_ids, seed,
+                on_token, on_token_lp,
+            )
         if on_token_lp is not None:
             tok_cb, lp_cb = on_token, on_token_lp
 
@@ -254,8 +458,6 @@ class Engine:
                 if tok_cb is not None:
                     tok_cb(tok)
                 lp_cb(tok, out_lps[-1])
-        sampling = sampling or SamplingParams(temperature=0.0)
-        stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
         n = len(prompt_ids)
         # Decode runs in fused blocks that may overshoot by decode_block-1
         # positions; bound max_new so even the overshoot stays inside the

@@ -141,6 +141,24 @@ def init_cache(
     }
 
 
+def init_mtp_cache(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    batch: int,
+    max_len: int,
+) -> Dict[str, Any]:
+    """KV cache for the MTP (speculative-draft) module: one extra layer
+    with its own valid length (it trails the main cache by one position
+    until the first sampled token arrives — see models/mtp.py)."""
+    from ..models.params import mtp_layer_spec
+
+    quant = resolve_kv_quant(cfg, quant, batch, max_len)
+    return {
+        "layer": _layer_cache(cfg, quant, mtp_layer_spec(cfg), batch, max_len),
+        "length": jnp.zeros((batch,), jnp.int32),
+    }
+
+
 def cache_bytes(cache) -> int:
     import jax
     return sum(x.size * x.dtype.itemsize for x in jax.tree_util.tree_leaves(cache))

@@ -268,3 +268,54 @@ def test_decode_attention_stacked_layer_index():
             np.asarray(got, np.float32), np.asarray(want, np.float32),
             rtol=1e-5, atol=1e-5,
         )
+
+
+def test_decode_attention_sq2_verify_step():
+    """Sq=2 (speculative verify step): per-query causal limits — query s
+    at position kv_len-2+s — must match the XLA oracle at both rows."""
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    B, S, Hq, Hkv, D, Sq = 2, 256, 4, 2, 64, 2
+    rng = np.random.default_rng(12)
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([200, 66])
+    scale = D ** -0.5
+
+    got = decode_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        kv_len, scale, block_k=64, interpret=True,
+    )
+    q_pos = jnp.stack([kv_len - 2, kv_len - 1], axis=1)      # [B, 2]
+    mask = build_mask(q_pos, jnp.arange(S), kv_len)
+    want = attend(q, k, v, mask, scale, precision=HI)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_decode_attention_sq2_window_and_sinks():
+    from krasis_tpu.ops.flash_attention import decode_attention
+
+    B, S, Hq, Hkv, D, Sq = 1, 256, 2, 1, 32, 2
+    rng = np.random.default_rng(13)
+    q = jnp.asarray(rng.normal(size=(B, Sq, Hq, D)).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.normal(size=(B, S, Hkv, D)).astype(np.float32) * 0.3)
+    kv_len = jnp.asarray([180])
+    sinks = jnp.asarray(rng.normal(size=(Hq,)).astype(np.float32))
+    scale = D ** -0.5
+
+    got = decode_attention(
+        q, k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3),
+        kv_len, scale, window=64, sinks=sinks, block_k=64, interpret=True,
+    )
+    q_pos = jnp.stack([kv_len - 2, kv_len - 1], axis=1)
+    mask = build_mask(q_pos, jnp.arange(S), kv_len, window=64)
+    want = attend(q, k, v, mask, scale, sinks=sinks, precision=HI)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

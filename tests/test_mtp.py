@@ -1,0 +1,173 @@
+"""MTP speculative decoding tests (models/mtp.py).
+
+Greedy spec decode must emit EXACTLY the vanilla greedy token stream —
+the draft only changes how many tokens each device step commits. The
+verify-step mechanics (accept/reject bookkeeping, cache length rollback)
+are pinned deterministically by feeding known-correct / known-wrong
+drafts; end-to-end equivalence runs on random synthetic weights where
+acceptance is incidental.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from krasis_tpu.config import QuantConfig
+from krasis_tpu.models.synthetic import build_synthetic_engine, tiny_config
+from krasis_tpu.ops.sampling import SamplingParams
+
+
+def make_engine(preset="deepseek-v2-lite", vocab=64, max_len=1024, **over):
+    cfg = tiny_config(preset, vocab_size=vocab,
+                      num_nextn_predict_layers=1, **over)
+    return build_synthetic_engine(cfg, max_len=max_len)
+
+
+NO_STOP = {-1}
+
+
+def _greedy(eng, prompt, n, spec: bool):
+    saved = eng.spec_available
+    eng.spec_available = spec
+    try:
+        return eng.generate(list(prompt), max_new_tokens=n,
+                            sampling=SamplingParams(temperature=0.0),
+                            stop_ids=NO_STOP)
+    finally:
+        eng.spec_available = saved
+
+
+def test_spec_equals_vanilla_greedy_mla():
+    eng = make_engine()
+    assert eng.spec_available
+    prompt = list(range(1, 11))
+    want = _greedy(eng, prompt, 40, spec=False)
+    got = _greedy(eng, prompt, 40, spec=True)
+    assert got.tokens == want.tokens
+    stats = eng.last_spec_stats
+    assert stats is not None and stats["emitted"] == len(got.tokens)
+    assert stats["steps"] >= 1
+    np.testing.assert_allclose(got.logprobs, want.logprobs,
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_spec_equals_vanilla_gqa():
+    eng = make_engine(preset="qwen3-moe", vocab=48)
+    want = _greedy(eng, [5, 9, 2, 7], 32, spec=False)
+    got = _greedy(eng, [5, 9, 2, 7], 32, spec=True)
+    assert got.tokens == want.tokens
+
+
+def test_spec_equals_vanilla_chunked_prefill():
+    """Long prompt through chunked spec prefill (history buckets)."""
+    eng = make_engine(max_len=2048)
+    eng.chunk = 128
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, 60, size=300).tolist()
+    want = _greedy(eng, prompt, 24, spec=False)
+    got = _greedy(eng, prompt, 24, spec=True)
+    assert got.tokens == want.tokens
+
+
+def test_spec_verify_step_accept_and_reject():
+    """Deterministic accept/reject mechanics of one verify step."""
+    from krasis_tpu.models.mtp import make_spec_decode_fn
+
+    eng = make_engine()
+    prompt = [3, 1, 4, 1, 5]
+    # ground truth: 3 greedy continuation tokens
+    want = _greedy(eng, prompt, 3, spec=False).tokens
+
+    fn = jax.jit(make_spec_decode_fn(eng.cfg, eng.quant, 1))
+
+    def run_step(draft_val):
+        # fresh prefill state each time
+        eng.reset(eng._cache_len)
+        logits, h_last = eng._spec_prefill_prompt(prompt)
+        t1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        assert int(t1[0]) == want[0]
+        _, mtp_cache = eng._first_draft_fn()(
+            eng.params, t1, h_last, eng.mtp_cache)
+        draft = jnp.full_like(t1, draft_val)
+        return fn(eng.params, t1, draft, eng.cache, mtp_cache)
+
+    # correct draft → accepted, both tokens committed
+    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache = run_step(want[1])
+    assert bool(accs[0, 0])
+    assert int(t1s[0, 0]) == want[1] and int(t2s[0, 0]) == want[2]
+    assert int(nxt[0]) == want[2]
+    # both caches advanced by 2 past the prompt
+    assert int(cache["length"][0]) == len(prompt) + 2
+    assert int(mtp_cache["length"][0]) == len(prompt) + 2
+
+    # wrong draft → rejected, only t1 committed, lengths rolled back
+    wrong = (want[1] + 1) % eng.cfg.vocab_size
+    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache = run_step(wrong)
+    assert not bool(accs[0, 0])
+    assert int(t1s[0, 0]) == want[1]
+    assert int(nxt[0]) == want[1]
+    assert int(cache["length"][0]) == len(prompt) + 1
+    assert int(mtp_cache["length"][0]) == len(prompt) + 1
+
+
+def test_spec_rejected_entries_are_overwritten():
+    """A rejected draft leaves a stale cache row; the NEXT verify step
+    must overwrite it — continuing from a reject stays exact-greedy."""
+    from krasis_tpu.models.mtp import make_spec_decode_fn
+
+    eng = make_engine()
+    prompt = [2, 7, 2, 7]
+    want = _greedy(eng, prompt, 4, spec=False).tokens
+
+    fn = jax.jit(make_spec_decode_fn(eng.cfg, eng.quant, 1))
+    eng.reset(eng._cache_len)
+    logits, h_last = eng._spec_prefill_prompt(prompt)
+    t1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    _, mtp = eng._first_draft_fn()(eng.params, t1, h_last, eng.mtp_cache)
+
+    # step 1: force a reject (stale rows at position len(prompt)+1)
+    wrong = jnp.full_like(t1, (want[1] + 1) % eng.cfg.vocab_size)
+    out = fn(eng.params, t1, wrong, eng.cache, mtp)
+    nxt, cache, mtp = out[5], out[7], out[8]
+    assert int(nxt[0]) == want[1]
+    # step 2: correct draft over the stale row — must match vanilla
+    out = fn(eng.params, nxt, jnp.full_like(nxt, want[2]), cache, mtp)
+    t1s, t2s, accs = out[0], out[1], out[2]
+    assert bool(accs[0, 0])
+    assert int(t1s[0, 0]) == want[2] and int(t2s[0, 0]) == want[3]
+
+
+def test_spec_disabled_for_hybrid_and_sampled():
+    """DeltaNet models can't roll back state → no spec; temperature>0
+    falls back to the vanilla sampler path."""
+    cfg = tiny_config("qwen3-coder-next", vocab_size=64,
+                      num_nextn_predict_layers=1,
+                      num_hidden_layers=4,
+                      layer_types=["linear_attention", "linear_attention",
+                                   "linear_attention", "full_attention"])
+    eng = build_synthetic_engine(cfg, max_len=512)
+    assert not eng.spec_available
+
+    eng2 = make_engine()
+    eng2.last_spec_stats = None
+    eng2.generate([1, 2, 3], max_new_tokens=4,
+                  sampling=SamplingParams(temperature=0.8),
+                  stop_ids=NO_STOP)
+    assert eng2.last_spec_stats is None  # sampled → vanilla path
+
+
+def test_spec_respects_stop_and_streaming():
+    eng = make_engine()
+    prompt = [9, 8, 7]
+    want = _greedy(eng, prompt, 12, spec=False).tokens
+    stop = want[5]
+    seen = []
+    eng.spec_available = True
+    res = eng.generate(prompt, max_new_tokens=12,
+                       sampling=SamplingParams(temperature=0.0),
+                       stop_ids={stop}, on_token=seen.append)
+    # emits up to and including the stop token, never past it
+    idx = want.index(stop)
+    assert res.tokens == want[: idx + 1]
+    assert seen == res.tokens

@@ -7,26 +7,30 @@ position i is ``eh_proj([enorm(emb(t_{i+1})) ; hnorm(h_i)])`` where
 normal decoder layer (MLA attention + MoE MLP) with its own KV cache and
 a head norm before the shared lm_head.
 
-This module uses it for greedy self-speculative decoding — a capability
-the reference engine (brontoguana/krasis) does not have. Each fused
-verify step advances the sequence by 1 OR 2 tokens for ~one decode
-step's cost (the extra query token rides the same KV-cache DMA stream —
+This module uses it for self-speculative decoding — a capability the
+reference engine (brontoguana/krasis) does not have. Each fused verify
+step advances the sequence by 1 OR 2 tokens for ~one decode step's cost
+(the extra query token rides the same KV-cache DMA stream —
 ops/flash_attention decode kernel with Sq=2):
 
     feed [t, d]  →  main logits at both positions
-        t' = argmax(logits[0])          # always exact-greedy correct
+        t' = sample(logits[0])          # true next-token distribution
         accept = (d == t')              # draft verified
-        t'' = argmax(logits[1])         # valid iff accept
+        t'' = sample(logits[1])         # exact iff accept (cache row = t')
     MTP on [t', t''] with the step's hiddens → next drafts g', g''
         next token = t'' if accept else t'
         next draft = g'' if accept else g'
 
+Exact for any sampling configuration: greedy output is bit-identical to
+vanilla decode; sampled output follows the identical distribution (see
+make_spec_decode_fn). The draft — always the MTP argmax — only sets the
+acceptance rate, never the output law.
+
 Rejected positions leave stale KV entries past the valid length; they
 are masked out of attention by ``kv_len`` and overwritten by the next
-step's scatter (the same invariant padded prefill relies on).
-Output is bit-identical to vanilla greedy decode — the draft only
-decides how many tokens each step commits. Models with DeltaNet layers
-are excluded (their recurrent state cannot be rolled back on a reject).
+step's scatter (the same invariant padded prefill relies on). Models
+with DeltaNet layers are excluded (their recurrent state cannot be
+rolled back on a reject).
 """
 
 from __future__ import annotations
@@ -138,26 +142,48 @@ def make_first_draft_fn(cfg: ModelConfig, quant: QuantConfig, mesh=None):
 
 
 def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
-                        mesh=None):
-    """Fused greedy speculative decode block: `steps` verify steps per
-    device call, each committing 1–2 tokens (module docstring). Returns
-    per step (t1, t2, accept, lp1, lp2) stacked [steps, B] plus the
-    carried state; the host emits t1 always and t2 when accept."""
+                        mesh=None, max_top_k: int = 64):
+    """Fused speculative decode block with PER-SLOT sampling params:
+    `steps` verify steps per device call, each committing 1–2 tokens.
 
-    def fn(params, tok, draft, cache, mtp_cache):
+    Exact for ANY sampling configuration, not just greedy: t1 is drawn
+    from the true next-token distribution (position 0's logits are
+    always computed from valid cache). When the sampled t1 happens to
+    equal the draft, the second position's KV row corresponds to t1, so
+    its logits are the true t+2 distribution and t2 is a legitimate
+    sample from it (with the presence-penalty mask already including
+    t1). When t1 differs, only t1 commits. Greedy (temp 0) is
+    bit-identical to the vanilla path; sampled runs match it in
+    DISTRIBUTION (the PRNG key stream advances differently). The draft
+    itself is always the MTP argmax — it only sets the acceptance rate,
+    never the output distribution.
+
+    Returns per step (t1, t2, accept, lp1, lp2) stacked [steps, B] plus
+    the carried state; the host emits t1 always and t2 when accept."""
+    from ..ops.sampling import sample_batched
+
+    def fn(params, tok, draft, cache, mtp_cache, key, seen, temp, top_p,
+           pres, top_k):
         B = tok.shape[0]
         seq2 = jnp.full((B,), 2, jnp.int32)
+        rows = jnp.arange(B)
 
         def body(carry, _):
-            tok, draft, cache, mtp_cache = carry
+            tok, draft, cache, mtp_cache, key, seen = carry
             toks2 = jnp.stack([tok, draft], axis=1)           # [B, 2]
             logits, hidden, cache = forward(
                 params, toks2, seq2, cache, cfg, quant, prefill=False,
                 return_all_logits=True, return_hidden=True, mesh=mesh,
             )
-            t1 = jnp.argmax(logits[:, 0], axis=-1).astype(jnp.int32)
-            t2 = jnp.argmax(logits[:, 1], axis=-1).astype(jnp.int32)
+            key, k1, k2 = jax.random.split(key, 3)
+            t1 = sample_batched(k1, logits[:, 0], temp, top_p, pres, seen,
+                                top_k, max_top_k=max_top_k)
+            seen1 = seen.at[rows, t1].set(True)
+            t2 = sample_batched(k2, logits[:, 1], temp, top_p, pres, seen1,
+                                top_k, max_top_k=max_top_k)
             accept = draft == t1
+            # t2 joins the presence mask only when it was committed
+            seen = seen1.at[rows, t2].set(seen1[rows, t2] | accept)
             lp1 = chosen_logprob(logits[:, 0], t1)
             lp2 = chosen_logprob(logits[:, 1], t2)
 
@@ -178,13 +204,15 @@ def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
 
             next_tok = jnp.where(accept, t2, t1)
             next_draft = jnp.where(accept, g2, g1)
-            return (next_tok, next_draft, cache, mtp_cache), (
+            return (next_tok, next_draft, cache, mtp_cache, key, seen), (
                 t1, t2, accept, lp1, lp2)
 
-        (tok, draft, cache, mtp_cache), outs = jax.lax.scan(
-            body, (tok, draft, cache, mtp_cache), None, length=steps
+        (tok, draft, cache, mtp_cache, key, seen), outs = jax.lax.scan(
+            body, (tok, draft, cache, mtp_cache, key, seen), None,
+            length=steps,
         )
         t1s, t2s, accepts, lp1s, lp2s = outs
-        return t1s, t2s, accepts, lp1s, lp2s, tok, draft, cache, mtp_cache
+        return (t1s, t2s, accepts, lp1s, lp2s, tok, draft, cache,
+                mtp_cache, key, seen)
 
     return fn

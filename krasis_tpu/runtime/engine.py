@@ -207,16 +207,17 @@ class Engine:
             )
         return self._spec_prefill_fns[hist_bucket]
 
-    def _spec_decode_fn(self, steps: int):
-        if steps not in self._spec_decode_fns:
+    def _spec_decode_fn(self, steps: int, max_top_k: int):
+        k = (steps, max_top_k)
+        if k not in self._spec_decode_fns:
             from ..models.mtp import make_spec_decode_fn
 
-            self._spec_decode_fns[steps] = jax.jit(
+            self._spec_decode_fns[k] = jax.jit(
                 make_spec_decode_fn(self.cfg, self.quant, steps,
-                                    mesh=self.mesh),
+                                    mesh=self.mesh, max_top_k=max_top_k),
                 donate_argnums=(3, 4),
             )
-        return self._spec_decode_fns[steps]
+        return self._spec_decode_fns[k]
 
     def _first_draft_fn(self):
         if self._first_draft_fn_c is None:
@@ -280,9 +281,11 @@ class Engine:
         self, prompt_ids, max_new_tokens, sampling, stop_ids, seed,
         on_token, on_token_lp,
     ) -> GenerationResult:
-        """Greedy generation through MTP speculative decoding: identical
-        output to the vanilla path, 1-2 tokens committed per verify step
-        (models/mtp.py). Acceptance stats land in self.last_spec_stats."""
+        """Generation through MTP speculative decoding: 1-2 tokens
+        committed per verify step (models/mtp.py). Greedy output is
+        bit-identical to the vanilla path; sampled output is
+        distribution-exact. Acceptance stats land in
+        self.last_spec_stats."""
         n = len(prompt_ids)
         block = self.decode_block
         # each verify step may touch 2 cache positions
@@ -324,17 +327,25 @@ class Engine:
 
         key, sk = jax.random.split(key)
         next_tok, first_lp = self._sample_fn(sampling)(sk, logits, seen)
+        seen = seen.at[jnp.arange(B), next_tok].set(True)
         emit(int(next_tok[0]), float(first_lp[0]))
 
         t2 = time.perf_counter()
         draft, self.mtp_cache = self._first_draft_fn()(
             self.params, next_tok, h_last, self.mtp_cache)
         steps_total = accepted_total = 0
-        fn = self._spec_decode_fn(block)
+        V = self.cfg.vocab_size
+        mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
+        fn = self._spec_decode_fn(block, mtk)
+        temp = jnp.full((B,), jnp.float32(sampling.temperature))
+        topp = jnp.full((B,), jnp.float32(sampling.top_p))
+        pres = jnp.full((B,), jnp.float32(sampling.presence_penalty))
+        topk = jnp.full((B,), jnp.int32(sampling.top_k))
         while not stopped:
             t1s, t2s, accs, lp1s, lp2s, next_tok, draft, self.cache, \
-                self.mtp_cache = fn(
-                    self.params, next_tok, draft, self.cache, self.mtp_cache
+                self.mtp_cache, key, seen = fn(
+                    self.params, next_tok, draft, self.cache,
+                    self.mtp_cache, key, seen, temp, topp, pres, topk,
                 )
             t1h = np.asarray(t1s[:, 0]).tolist()
             t2h = np.asarray(t2s[:, 0]).tolist()
@@ -439,14 +450,11 @@ class Engine:
         set (each fires per token, on_token first)."""
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
-        if (
-            self.spec_available
-            and sampling.temperature == 0.0
-            and sampling.presence_penalty == 0.0
-            and top_logprobs == 0
-        ):
-            # greedy + MTP module present: speculative decoding emits the
-            # exact same tokens, 1-2 per verify step
+        if self.spec_available and top_logprobs == 0:
+            # MTP module present: speculative decoding commits 1-2 tokens
+            # per verify step. Greedy output is bit-identical to the
+            # vanilla path; sampled output is distribution-exact (the PRNG
+            # stream advances differently — models/mtp.py docstring).
             return self._generate_spec(
                 prompt_ids, max_new_tokens, sampling, stop_ids, seed,
                 on_token, on_token_lp,

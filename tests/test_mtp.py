@@ -70,6 +70,15 @@ def test_spec_equals_vanilla_chunked_prefill():
     assert got.tokens == want.tokens
 
 
+def _greedy_step_args(eng, key=0):
+    """Sampling-state args of make_spec_decode_fn, greedy settings."""
+    B, V = eng.batch_size, eng.cfg.vocab_size
+    z = lambda dt: jnp.zeros((B,), dt)
+    return (jax.random.PRNGKey(key), jnp.zeros((B, V), jnp.bool_),
+            z(jnp.float32), jnp.ones((B,), jnp.float32), z(jnp.float32),
+            z(jnp.int32))
+
+
 def test_spec_verify_step_accept_and_reject():
     """Deterministic accept/reject mechanics of one verify step."""
     from krasis_tpu.models.mtp import make_spec_decode_fn
@@ -90,10 +99,11 @@ def test_spec_verify_step_accept_and_reject():
         _, mtp_cache = eng._first_draft_fn()(
             eng.params, t1, h_last, eng.mtp_cache)
         draft = jnp.full_like(t1, draft_val)
-        return fn(eng.params, t1, draft, eng.cache, mtp_cache)
+        return fn(eng.params, t1, draft, eng.cache, mtp_cache,
+                  *_greedy_step_args(eng))
 
     # correct draft → accepted, both tokens committed
-    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache = run_step(want[1])
+    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache, _, _ = run_step(want[1])
     assert bool(accs[0, 0])
     assert int(t1s[0, 0]) == want[1] and int(t2s[0, 0]) == want[2]
     assert int(nxt[0]) == want[2]
@@ -103,7 +113,7 @@ def test_spec_verify_step_accept_and_reject():
 
     # wrong draft → rejected, only t1 committed, lengths rolled back
     wrong = (want[1] + 1) % eng.cfg.vocab_size
-    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache = run_step(wrong)
+    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache, _, _ = run_step(wrong)
     assert not bool(accs[0, 0])
     assert int(t1s[0, 0]) == want[1]
     assert int(nxt[0]) == want[1]
@@ -128,19 +138,21 @@ def test_spec_rejected_entries_are_overwritten():
 
     # step 1: force a reject (stale rows at position len(prompt)+1)
     wrong = jnp.full_like(t1, (want[1] + 1) % eng.cfg.vocab_size)
-    out = fn(eng.params, t1, wrong, eng.cache, mtp)
+    out = fn(eng.params, t1, wrong, eng.cache, mtp,
+             *_greedy_step_args(eng))
     nxt, cache, mtp = out[5], out[7], out[8]
     assert int(nxt[0]) == want[1]
     # step 2: correct draft over the stale row — must match vanilla
-    out = fn(eng.params, nxt, jnp.full_like(nxt, want[2]), cache, mtp)
+    out = fn(eng.params, nxt, jnp.full_like(nxt, want[2]), cache, mtp,
+             *_greedy_step_args(eng))
     t1s, t2s, accs = out[0], out[1], out[2]
     assert bool(accs[0, 0])
     assert int(t1s[0, 0]) == want[2] and int(t2s[0, 0]) == want[3]
 
 
-def test_spec_disabled_for_hybrid_and_sampled():
-    """DeltaNet models can't roll back state → no spec; temperature>0
-    falls back to the vanilla sampler path."""
+def test_spec_disabled_for_hybrid_enabled_for_sampled():
+    """DeltaNet models can't roll back state → no spec; sampled requests
+    DO use the spec path (distribution-exact — see replay test)."""
     cfg = tiny_config("qwen3-coder-next", vocab_size=64,
                       num_nextn_predict_layers=1,
                       num_hidden_layers=4,
@@ -151,10 +163,63 @@ def test_spec_disabled_for_hybrid_and_sampled():
 
     eng2 = make_engine()
     eng2.last_spec_stats = None
-    eng2.generate([1, 2, 3], max_new_tokens=4,
-                  sampling=SamplingParams(temperature=0.8),
-                  stop_ids=NO_STOP)
-    assert eng2.last_spec_stats is None  # sampled → vanilla path
+    res = eng2.generate([1, 2, 3], max_new_tokens=8,
+                        sampling=SamplingParams(temperature=0.8),
+                        stop_ids=NO_STOP)
+    stats = eng2.last_spec_stats
+    assert stats is not None and stats["emitted"] == len(res.tokens)
+
+
+def test_spec_sampled_matches_vanilla_replay():
+    """Sampled spec decode is distribution-exact: replaying the verify
+    step's PRNG stream through the VANILLA decode path must reproduce the
+    same sampled tokens — for both the accept and the reject branch."""
+    from krasis_tpu.models.mtp import make_spec_decode_fn
+    from krasis_tpu.ops.sampling import sample_batched
+
+    eng = make_engine()
+    prompt = [5, 2, 8, 1]
+    B, V = eng.batch_size, eng.cfg.vocab_size
+    temp = jnp.full((B,), 1.0, jnp.float32)
+    topp = jnp.ones((B,), jnp.float32)
+    pres = jnp.full((B,), 0.3, jnp.float32)   # exercise seen threading
+    topk = jnp.zeros((B,), jnp.int32)
+    K = jax.random.PRNGKey(11)
+    _, k1, k2 = jax.random.split(K, 3)
+
+    # vanilla replay: what sampling k1 then k2 yields step by step
+    eng.reset(eng._cache_len)
+    logits0, _ = eng._spec_prefill_prompt(prompt)
+    tok = jnp.argmax(logits0, axis=-1).astype(jnp.int32)
+    seen = jnp.zeros((B, V), jnp.bool_).at[jnp.arange(B), tok].set(True)
+    vlogits1, vc = eng._decode(eng.params, tok[:, None], eng.cache)
+    exp_t1 = sample_batched(k1, vlogits1, temp, topp, pres, seen, topk,
+                            max_top_k=V)
+    seen1 = seen.at[jnp.arange(B), exp_t1].set(True)
+    vlogits2, _ = eng._decode(eng.params, exp_t1[:, None], vc)
+    exp_t2 = sample_batched(k2, vlogits2, temp, topp, pres, seen1, topk,
+                            max_top_k=V)
+
+    fn = jax.jit(make_spec_decode_fn(eng.cfg, eng.quant, 1, max_top_k=V))
+
+    def spec_step(draft_val):
+        eng.reset(eng._cache_len)
+        _, h_last = eng._spec_prefill_prompt(prompt)
+        _, mtp = eng._first_draft_fn()(eng.params, tok, h_last,
+                                       eng.mtp_cache)
+        return fn(eng.params, tok, jnp.full_like(tok, draft_val),
+                  eng.cache, mtp, K, seen, temp, topp, pres, topk)
+
+    # accept branch: draft == the token k1 will sample
+    out = spec_step(int(exp_t1[0]))
+    assert bool(out[2][0, 0])
+    assert int(out[0][0, 0]) == int(exp_t1[0])
+    assert int(out[1][0, 0]) == int(exp_t2[0])
+    # reject branch: t1 still the exact k1 sample, t2 not committed
+    out = spec_step(int(exp_t1[0] + 1) % V)
+    assert not bool(out[2][0, 0])
+    assert int(out[0][0, 0]) == int(exp_t1[0])
+    assert int(out[5][0]) == int(exp_t1[0])
 
 
 def test_spec_respects_stop_and_streaming():

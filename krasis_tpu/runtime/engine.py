@@ -459,6 +459,7 @@ class Engine:
                 prompt_ids, max_new_tokens, sampling, stop_ids, seed,
                 on_token, on_token_lp,
             )
+        self.last_spec_stats = None  # this request runs the vanilla path
         if on_token_lp is not None:
             tok_cb, lp_cb = on_token, on_token_lp
 

@@ -36,7 +36,7 @@ from ..models.model import (
 )
 from ..ops.sampling import SamplingParams, sample_batched
 from .engine import CHUNK, _is_oom, pick_bucket, pick_history_bucket
-from .kv_cache import init_cache, resolve_kv_quant
+from .kv_cache import init_cache, init_mtp_cache, resolve_kv_quant
 
 
 def insert_slot(decode_cache, prefill_cache, slot):
@@ -73,6 +73,20 @@ def insert_slot(decode_cache, prefill_cache, slot):
         "length": decode_cache["length"].at[slot].set(prefill_cache["length"][0]),
     }
     return out
+
+
+def insert_mtp_slot(decode_mtp, prefill_mtp, slot):
+    """insert_slot for the MTP-module cache (models/mtp.py): one layer
+    dict with the slot on dim 0, plus a per-slot length."""
+    return {
+        "layer": jax.tree_util.tree_map(
+            lambda d, p: jax.lax.dynamic_update_index_in_dim(
+                d, jnp.take(p, 0, axis=0), slot, axis=0
+            ),
+            decode_mtp["layer"], prefill_mtp["layer"],
+        ),
+        "length": decode_mtp["length"].at[slot].set(prefill_mtp["length"][0]),
+    }
 
 
 @dataclass
@@ -127,6 +141,47 @@ class BatchScheduler:
             donate_argnums=(2,),
         )
         self._chunk_fns = {}
+
+        # MTP speculative decoding across ALL slots (models/mtp.py): the
+        # verify step is exact per-slot for any sampling params, so the
+        # whole batch runs spec steps uniformly — each slot commits 1-2
+        # tokens/step. MTP-side cache state only influences draft
+        # quality (acceptance), never the output distribution, which is
+        # what keeps prefix reuse and slot churn simple.
+        import os as _os
+
+        self.spec = (
+            cfg.num_nextn_predict_layers > 0
+            and "mtp" in params
+            and not cfg.is_hybrid
+            and not _os.environ.get("KRASIS_TPU_NO_SPEC")
+        )
+        if self.spec:
+            from ..models.mtp import (
+                make_first_draft_fn,
+                make_spec_decode_fn,
+                make_spec_prefill_fn,
+            )
+
+            self.mtp_decode_cache = init_mtp_cache(
+                cfg, quant, num_slots, max_len)
+            self.mtp_prefill_cache = init_mtp_cache(cfg, quant, 1, max_len)
+            self._drafts = np.zeros((num_slots,), np.int32)
+            self._spec_decode = jax.jit(
+                make_spec_decode_fn(cfg, quant, self.decode_block,
+                                    mesh=mesh),
+                donate_argnums=(3, 4),
+            )
+            self._spec_chunk_fns = {
+                0: jax.jit(make_spec_prefill_fn(cfg, quant, 0, mesh=mesh),
+                           donate_argnums=(5, 6))
+            }
+            self._first_draft = jax.jit(
+                make_first_draft_fn(cfg, quant, mesh=mesh),
+                donate_argnums=(3,),
+            )
+            self._insert_mtp = jax.jit(insert_mtp_slot, donate_argnums=(0,))
+            self.stats_spec = {"steps": 0, "accepted": 0}
         from ..models.model import chosen_logprob
 
         def first_sample(key, logits, temp, top_p, pres, seen, top_k):
@@ -193,6 +248,17 @@ class BatchScheduler:
             )
         return self._chunk_fns[hist_bucket]
 
+    def _spec_chunk_fn(self, hist_bucket: int):
+        if hist_bucket not in self._spec_chunk_fns:
+            from ..models.mtp import make_spec_prefill_fn
+
+            self._spec_chunk_fns[hist_bucket] = jax.jit(
+                make_spec_prefill_fn(self.cfg, self.quant, hist_bucket,
+                                     mesh=self.mesh),
+                donate_argnums=(5, 6),
+            )
+        return self._spec_chunk_fns[hist_bucket]
+
     def _free_slot(self) -> int:
         for i, r in enumerate(self._active):
             if r is None:
@@ -250,10 +316,22 @@ class BatchScheduler:
                     lc["state"] = jnp.zeros_like(lc["state"])
                     lc["conv"] = jnp.zeros_like(lc["conv"])
             self._pc_tokens = []
+            if self.spec:
+                self.mtp_prefill_cache["length"] = jnp.zeros((1,), jnp.int32)
         else:
             self.stats["prefix_reused_tokens"] += reuse
+            if self.spec:
+                # Reused prefix: clamp the MTP cache to the shared part
+                # (its row at reuse-1 was computed against the PREVIOUS
+                # turn's sampled token — stale MTP rows only lower
+                # acceptance, never correctness, so clamping rather than
+                # rebuilding is fine).
+                self.mtp_prefill_cache["length"] = jnp.minimum(
+                    self.mtp_prefill_cache["length"], reuse)
         self._pending = {"req": req, "ids": ids, "pos": reuse,
-                         "pcache": pcache, "logits": None}
+                         "pcache": pcache, "logits": None,
+                         "mcache": self.mtp_prefill_cache if self.spec
+                         else None, "h_last": None}
         return True
 
     def _admit_step(self):
@@ -270,30 +348,46 @@ class BatchScheduler:
             # keep the LATEST prefill-cache buffer (the original was
             # donated into it chunk by chunk) for the next admission
             self.prefill_cache = p["pcache"]
+            if self.spec:
+                self.mtp_prefill_cache = p["mcache"]
             req.out_queue.put(None)
             self._pending = None
             return
         ids, pos, n = p["ids"], p["pos"], len(p["ids"])
         chunk = self.chunk
         if pos == 0:
-            first = min(n, chunk)
-            bucket = pick_bucket(first)
-            tokens = np.zeros((1, bucket), np.int32)
-            tokens[0, :first] = ids[:first]
-            p["logits"], p["pcache"] = self._prefill(
-                self.params, jnp.asarray(tokens), jnp.asarray([first]),
-                p["pcache"],
-            )
-            p["pos"] = first
+            m = min(n, chunk)
+            width = pick_bucket(m)
         else:
             m = min(chunk, n - pos)
-            tokens = np.zeros((1, chunk), np.int32)
-            tokens[0, :m] = ids[pos : pos + m]
-            fn = self._chunk_fn(pick_history_bucket(pos))
-            p["logits"], p["pcache"] = fn(
-                self.params, jnp.asarray(tokens), jnp.asarray([m]), p["pcache"],
+            width = chunk
+        tokens = np.zeros((1, width), np.int32)
+        tokens[0, :m] = ids[pos : pos + m]
+        hist = 0 if pos == 0 else pick_history_bucket(pos)
+        if self.spec:
+            # spec prefill: MTP module runs over the shifted chunk
+            # (models/mtp.py make_spec_prefill_fn)
+            k = min(m, n - 1 - pos)
+            nxt = np.zeros((1, width), np.int32)
+            nxt[0, :k] = ids[pos + 1 : pos + 1 + k]
+            p["logits"], p["h_last"], p["pcache"], p["mcache"] = (
+                self._spec_chunk_fn(hist)(
+                    self.params, jnp.asarray(tokens), jnp.asarray(nxt),
+                    jnp.asarray([m]), jnp.asarray([k]), p["pcache"],
+                    p["mcache"],
+                )
             )
-            p["pos"] = pos + m
+        elif pos == 0:
+            p["logits"], p["pcache"] = self._prefill(
+                self.params, jnp.asarray(tokens), jnp.asarray([m]),
+                p["pcache"],
+            )
+        else:
+            p["logits"], p["pcache"] = self._chunk_fn(hist)(
+                self.params, jnp.asarray(tokens), jnp.asarray([m]),
+                p["pcache"],
+            )
+        p["pos"] = pos + m
         self.stats["prefill_chunks"] += 1
         self._pc_tokens = ids[: p["pos"]]
         if p["pos"] < n:
@@ -315,6 +409,13 @@ class BatchScheduler:
         )
         tok = int(tok_a[0])
         req.logprobs.append(float(lp_a[0]))
+        if self.spec:
+            draft_a, mcache = self._first_draft(
+                self.params, tok_a, p["h_last"], p["mcache"])
+            self.mtp_prefill_cache = mcache
+            self.mtp_decode_cache = self._insert_mtp(
+                self.mtp_decode_cache, mcache, jnp.int32(slot))
+            self._drafts[slot] = int(draft_a[0])
         self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
         self._temp[slot] = sp.temperature
         self._top_p[slot] = sp.top_p
@@ -359,9 +460,15 @@ class BatchScheduler:
             # buffer was donated into the failed call and may be invalid
             fresh = init_cache(self.cfg, self.quant, 1, self.max_len)
             self.prefill_cache = fresh
+            mfresh = None
+            if self.spec:
+                mfresh = init_mtp_cache(self.cfg, self.quant, 1,
+                                        self.max_len)
+                self.mtp_prefill_cache = mfresh
             self._pc_tokens = []
             self._pending = {"req": p["req"], "ids": p["ids"], "pos": 0,
-                             "pcache": fresh, "logits": None}
+                             "pcache": fresh, "logits": None,
+                             "mcache": mfresh, "h_last": None}
 
     def _loop(self):
         while not self._stop.is_set():
@@ -369,6 +476,9 @@ class BatchScheduler:
             if not any(self._active):
                 if self._pending is None:
                     time.sleep(0.002)
+                continue
+            if self.spec:
+                self._spec_decode_block()
                 continue
             toks, lps, _top, self.decode_cache, self._key, self._seen = (
                 self._decode_sample(
@@ -392,3 +502,33 @@ class BatchScheduler:
                     self._tokens[slot] = tok
                     req.logprobs.append(float(lps_host[step, slot]))
                     self._emit(req, tok)
+
+    def _spec_decode_block(self):
+        """One speculative decode block over all slots: every verify step
+        commits 1 token per slot plus a 2nd when that slot's draft was
+        accepted (models/mtp.py make_spec_decode_fn)."""
+        (t1s, t2s, accs, lp1s, lp2s, tok, draft, self.decode_cache,
+         self.mtp_decode_cache, self._key, self._seen) = self._spec_decode(
+            self.params, jnp.asarray(self._tokens),
+            jnp.asarray(self._drafts), self.decode_cache,
+            self.mtp_decode_cache, self._key, self._seen,
+            jnp.asarray(self._temp), jnp.asarray(self._top_p),
+            jnp.asarray(self._pres), jnp.asarray(self._top_k),
+        )
+        self._tokens = np.asarray(tok).copy()
+        self._drafts = np.asarray(draft).copy()
+        t1h, t2h = np.asarray(t1s), np.asarray(t2s)
+        acch = np.asarray(accs)
+        lp1h, lp2h = np.asarray(lp1s), np.asarray(lp2s)
+        for step in range(t1h.shape[0]):
+            for slot, req in enumerate(self._active):
+                if req is None:
+                    continue
+                self.stats_spec["steps"] += 1
+                req.logprobs.append(float(lp1h[step, slot]))
+                self._emit(req, int(t1h[step, slot]))
+                if acch[step, slot]:
+                    self.stats_spec["accepted"] += 1
+                    if self._active[slot] is req:  # not freed by t1
+                        req.logprobs.append(float(lp2h[step, slot]))
+                        self._emit(req, int(t2h[step, slot]))

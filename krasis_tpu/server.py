@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import threading
 import time
@@ -343,6 +344,10 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
         "timing": {
             "prefill_tok_s": round(res.prefill_tok_s, 2),
             "decode_tok_s": round(res.decode_tok_s, 2),
+            # MTP speculative decoding acceptance (models/mtp.py), when
+            # the request ran through a spec engine
+            **({"spec": state.engine.last_spec_stats}
+               if getattr(state.engine, "last_spec_stats", None) else {}),
         },
     }))
 
@@ -698,7 +703,15 @@ def main():
 
             params = shard_params(params, cfg, mesh)
         engine = Engine(cfg, quant, params, max_len=args.max_len, mesh=mesh)
-        tok = Tokenizer(args.model)
+        try:
+            tok = Tokenizer(args.model)
+        except Exception as e:
+            # dev/partial checkpoints without tokenizer files still serve
+            # (raw token ids, like the synthetic path)
+            logging.getLogger("krasis_tpu.server").warning(
+                "no usable tokenizer in %s (%s); serving raw token ids",
+                args.model, e)
+            tok = None
         name = os.path.basename(args.model)
 
     sched = None

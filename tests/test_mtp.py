@@ -236,3 +236,75 @@ def test_spec_respects_stop_and_streaming():
     idx = want.index(stop)
     assert res.tokens == want[: idx + 1]
     assert seen == res.tokens
+
+
+# ---------------------------------------------------------------------------
+# Scheduler-level speculative decoding
+# ---------------------------------------------------------------------------
+
+def _drain(req, timeout=300):
+    toks = []
+    while True:
+        t = req.out_queue.get(timeout=timeout)
+        if t is None:
+            return toks
+        toks.append(t)
+
+
+def test_scheduler_spec_matches_vanilla_greedy():
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    eng = make_engine(max_len=256)
+    ref1 = _greedy(eng, [1, 2, 3, 4, 5], 10, spec=False)
+    ref2 = _greedy(eng, [9, 9, 4], 10, spec=False)
+
+    sched = BatchScheduler(eng.cfg, eng.quant, eng.params, max_len=256,
+                           num_slots=2)
+    assert sched.spec
+    try:
+        g = SamplingParams(temperature=0.0)
+        r1 = sched.submit([1, 2, 3, 4, 5], max_new_tokens=10, sampling=g,
+                          stop_ids={-1})
+        r2 = sched.submit([9, 9, 4], max_new_tokens=10, sampling=g,
+                          stop_ids={-1})
+        toks1, toks2 = _drain(r1), _drain(r2)
+        assert sched.stats_spec["steps"] > 0
+    finally:
+        sched.shutdown()
+    assert toks1 == ref1.tokens
+    assert toks2 == ref2.tokens
+    assert len(r1.logprobs) >= len(toks1)
+    np.testing.assert_allclose(r1.logprobs[: len(toks1)],
+                               ref1.logprobs, rtol=2e-2, atol=2e-2)
+
+
+def test_scheduler_spec_mixed_sampling_and_reuse():
+    """Sampled + greedy slots share the spec verify step; multi-turn
+    prefix reuse keeps the MTP cache clamped, never wrong."""
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    eng = make_engine(max_len=256)
+    ref = _greedy(eng, [4, 4, 2, 6], 8, spec=False)
+
+    sched = BatchScheduler(eng.cfg, eng.quant, eng.params, max_len=256,
+                           num_slots=2)
+    try:
+        rs = sched.submit([7, 1, 3], max_new_tokens=8,
+                          sampling=SamplingParams(temperature=0.9),
+                          stop_ids={-1})
+        rg = sched.submit([4, 4, 2, 6], max_new_tokens=8,
+                          sampling=SamplingParams(temperature=0.0),
+                          stop_ids={-1})
+        s_toks, g_toks = _drain(rs), _drain(rg)
+        assert g_toks == ref.tokens          # greedy slot stays exact
+        assert len(s_toks) == 8
+        # multi-turn: second prompt extends the first → prefix reuse with
+        # the clamped MTP cache; greedy continuation must stay exact
+        turn2 = [4, 4, 2, 6] + ref.tokens[:3] + [5]
+        ref2 = _greedy(eng, turn2, 6, spec=False)
+        r3 = sched.submit(turn2, max_new_tokens=6,
+                          sampling=SamplingParams(temperature=0.0),
+                          stop_ids={-1})
+        assert _drain(r3) == ref2.tokens
+    finally:
+        sched.shutdown()

@@ -72,26 +72,27 @@ t_vanilla = 1000.0 / van_rate
 print(f"vanilla decode: {van_rate:.1f} tok/s ({t_vanilla:.2f} ms/tok)",
       flush=True)
 
-spec_rate, stats = run(spec=True)
-# emitted/steps = 1 + α_synthetic; per-STEP time is what transfers to a
-# real checkpoint
-alpha_syn = stats["emitted"] / stats["steps"] - 1.0
-t_verify = (1.0 + alpha_syn) * 1000.0 / spec_rate
-print(f"spec decode (synthetic α={alpha_syn:.3f}): {spec_rate:.1f} tok/s; "
-      f"verify step {t_verify:.2f} ms", flush=True)
-
-break_even = t_verify / t_vanilla - 1.0
-curve = {
-    f"alpha_{a:.1f}": round((1.0 + a) * 1000.0 / t_verify, 1)
-    for a in (0.0, 0.2, 0.4, 0.6, 0.8, 0.9)
-}
-out = {
-    "t_vanilla_ms": round(t_vanilla, 3),
-    "t_verify_ms": round(t_verify, 3),
-    "verify_overhead": round(t_verify / t_vanilla - 1.0, 4),
-    "break_even_alpha": round(break_even, 4),
-    "synthetic_alpha": round(alpha_syn, 4),
-    "tok_s_at_alpha": curve,
-    "vanilla_tok_s": round(van_rate, 1),
-}
+out = {"t_vanilla_ms": round(t_vanilla, 3),
+       "vanilla_tok_s": round(van_rate, 1), "depths": {}}
+for k in (1, 2, 3):
+    eng.spec_k = k
+    spec_rate, stats = run(spec=True)
+    # emitted/steps - 1 = synthetic per-step acceptance; per-STEP time is
+    # what transfers to a real checkpoint
+    commit_syn = stats["emitted"] / stats["steps"]
+    t_verify = commit_syn * 1000.0 / spec_rate
+    # expected tokens/step at per-token acceptance α with depth k:
+    # (1 - α^(k+1)) / (1 - α)
+    curve = {}
+    for a in (0.6, 0.8, 0.9):
+        exp_commit = sum(a ** i for i in range(k + 1))
+        curve[f"alpha_{a:.1f}"] = round(exp_commit * 1000.0 / t_verify, 1)
+    out["depths"][f"k{k}"] = {
+        "t_verify_ms": round(t_verify, 3),
+        "verify_overhead": round(t_verify / t_vanilla - 1.0, 4),
+        "tok_s_at_alpha": curve,
+    }
+    print(f"k={k}: verify step {t_verify:.2f} ms "
+          f"(overhead {t_verify / t_vanilla - 1.0:+.1%}); "
+          f"projected tok/s {curve}", flush=True)
 print(json.dumps(out))

@@ -59,8 +59,12 @@ def mtp_forward(
     history: int = 0,
     mesh=None,
     return_all_logits: bool = False,
+    return_hidden: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    """One MTP-module pass; returns (draft logits, new mtp cache)."""
+    """One MTP-module pass; returns (draft logits, new mtp cache), or
+    (logits, hidden, cache) with return_hidden — the module's own
+    final-norm hidden feeds the NEXT recursion depth when drafting more
+    than one token with the single shipped module."""
     mtp = params["mtp"]
     B, S = tokens.shape
     length = cache["length"]
@@ -86,12 +90,16 @@ def mtp_forward(
     x, new_lc = layer_step(x, mtp["layer"], cache["layer"], mtp_layer_spec(cfg))
 
     x = rms_norm(x, mtp["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
+    h_out = x
     if not return_all_logits:
         idx = jnp.maximum(seq_lens - 1, 0)
         x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
     head = mtp.get("head", params["lm_head"])
     logits = linear(x, head, out_dtype=jnp.float32)
-    return logits, {"layer": new_lc, "length": kv_len}
+    new_cache = {"layer": new_lc, "length": kv_len}
+    if return_hidden:
+        return logits, h_out, new_cache
+    return logits, new_cache
 
 
 def make_spec_prefill_fn(cfg: ModelConfig, quant: QuantConfig,
@@ -123,96 +131,136 @@ def make_spec_prefill_fn(cfg: ModelConfig, quant: QuantConfig,
     return fn
 
 
-def make_first_draft_fn(cfg: ModelConfig, quant: QuantConfig, mesh=None):
-    """MTP step at the last prompt position once the first token is
-    sampled: input (emb(t1), h_{n-1}) → draft for t2. Brings the MTP
-    cache level with the main cache (both at length n)."""
+def _draft_chain(params, tok, h, mtp_cache, cfg, quant, k, mesh,
+                 keep_rows: int):
+    """Draft `k` tokens by recursing the single MTP module: call 1 takes
+    (emb(tok), h) at the cache's current length; call j feeds the
+    previous draft and the module's OWN hidden output (the standard
+    single-module multi-depth recursion — no main-model hidden exists at
+    draft positions yet). Only the first `keep_rows` cache rows written
+    are real; the rest are speculative, so the returned cache length
+    advances by keep_rows and the stale rows get overwritten by the next
+    verify step's scatter. Returns (drafts [B, k], mtp_cache)."""
+    B = tok.shape[0]
+    seq1 = jnp.ones((B,), jnp.int32)
+    commit_len = mtp_cache["length"] + keep_rows
+    drafts = []
+    cur_tok, cur_h = tok, h
+    for _ in range(k):
+        mlogits, mh, mtp_cache = mtp_forward(
+            params, cur_tok[:, None], seq1, cur_h[:, None, :], mtp_cache,
+            cfg, quant, prefill=False, return_all_logits=True,
+            return_hidden=True, mesh=mesh,
+        )
+        d = jnp.argmax(mlogits[:, 0], axis=-1).astype(jnp.int32)
+        drafts.append(d)
+        cur_tok, cur_h = d, mh[:, 0]
+    mtp_cache = dict(mtp_cache, length=commit_len)
+    return jnp.stack(drafts, axis=1), mtp_cache
+
+
+def make_first_draft_fn(cfg: ModelConfig, quant: QuantConfig, mesh=None,
+                        k: int = 1):
+    """MTP chain at the last prompt position once the first token is
+    sampled: input (emb(t1), h_{n-1}) → k drafts. Brings the MTP cache
+    level with the main cache (both at length n; deeper draft rows are
+    speculative)."""
 
     def fn(params, t1, h_last, mtp_cache):
-        B = t1.shape[0]
-        seq1 = jnp.ones((B,), jnp.int32)
-        mlogits, mtp_cache = mtp_forward(
-            params, t1[:, None], seq1, h_last[:, None, :], mtp_cache,
-            cfg, quant, prefill=False, mesh=mesh,
-        )
-        draft = jnp.argmax(mlogits, axis=-1).astype(jnp.int32)
-        return draft, mtp_cache
+        return _draft_chain(params, t1, h_last, mtp_cache, cfg, quant,
+                            k, mesh, keep_rows=1)
 
     return fn
 
 
 def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
-                        mesh=None, max_top_k: int = 64):
+                        mesh=None, max_top_k: int = 64, k: int = 1):
     """Fused speculative decode block with PER-SLOT sampling params:
-    `steps` verify steps per device call, each committing 1–2 tokens.
+    `steps` verify steps per device call, each committing 1 to k+1
+    tokens (k = draft depth; the single MTP module is recursed for
+    depths beyond 1 — `_draft_chain`).
 
-    Exact for ANY sampling configuration, not just greedy: t1 is drawn
-    from the true next-token distribution (position 0's logits are
-    always computed from valid cache). When the sampled t1 happens to
-    equal the draft, the second position's KV row corresponds to t1, so
-    its logits are the true t+2 distribution and t2 is a legitimate
-    sample from it (with the presence-penalty mask already including
-    t1). When t1 differs, only t1 commits. Greedy (temp 0) is
-    bit-identical to the vanilla path; sampled runs match it in
-    DISTRIBUTION (the PRNG key stream advances differently). The draft
-    itself is always the MTP argmax — it only sets the acceptance rate,
-    never the output distribution.
+    Exact for ANY sampling configuration: the step feeds
+    [tok, d_1..d_k] (one Sq=k+1 pass) and samples the positions
+    SEQUENTIALLY — t_i is drawn with the presence mask of the committed
+    prefix, and commits only while every earlier draft matched its
+    sample (so each committed token's logits were computed from valid
+    cache rows). Greedy (temp 0) is bit-identical to the vanilla path;
+    sampled runs match it in DISTRIBUTION (the PRNG key stream advances
+    differently). Drafts are always the MTP argmax — they only set the
+    acceptance rate, never the output law.
 
-    Returns per step (t1, t2, accept, lp1, lp2) stacked [steps, B] plus
-    the carried state; the host emits t1 always and t2 when accept."""
+    Returns per step (tokens [steps, B, k+1], logprobs alike,
+    n_committed [steps, B]) plus the carried state; the host emits
+    tokens[i, b, :n_committed[i, b]]."""
     from ..ops.sampling import sample_batched
 
-    def fn(params, tok, draft, cache, mtp_cache, key, seen, temp, top_p,
+    S = k + 1
+
+    def fn(params, tok, drafts, cache, mtp_cache, key, seen, temp, top_p,
            pres, top_k):
         B = tok.shape[0]
-        seq2 = jnp.full((B,), 2, jnp.int32)
+        seqS = jnp.full((B,), S, jnp.int32)
         rows = jnp.arange(B)
 
         def body(carry, _):
-            tok, draft, cache, mtp_cache, key, seen = carry
-            toks2 = jnp.stack([tok, draft], axis=1)           # [B, 2]
+            tok, drafts, cache, mtp_cache, key, seen = carry
+            toksS = jnp.concatenate([tok[:, None], drafts], axis=1)  # [B,S]
             logits, hidden, cache = forward(
-                params, toks2, seq2, cache, cfg, quant, prefill=False,
+                params, toksS, seqS, cache, cfg, quant, prefill=False,
                 return_all_logits=True, return_hidden=True, mesh=mesh,
             )
-            key, k1, k2 = jax.random.split(key, 3)
-            t1 = sample_batched(k1, logits[:, 0], temp, top_p, pres, seen,
-                                top_k, max_top_k=max_top_k)
-            seen1 = seen.at[rows, t1].set(True)
-            t2 = sample_batched(k2, logits[:, 1], temp, top_p, pres, seen1,
-                                top_k, max_top_k=max_top_k)
-            accept = draft == t1
-            # t2 joins the presence mask only when it was committed
-            seen = seen1.at[rows, t2].set(seen1[rows, t2] | accept)
-            lp1 = chosen_logprob(logits[:, 0], t1)
-            lp2 = chosen_logprob(logits[:, 1], t2)
+            ok = jnp.ones((B,), jnp.bool_)
+            ncommit = jnp.zeros((B,), jnp.int32)
+            ts, lps = [], []
+            for i in range(S):
+                key, ki = jax.random.split(key)
+                t_i = sample_batched(ki, logits[:, i], temp, top_p, pres,
+                                     seen, top_k, max_top_k=max_top_k)
+                ts.append(t_i)
+                lps.append(chosen_logprob(logits[:, i], t_i))
+                ncommit = ncommit + ok.astype(jnp.int32)
+                # committed tokens join the presence mask as they land
+                seen = seen.at[rows, t_i].set(seen[rows, t_i] | ok)
+                if i < k:
+                    ok = ok & (drafts[:, i] == t_i)
+            ts_a = jnp.stack(ts, axis=1)                      # [B, S]
+            lps_a = jnp.stack(lps, axis=1)
 
-            mlogits, mtp_cache = mtp_forward(
-                params, jnp.stack([t1, t2], axis=1), seq2, hidden,
-                mtp_cache, cfg, quant, prefill=False,
-                return_all_logits=True, mesh=mesh,
+            mlogits, mhidden, mtp_cache = mtp_forward(
+                params, ts_a, seqS, hidden, mtp_cache, cfg, quant,
+                prefill=False, return_all_logits=True, return_hidden=True,
+                mesh=mesh,
             )
-            g1 = jnp.argmax(mlogits[:, 0], axis=-1).astype(jnp.int32)
-            g2 = jnp.argmax(mlogits[:, 1], axis=-1).astype(jnp.int32)
 
-            # Reject ⇒ the second position's KV entry (main and MTP) is
-            # stale: step the valid length back so it is masked out and
+            # Uncommitted positions' KV rows (main and MTP) are stale:
+            # step the valid length back so they are masked out and
             # overwritten by the next scatter.
-            dec = jnp.where(accept, 0, 1).astype(jnp.int32)
+            dec = S - ncommit
             cache = dict(cache, length=cache["length"] - dec)
             mtp_cache = dict(mtp_cache, length=mtp_cache["length"] - dec)
 
-            next_tok = jnp.where(accept, t2, t1)
-            next_draft = jnp.where(accept, g2, g1)
-            return (next_tok, next_draft, cache, mtp_cache, key, seen), (
-                t1, t2, accept, lp1, lp2)
+            nidx = (ncommit - 1)[:, None]
+            next_tok = jnp.take_along_axis(ts_a, nidx, axis=1)[:, 0]
+            margmax = jnp.argmax(mlogits, axis=-1).astype(jnp.int32)
+            d1 = jnp.take_along_axis(margmax, nidx, axis=1)[:, 0]
+            if k > 1:
+                h_prev = jnp.take_along_axis(
+                    mhidden, nidx[:, :, None], axis=1)[:, 0]
+                deeper, mtp_cache = _draft_chain(
+                    params, d1, h_prev, mtp_cache, cfg, quant, k - 1,
+                    mesh, keep_rows=0)
+                next_drafts = jnp.concatenate([d1[:, None], deeper], axis=1)
+            else:
+                next_drafts = d1[:, None]
+            return (next_tok, next_drafts, cache, mtp_cache, key, seen), (
+                ts_a, lps_a, ncommit)
 
-        (tok, draft, cache, mtp_cache, key, seen), outs = jax.lax.scan(
-            body, (tok, draft, cache, mtp_cache, key, seen), None,
+        (tok, drafts, cache, mtp_cache, key, seen), outs = jax.lax.scan(
+            body, (tok, drafts, cache, mtp_cache, key, seen), None,
             length=steps,
         )
-        t1s, t2s, accepts, lp1s, lp2s = outs
-        return (t1s, t2s, accepts, lp1s, lp2s, tok, draft, cache,
-                mtp_cache, key, seen)
+        ts, lps, ncommit = outs
+        return (ts, lps, ncommit, tok, drafts, cache, mtp_cache, key, seen)
 
     return fn

@@ -150,6 +150,9 @@ class Engine:
             and not cfg.is_hybrid
             and not _os.environ.get("KRASIS_TPU_NO_SPEC")
         )
+        # draft depth: each verify step commits 1..spec_k+1 tokens; the
+        # single MTP module is recursed for depths beyond 1
+        self.spec_k = max(1, int(_os.environ.get("KRASIS_TPU_SPEC_K", "1")))
         self._spec_prefill_fns = {}   # history bucket → jitted chunk fn
         self._spec_decode_fns = {}    # steps → jitted verify block
         self._first_draft_fn_c = None
@@ -208,23 +211,25 @@ class Engine:
         return self._spec_prefill_fns[hist_bucket]
 
     def _spec_decode_fn(self, steps: int, max_top_k: int):
-        k = (steps, max_top_k)
-        if k not in self._spec_decode_fns:
+        key = (steps, max_top_k, self.spec_k)
+        if key not in self._spec_decode_fns:
             from ..models.mtp import make_spec_decode_fn
 
-            self._spec_decode_fns[k] = jax.jit(
+            self._spec_decode_fns[key] = jax.jit(
                 make_spec_decode_fn(self.cfg, self.quant, steps,
-                                    mesh=self.mesh, max_top_k=max_top_k),
+                                    mesh=self.mesh, max_top_k=max_top_k,
+                                    k=self.spec_k),
                 donate_argnums=(3, 4),
             )
-        return self._spec_decode_fns[k]
+        return self._spec_decode_fns[key]
 
     def _first_draft_fn(self):
         if self._first_draft_fn_c is None:
             from ..models.mtp import make_first_draft_fn
 
             self._first_draft_fn_c = jax.jit(
-                make_first_draft_fn(self.cfg, self.quant, mesh=self.mesh),
+                make_first_draft_fn(self.cfg, self.quant, mesh=self.mesh,
+                                    k=self.spec_k),
                 donate_argnums=(3,),
             )
         return self._first_draft_fn_c
@@ -288,8 +293,9 @@ class Engine:
         self.last_spec_stats."""
         n = len(prompt_ids)
         block = self.decode_block
-        # each verify step may touch 2 cache positions
-        room = self.max_len - n - 1 - 2 * block
+        # each verify step may touch spec_k+1 cache positions
+        span = (self.spec_k + 1) * block
+        room = self.max_len - n - 1 - span
         if room < 1:
             raise ValueError(
                 f"prompt ({n} tokens) leaves no room to generate within "
@@ -297,7 +303,7 @@ class Engine:
             )
         max_new_tokens = min(max_new_tokens, room)
         self.reset(pick_cache_len(
-            n + max_new_tokens + 2 * block + 1, self.max_len))
+            n + max_new_tokens + span + 1, self.max_len))
         t0 = time.perf_counter()
         logits, h_last = self._spec_prefill_prompt(prompt_ids)
         logits.block_until_ready()
@@ -342,22 +348,21 @@ class Engine:
         pres = jnp.full((B,), jnp.float32(sampling.presence_penalty))
         topk = jnp.full((B,), jnp.int32(sampling.top_k))
         while not stopped:
-            t1s, t2s, accs, lp1s, lp2s, next_tok, draft, self.cache, \
+            ts, lps, ncommit, next_tok, draft, self.cache, \
                 self.mtp_cache, key, seen = fn(
                     self.params, next_tok, draft, self.cache,
                     self.mtp_cache, key, seen, temp, topp, pres, topk,
                 )
-            t1h = np.asarray(t1s[:, 0]).tolist()
-            t2h = np.asarray(t2s[:, 0]).tolist()
-            acch = np.asarray(accs[:, 0]).tolist()
-            lp1h = np.asarray(lp1s[:, 0]).tolist()
-            lp2h = np.asarray(lp2s[:, 0]).tolist()
+            ts_h = np.asarray(ts[:, 0, :])        # [steps, k+1]
+            lps_h = np.asarray(lps[:, 0, :])
+            nc_h = np.asarray(ncommit[:, 0]).tolist()
             for i in range(block):
                 steps_total += 1
-                accepted_total += bool(acch[i])
-                if not emit(t1h[i], lp1h[i]):
-                    break
-                if acch[i] and not emit(t2h[i], lp2h[i]):
+                accepted_total += nc_h[i] - 1
+                for j in range(nc_h[i]):
+                    if not emit(int(ts_h[i, j]), float(lps_h[i, j])):
+                        break
+                if stopped:
                     break
         jax.block_until_ready(next_tok)
         t3 = time.perf_counter()

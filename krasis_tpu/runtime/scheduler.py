@@ -163,13 +163,15 @@ class BatchScheduler:
                 make_spec_prefill_fn,
             )
 
+            self.spec_k = max(
+                1, int(_os.environ.get("KRASIS_TPU_SPEC_K", "1")))
             self.mtp_decode_cache = init_mtp_cache(
                 cfg, quant, num_slots, max_len)
             self.mtp_prefill_cache = init_mtp_cache(cfg, quant, 1, max_len)
-            self._drafts = np.zeros((num_slots,), np.int32)
+            self._drafts = np.zeros((num_slots, self.spec_k), np.int32)
             self._spec_decode = jax.jit(
                 make_spec_decode_fn(cfg, quant, self.decode_block,
-                                    mesh=mesh),
+                                    mesh=mesh, k=self.spec_k),
                 donate_argnums=(3, 4),
             )
             self._spec_chunk_fns = {
@@ -177,7 +179,7 @@ class BatchScheduler:
                            donate_argnums=(5, 6))
             }
             self._first_draft = jax.jit(
-                make_first_draft_fn(cfg, quant, mesh=mesh),
+                make_first_draft_fn(cfg, quant, mesh=mesh, k=self.spec_k),
                 donate_argnums=(3,),
             )
             self._insert_mtp = jax.jit(insert_mtp_slot, donate_argnums=(0,))
@@ -415,7 +417,7 @@ class BatchScheduler:
             self.mtp_prefill_cache = mcache
             self.mtp_decode_cache = self._insert_mtp(
                 self.mtp_decode_cache, mcache, jnp.int32(slot))
-            self._drafts[slot] = int(draft_a[0])
+            self._drafts[slot] = np.asarray(draft_a[0])
         self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
         self._temp[slot] = sp.temperature
         self._top_p[slot] = sp.top_p
@@ -505,9 +507,9 @@ class BatchScheduler:
 
     def _spec_decode_block(self):
         """One speculative decode block over all slots: every verify step
-        commits 1 token per slot plus a 2nd when that slot's draft was
-        accepted (models/mtp.py make_spec_decode_fn)."""
-        (t1s, t2s, accs, lp1s, lp2s, tok, draft, self.decode_cache,
+        commits 1..spec_k+1 tokens per slot, per that slot's accepted
+        draft prefix (models/mtp.py make_spec_decode_fn)."""
+        (ts, lps, ncommit, tok, drafts, self.decode_cache,
          self.mtp_decode_cache, self._key, self._seen) = self._spec_decode(
             self.params, jnp.asarray(self._tokens),
             jnp.asarray(self._drafts), self.decode_cache,
@@ -516,19 +518,19 @@ class BatchScheduler:
             jnp.asarray(self._pres), jnp.asarray(self._top_k),
         )
         self._tokens = np.asarray(tok).copy()
-        self._drafts = np.asarray(draft).copy()
-        t1h, t2h = np.asarray(t1s), np.asarray(t2s)
-        acch = np.asarray(accs)
-        lp1h, lp2h = np.asarray(lp1s), np.asarray(lp2s)
-        for step in range(t1h.shape[0]):
+        self._drafts = np.asarray(drafts).copy()
+        ts_h = np.asarray(ts)          # [steps, slots, k+1]
+        lps_h = np.asarray(lps)
+        nc_h = np.asarray(ncommit)     # [steps, slots]
+        for step in range(ts_h.shape[0]):
             for slot, req in enumerate(self._active):
                 if req is None:
                     continue
+                n = int(nc_h[step, slot])
                 self.stats_spec["steps"] += 1
-                req.logprobs.append(float(lp1h[step, slot]))
-                self._emit(req, int(t1h[step, slot]))
-                if acch[step, slot]:
-                    self.stats_spec["accepted"] += 1
-                    if self._active[slot] is req:  # not freed by t1
-                        req.logprobs.append(float(lp2h[step, slot]))
-                        self._emit(req, int(t2h[step, slot]))
+                self.stats_spec["accepted"] += n - 1
+                for j in range(n):
+                    if self._active[slot] is not req:  # freed mid-step
+                        break
+                    req.logprobs.append(float(lps_h[step, slot, j]))
+                    self._emit(req, int(ts_h[step, slot, j]))

@@ -642,6 +642,10 @@ def main():
                     help="tokens per fused device call in the batch "
                          "scheduler (higher amortizes dispatch latency, "
                          "coarser stop/cancel granularity)")
+    ap.add_argument("--spec-k", type=int, default=None, metavar="K",
+                    help="speculative draft depth on MTP checkpoints "
+                         "(each verify step commits 1..K+1 tokens; "
+                         "0 disables speculative decoding)")
     ap.add_argument("--server-backend", default="auto",
                     choices=("auto", "native", "python"),
                     help="HTTP transport: C++ epoll server or stdlib")
@@ -653,6 +657,13 @@ def main():
                     help="RAM watchdog floor; 0 disables (reference "
                          "model.py:1536 watchdog thread)")
     args = apply_config_precedence(ap)
+
+    if args.spec_k is not None:
+        # engine/scheduler read these at construction time
+        if args.spec_k <= 0:
+            os.environ["KRASIS_TPU_NO_SPEC"] = "1"
+        else:
+            os.environ["KRASIS_TPU_SPEC_K"] = str(args.spec_k)
 
     setup_run_logging(note=args.note)
 

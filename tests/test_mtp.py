@@ -98,14 +98,14 @@ def test_spec_verify_step_accept_and_reject():
         assert int(t1[0]) == want[0]
         _, mtp_cache = eng._first_draft_fn()(
             eng.params, t1, h_last, eng.mtp_cache)
-        draft = jnp.full_like(t1, draft_val)
+        draft = jnp.full_like(t1, draft_val)[:, None]
         return fn(eng.params, t1, draft, eng.cache, mtp_cache,
                   *_greedy_step_args(eng))
 
     # correct draft → accepted, both tokens committed
-    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache, _, _ = run_step(want[1])
-    assert bool(accs[0, 0])
-    assert int(t1s[0, 0]) == want[1] and int(t2s[0, 0]) == want[2]
+    ts, _, nc, nxt, _, cache, mtp_cache, _, _ = run_step(want[1])
+    assert int(nc[0, 0]) == 2
+    assert int(ts[0, 0, 0]) == want[1] and int(ts[0, 0, 1]) == want[2]
     assert int(nxt[0]) == want[2]
     # both caches advanced by 2 past the prompt
     assert int(cache["length"][0]) == len(prompt) + 2
@@ -113,9 +113,9 @@ def test_spec_verify_step_accept_and_reject():
 
     # wrong draft → rejected, only t1 committed, lengths rolled back
     wrong = (want[1] + 1) % eng.cfg.vocab_size
-    t1s, t2s, accs, _, _, nxt, _, cache, mtp_cache, _, _ = run_step(wrong)
-    assert not bool(accs[0, 0])
-    assert int(t1s[0, 0]) == want[1]
+    ts, _, nc, nxt, _, cache, mtp_cache, _, _ = run_step(wrong)
+    assert int(nc[0, 0]) == 1
+    assert int(ts[0, 0, 0]) == want[1]
     assert int(nxt[0]) == want[1]
     assert int(cache["length"][0]) == len(prompt) + 1
     assert int(mtp_cache["length"][0]) == len(prompt) + 1
@@ -137,17 +137,17 @@ def test_spec_rejected_entries_are_overwritten():
     _, mtp = eng._first_draft_fn()(eng.params, t1, h_last, eng.mtp_cache)
 
     # step 1: force a reject (stale rows at position len(prompt)+1)
-    wrong = jnp.full_like(t1, (want[1] + 1) % eng.cfg.vocab_size)
+    wrong = jnp.full_like(t1, (want[1] + 1) % eng.cfg.vocab_size)[:, None]
     out = fn(eng.params, t1, wrong, eng.cache, mtp,
              *_greedy_step_args(eng))
-    nxt, cache, mtp = out[5], out[7], out[8]
+    nxt, cache, mtp = out[3], out[5], out[6]
     assert int(nxt[0]) == want[1]
     # step 2: correct draft over the stale row — must match vanilla
-    out = fn(eng.params, nxt, jnp.full_like(nxt, want[2]), cache, mtp,
-             *_greedy_step_args(eng))
-    t1s, t2s, accs = out[0], out[1], out[2]
-    assert bool(accs[0, 0])
-    assert int(t1s[0, 0]) == want[2] and int(t2s[0, 0]) == want[3]
+    out = fn(eng.params, nxt, jnp.full_like(nxt, want[2])[:, None],
+             cache, mtp, *_greedy_step_args(eng))
+    ts, nc = out[0], out[2]
+    assert int(nc[0, 0]) == 2
+    assert int(ts[0, 0, 0]) == want[2] and int(ts[0, 0, 1]) == want[3]
 
 
 def test_spec_disabled_for_hybrid_enabled_for_sampled():
@@ -185,7 +185,9 @@ def test_spec_sampled_matches_vanilla_replay():
     pres = jnp.full((B,), 0.3, jnp.float32)   # exercise seen threading
     topk = jnp.zeros((B,), jnp.int32)
     K = jax.random.PRNGKey(11)
-    _, k1, k2 = jax.random.split(K, 3)
+    # the verify step draws one subkey per position: key, ki = split(key)
+    K1, k1 = jax.random.split(K)
+    _, k2 = jax.random.split(K1)
 
     # vanilla replay: what sampling k1 then k2 yields step by step
     eng.reset(eng._cache_len)
@@ -207,19 +209,19 @@ def test_spec_sampled_matches_vanilla_replay():
         _, h_last = eng._spec_prefill_prompt(prompt)
         _, mtp = eng._first_draft_fn()(eng.params, tok, h_last,
                                        eng.mtp_cache)
-        return fn(eng.params, tok, jnp.full_like(tok, draft_val),
+        return fn(eng.params, tok, jnp.full_like(tok, draft_val)[:, None],
                   eng.cache, mtp, K, seen, temp, topp, pres, topk)
 
     # accept branch: draft == the token k1 will sample
     out = spec_step(int(exp_t1[0]))
-    assert bool(out[2][0, 0])
-    assert int(out[0][0, 0]) == int(exp_t1[0])
-    assert int(out[1][0, 0]) == int(exp_t2[0])
+    assert int(out[2][0, 0]) == 2
+    assert int(out[0][0, 0, 0]) == int(exp_t1[0])
+    assert int(out[0][0, 0, 1]) == int(exp_t2[0])
     # reject branch: t1 still the exact k1 sample, t2 not committed
     out = spec_step(int(exp_t1[0] + 1) % V)
-    assert not bool(out[2][0, 0])
-    assert int(out[0][0, 0]) == int(exp_t1[0])
-    assert int(out[5][0]) == int(exp_t1[0])
+    assert int(out[2][0, 0]) == 1
+    assert int(out[0][0, 0, 0]) == int(exp_t1[0])
+    assert int(out[3][0]) == int(exp_t1[0])
 
 
 def test_spec_respects_stop_and_streaming():
@@ -306,5 +308,89 @@ def test_scheduler_spec_mixed_sampling_and_reuse():
                           sampling=SamplingParams(temperature=0.0),
                           stop_ids={-1})
         assert _drain(r3) == ref2.tokens
+    finally:
+        sched.shutdown()
+
+
+# ---------------------------------------------------------------------------
+# Multi-depth drafting (spec_k > 1): single-module recursion
+# ---------------------------------------------------------------------------
+
+def test_spec_depth2_equals_vanilla_greedy():
+    eng = make_engine()
+    eng.spec_k = 2
+    prompt = [6, 1, 6, 1, 8]
+    want = _greedy(eng, prompt, 40, spec=False)
+    got = _greedy(eng, prompt, 40, spec=True)
+    assert got.tokens == want.tokens
+    stats = eng.last_spec_stats
+    assert stats["emitted"] == len(got.tokens)
+
+
+def test_spec_depth3_equals_vanilla_greedy_chunked():
+    eng = make_engine(max_len=2048)
+    eng.spec_k = 3
+    eng.chunk = 128
+    rng = np.random.default_rng(3)
+    prompt = rng.integers(1, 60, size=200).tolist()
+    want = _greedy(eng, prompt, 30, spec=False)
+    got = _greedy(eng, prompt, 30, spec=True)
+    assert got.tokens == want.tokens
+
+
+def test_spec_depth2_full_accept_commits_three():
+    """A verify step whose 2 drafts both match commits 3 tokens."""
+    from krasis_tpu.models.mtp import make_spec_decode_fn
+
+    eng = make_engine()
+    prompt = [3, 1, 4, 1, 5]
+    want = _greedy(eng, prompt, 4, spec=False).tokens
+
+    fn = jax.jit(make_spec_decode_fn(eng.cfg, eng.quant, 1, k=2))
+    eng.reset(eng._cache_len)
+    logits, h_last = eng._spec_prefill_prompt(prompt)
+    t1 = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    eng.spec_k = 2
+    _, mtp = eng._first_draft_fn()(eng.params, t1, h_last, eng.mtp_cache)
+
+    drafts = jnp.asarray([[want[1], want[2]]], jnp.int32)
+    out = fn(eng.params, t1, drafts, eng.cache, mtp,
+             *_greedy_step_args(eng))
+    ts, nc, nxt, cache, mtpc = out[0], out[2], out[3], out[5], out[6]
+    assert int(nc[0, 0]) == 3
+    assert [int(ts[0, 0, j]) for j in range(3)] == want[1:4]
+    assert int(nxt[0]) == want[3]
+    assert int(cache["length"][0]) == len(prompt) + 3
+    assert int(mtpc["length"][0]) == len(prompt) + 3
+
+    # partial accept: first draft right, second wrong → commits 2
+    eng.reset(eng._cache_len)
+    _, h_last = eng._spec_prefill_prompt(prompt)
+    _, mtp = eng._first_draft_fn()(eng.params, t1, h_last, eng.mtp_cache)
+    drafts = jnp.asarray(
+        [[want[1], (want[2] + 1) % eng.cfg.vocab_size]], jnp.int32)
+    out = fn(eng.params, t1, drafts, eng.cache, mtp,
+             *_greedy_step_args(eng))
+    ts, nc, nxt, cache = out[0], out[2], out[3], out[5]
+    assert int(nc[0, 0]) == 2
+    assert [int(ts[0, 0, j]) for j in range(2)] == want[1:3]
+    assert int(nxt[0]) == want[2]
+    assert int(cache["length"][0]) == len(prompt) + 2
+
+
+def test_scheduler_spec_depth2(monkeypatch):
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    monkeypatch.setenv("KRASIS_TPU_SPEC_K", "2")
+    eng = make_engine(max_len=256)
+    ref = _greedy(eng, [1, 2, 3, 4, 5], 10, spec=False)
+    sched = BatchScheduler(eng.cfg, eng.quant, eng.params, max_len=256,
+                           num_slots=2)
+    assert sched.spec_k == 2
+    try:
+        r = sched.submit([1, 2, 3, 4, 5], max_new_tokens=10,
+                         sampling=SamplingParams(temperature=0.0),
+                         stop_ids={-1})
+        assert _drain(r) == ref.tokens
     finally:
         sched.shutdown()

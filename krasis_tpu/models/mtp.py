@@ -47,6 +47,24 @@ from .model import chosen_logprob, forward, make_layer_step
 from .params import mtp_layer_spec
 
 
+def spec_config(cfg: ModelConfig, params: Dict[str, Any]):
+    """(enabled, draft_depth) for speculative decoding — the ONE gate
+    both Engine and BatchScheduler consult (a drifted copy would let the
+    two paths disagree about when spec runs). Enabled when the checkpoint
+    ships an MTP module and no layer carries unrollable recurrent state;
+    KRASIS_TPU_NO_SPEC=1 disables, KRASIS_TPU_SPEC_K sets the depth."""
+    import os
+
+    enabled = (
+        cfg.num_nextn_predict_layers > 0
+        and "mtp" in params
+        and not cfg.is_hybrid
+        and not os.environ.get("KRASIS_TPU_NO_SPEC")
+    )
+    k = max(1, int(os.environ.get("KRASIS_TPU_SPEC_K", "1")))
+    return enabled, k
+
+
 def mtp_forward(
     params: Dict[str, Any],
     tokens: jax.Array,     # [B, S] t_{i+1} aligned to hidden position i

@@ -138,24 +138,16 @@ class Engine:
         self.decode_block = 8       # tokens per device call
         self.chunk = CHUNK          # prefill chunk; halves on HBM OOM
         self.sampling = SamplingParams()
-        # MTP self-speculative decoding (models/mtp.py): available when
-        # the checkpoint ships an MTP module and no layer carries
-        # unrollable recurrent state; used automatically for greedy
-        # requests (KRASIS_TPU_NO_SPEC=1 disables).
-        import os as _os
+        # MTP self-speculative decoding (models/mtp.py): each verify step
+        # commits 1..spec_k+1 tokens; the single MTP module is recursed
+        # for depths beyond 1. Gate + depth come from the shared
+        # spec_config (one source for engine AND scheduler).
+        from ..models.mtp import spec_config
 
-        self.spec_available = (
-            cfg.num_nextn_predict_layers > 0
-            and "mtp" in params
-            and not cfg.is_hybrid
-            and not _os.environ.get("KRASIS_TPU_NO_SPEC")
-        )
-        # draft depth: each verify step commits 1..spec_k+1 tokens; the
-        # single MTP module is recursed for depths beyond 1
-        self.spec_k = max(1, int(_os.environ.get("KRASIS_TPU_SPEC_K", "1")))
+        self.spec_available, self.spec_k = spec_config(cfg, params)
         self._spec_prefill_fns = {}   # history bucket → jitted chunk fn
-        self._spec_decode_fns = {}    # steps → jitted verify block
-        self._first_draft_fn_c = None
+        self._spec_decode_fns = {}    # (steps, max_top_k, k) → verify block
+        self._first_draft_fns = {}    # spec_k → jitted first-draft chain
         self.mtp_cache = None
         self.last_spec_stats: Optional[Dict[str, int]] = None
         self._cache_len = max_len
@@ -224,15 +216,15 @@ class Engine:
         return self._spec_decode_fns[key]
 
     def _first_draft_fn(self):
-        if self._first_draft_fn_c is None:
+        if self.spec_k not in self._first_draft_fns:
             from ..models.mtp import make_first_draft_fn
 
-            self._first_draft_fn_c = jax.jit(
+            self._first_draft_fns[self.spec_k] = jax.jit(
                 make_first_draft_fn(self.cfg, self.quant, mesh=self.mesh,
                                     k=self.spec_k),
                 donate_argnums=(3,),
             )
-        return self._first_draft_fn_c
+        return self._first_draft_fns[self.spec_k]
 
     def _spec_prefill_prompt(self, prompt_ids):
         """Speculative prefill (main chunks + MTP module over the shifted
@@ -286,9 +278,9 @@ class Engine:
         self, prompt_ids, max_new_tokens, sampling, stop_ids, seed,
         on_token, on_token_lp,
     ) -> GenerationResult:
-        """Generation through MTP speculative decoding: 1-2 tokens
-        committed per verify step (models/mtp.py). Greedy output is
-        bit-identical to the vanilla path; sampled output is
+        """Generation through MTP speculative decoding: 1..spec_k+1
+        tokens committed per verify step (models/mtp.py). Greedy output
+        is bit-identical to the vanilla path; sampled output is
         distribution-exact. Acceptance stats land in
         self.last_spec_stats."""
         n = len(prompt_ids)
@@ -456,14 +448,22 @@ class Engine:
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
         if self.spec_available and top_logprobs == 0:
-            # MTP module present: speculative decoding commits 1-2 tokens
-            # per verify step. Greedy output is bit-identical to the
-            # vanilla path; sampled output is distribution-exact (the PRNG
-            # stream advances differently — models/mtp.py docstring).
-            return self._generate_spec(
-                prompt_ids, max_new_tokens, sampling, stop_ids, seed,
-                on_token, on_token_lp,
-            )
+            # MTP module present: speculative decoding commits 1..spec_k+1
+            # tokens per verify step. Greedy output is bit-identical to
+            # the vanilla path; sampled output is distribution-exact (the
+            # PRNG stream advances differently — models/mtp.py docstring).
+            # Near-max_len prompts fall through to the vanilla path: the
+            # spec block's larger overshoot ((spec_k+1)*block vs block)
+            # must never reject a request — or emit fewer tokens — than
+            # vanilla decode would.
+            n = len(prompt_ids)
+            spec_room = self.max_len - n - 1 - (self.spec_k + 1) * self.decode_block
+            vanilla_room = self.max_len - n - 1 - self.decode_block
+            if spec_room >= min(max_new_tokens, vanilla_room):
+                return self._generate_spec(
+                    prompt_ids, max_new_tokens, sampling, stop_ids, seed,
+                    on_token, on_token_lp,
+                )
         self.last_spec_stats = None  # this request runs the vanilla path
         if on_token_lp is not None:
             tok_cb, lp_cb = on_token, on_token_lp

@@ -144,27 +144,19 @@ class BatchScheduler:
 
         # MTP speculative decoding across ALL slots (models/mtp.py): the
         # verify step is exact per-slot for any sampling params, so the
-        # whole batch runs spec steps uniformly — each slot commits 1-2
-        # tokens/step. MTP-side cache state only influences draft
-        # quality (acceptance), never the output distribution, which is
-        # what keeps prefix reuse and slot churn simple.
-        import os as _os
+        # whole batch runs spec steps uniformly — each slot commits
+        # 1..spec_k+1 tokens/step. MTP-side cache state only influences
+        # draft quality (acceptance), never the output distribution,
+        # which is what keeps prefix reuse and slot churn simple.
+        from ..models.mtp import spec_config
 
-        self.spec = (
-            cfg.num_nextn_predict_layers > 0
-            and "mtp" in params
-            and not cfg.is_hybrid
-            and not _os.environ.get("KRASIS_TPU_NO_SPEC")
-        )
+        self.spec, self.spec_k = spec_config(cfg, params)
         if self.spec:
             from ..models.mtp import (
                 make_first_draft_fn,
                 make_spec_decode_fn,
                 make_spec_prefill_fn,
             )
-
-            self.spec_k = max(
-                1, int(_os.environ.get("KRASIS_TPU_SPEC_K", "1")))
             self.mtp_decode_cache = init_mtp_cache(
                 cfg, quant, num_slots, max_len)
             self.mtp_prefill_cache = init_mtp_cache(cfg, quant, 1, max_len)

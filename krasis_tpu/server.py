@@ -714,15 +714,21 @@ def main():
 
             params = shard_params(params, cfg, mesh)
         engine = Engine(cfg, quant, params, max_len=args.max_len, mesh=mesh)
-        try:
-            tok = Tokenizer(args.model)
-        except Exception as e:
-            # dev/partial checkpoints without tokenizer files still serve
-            # (raw token ids, like the synthetic path)
+        tok_files = ("tokenizer.json", "tokenizer_config.json",
+                     "tokenizer.model")
+        if os.path.isdir(args.model) and not any(
+            os.path.exists(os.path.join(args.model, f)) for f in tok_files
+        ):
+            # dev/partial checkpoint that ships NO tokenizer files at all:
+            # serve token ids like the synthetic path. A checkpoint WITH
+            # tokenizer files that fail to load still fails fast — a
+            # production server must not silently degrade to id soup.
             logging.getLogger("krasis_tpu.server").warning(
-                "no usable tokenizer in %s (%s); serving raw token ids",
-                args.model, e)
+                "no tokenizer files in %s; serving raw token ids",
+                args.model)
             tok = None
+        else:
+            tok = Tokenizer(args.model)
         name = os.path.basename(args.model)
 
     sched = None

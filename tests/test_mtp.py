@@ -394,3 +394,16 @@ def test_scheduler_spec_depth2(monkeypatch):
         assert _drain(r) == ref.tokens
     finally:
         sched.shutdown()
+
+
+def test_spec_near_max_len_falls_back_to_vanilla():
+    """The spec block's larger overshoot must never reject — or clip
+    shorter than — what vanilla decode would produce."""
+    eng = make_engine(vocab=32, max_len=128)
+    prompt = (list(range(1, 32)) * 4)[:110]
+    # vanilla room = 128-110-1-8 = 9 ≥ 5; spec room (k=1, block=8) = 1
+    res = eng.generate(prompt, max_new_tokens=5,
+                       sampling=SamplingParams(temperature=0.0),
+                       stop_ids=NO_STOP)
+    assert len(res.tokens) == 5
+    assert eng.last_spec_stats is None      # routed to the vanilla path

@@ -263,9 +263,21 @@ def _mla_attention(
 
 
 def _la_attention(
-    lp, lc, x, valid: jax.Array, cfg: ModelConfig, prefill: bool
+    lp, lc, x, valid: jax.Array, cfg: ModelConfig, prefill: bool,
+    spec: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
-    """Gated DeltaNet layer. `valid` [B,S] masks padded query positions."""
+    """Gated DeltaNet layer. `valid` [B,S] masks padded query positions.
+
+    `spec=True` (speculative verify step, models/mtp.py /
+    models/spec_ngram.py): outputs are computed as usual, but the
+    recurrent state and conv window are NOT advanced — the layer stashes
+    the small per-token replay inputs (post-conv k/v, decay, beta, and
+    the raw conv inputs) in the returned cache instead. Once the verify
+    step knows each row's committed token count, `la_spec_commit`
+    replays exactly that prefix onto the state (bit-identical to having
+    decoded those tokens one at a time — rejected drafts never touch
+    the recurrence, the invariant KV models get for free from length
+    masking)."""
     B, S, H = x.shape
     dims = DeltaNetDims(
         cfg.linear_num_key_heads, cfg.linear_num_value_heads,
@@ -282,13 +294,17 @@ def _la_attention(
     # Zero padded inputs so they don't pollute the conv window.
     mixed = jnp.where(valid[..., None], mixed, 0)
     conv_out, _ = causal_conv(mixed, lp["conv_w"], lc["conv"])
-    # New conv state = last K-1 *valid* inputs per row (right-padding aware).
     Kc = dims.conv_kernel
-    hist = jnp.concatenate([lc["conv"].astype(mixed.dtype), mixed], axis=1)
-    n_valid = valid.sum(axis=-1)  # [B]
-    def take_window(row_hist, n):
-        return jax.lax.dynamic_slice_in_dim(row_hist, n, Kc - 1, axis=0)
-    new_conv = jax.vmap(take_window)(hist, n_valid).astype(lc["conv"].dtype)
+    if not spec:
+        # New conv state = last K-1 *valid* inputs per row
+        # (right-padding aware).
+        hist = jnp.concatenate(
+            [lc["conv"].astype(mixed.dtype), mixed], axis=1)
+        n_valid = valid.sum(axis=-1)  # [B]
+        def take_window(row_hist, n):
+            return jax.lax.dynamic_slice_in_dim(row_hist, n, Kc - 1, axis=0)
+        new_conv = jax.vmap(take_window)(hist, n_valid).astype(
+            lc["conv"].dtype)
 
     kd, vd = dims.key_dim, dims.value_dim
     qc = conv_out[..., :kd].reshape(B, S, dims.num_k_heads, dims.head_k_dim)
@@ -317,7 +333,59 @@ def _la_attention(
         core.astype(x.dtype), z, lp["la_norm"], cfg.rms_norm_eps, plus_one=False
     )
     out = linear(core.reshape(B, S, -1), lp["la_out_proj"])
+    if spec:
+        # State/conv stay at the pre-window values; la_spec_commit
+        # advances them by each row's committed prefix after the verify.
+        return out, {
+            "state": lc["state"], "conv": lc["conv"],
+            "p_k": kc, "p_v": vc, "p_g": g, "p_b": beta, "p_x": mixed,
+        }
     return out, {"state": new_state, "conv": new_conv}
+
+
+def la_spec_commit(cache: Dict[str, Any], ncommit: jax.Array) -> Dict[str, Any]:
+    """Advance every DeltaNet layer's state/conv by each row's committed
+    token count after a speculative verify step (see _la_attention
+    spec=True). `ncommit` [B] ∈ [1, S]. Returns the cache with the
+    replay stash (p_*) consumed — same tree structure as a non-spec
+    cache, so the spec scan carry stays static. No-op for caches without
+    DeltaNet layers."""
+    from ..ops.deltanet import delta_state_update
+
+    def commit_lc(lc):
+        if "p_k" not in lc:
+            return lc
+        state, px = lc["state"], lc["p_x"]
+        # leading dims incl. batch: (B,) or (reps, B) pattern stacking
+        lead = state.shape[:-3]
+        S = px.shape[-2]
+        nc = jnp.broadcast_to(ncommit, lead).reshape(-1)
+        # collapse any leading pattern-rep dims into the batch dim;
+        # flat(t, nd) returns an nd-dim array keeping the last nd-1 dims
+        flat = lambda t, nd: t.reshape((-1,) + t.shape[t.ndim - (nd - 1):])
+        mask = jnp.arange(S)[None, :] < nc[:, None]          # [N, S]
+        g = jnp.where(mask[..., None], flat(lc["p_g"], 3), 0.0)
+        b = jnp.where(mask[..., None], flat(lc["p_b"], 3), 0.0)
+        new_state = delta_state_update(
+            flat(lc["p_k"], 4), flat(lc["p_v"], 4), g, b, flat(state, 4)
+        ).reshape(state.shape)
+        # conv window: last K-1 inputs ending at the committed prefix —
+        # identical op order to the non-spec path (concat → slice → cast)
+        conv = lc["conv"]
+        Kc1 = conv.shape[-2]
+        hist = jnp.concatenate(
+            [flat(conv, 3).astype(px.dtype), flat(px, 3)], axis=1)
+        def take_window(row_hist, n):
+            return jax.lax.dynamic_slice_in_dim(row_hist, n, Kc1, axis=0)
+        new_conv = jax.vmap(take_window)(hist, nc).astype(
+            conv.dtype).reshape(conv.shape)
+        return {"state": new_state, "conv": new_conv}
+
+    return {
+        "prefix_layers": [commit_lc(lc) for lc in cache["prefix_layers"]],
+        "pattern": [commit_lc(lc) for lc in cache["pattern"]],
+        "length": cache["length"],
+    }
 
 
 def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
@@ -412,6 +480,7 @@ def forward(
     sp_axis=None,
     ep_axis=None,
     return_hidden: bool = False,
+    spec_la: bool = False,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -439,7 +508,7 @@ def forward(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
         activation=(quant.expert_activation if not prefill else "bf16"),
-        sp_axis=sp_axis, ep_axis=ep_axis,
+        sp_axis=sp_axis, ep_axis=ep_axis, spec_la=spec_la,
     )
 
     new_prefix = []
@@ -477,6 +546,7 @@ def make_layer_step(
     cfg: ModelConfig, *, prefill: bool, history: int, mesh,
     positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
     activation: str = "bf16", sp_axis=None, ep_axis=None,
+    spec_la: bool = False,
 ):
     """Build the per-layer step closure (norm → attention → norm → MLP).
 
@@ -506,7 +576,8 @@ def make_layer_step(
                 history=history, lidx=lidx,
             )
         else:
-            attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg, prefill)
+            attn_out, new_lc = _la_attention(lp, lc, normed, valid, cfg,
+                                             prefill, spec=spec_la)
         x = x + attn_out
         normed = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
         B, S = x.shape[:2]

@@ -48,21 +48,39 @@ from .params import mtp_layer_spec
 
 
 def spec_config(cfg: ModelConfig, params: Dict[str, Any]):
-    """(enabled, draft_depth) for speculative decoding — the ONE gate
-    both Engine and BatchScheduler consult (a drifted copy would let the
-    two paths disagree about when spec runs). Enabled when the checkpoint
-    ships an MTP module and no layer carries unrollable recurrent state;
-    KRASIS_TPU_NO_SPEC=1 disables, KRASIS_TPU_SPEC_K sets the depth."""
+    """(mode, draft_depth) for speculative decoding — the ONE gate both
+    Engine and BatchScheduler consult (a drifted copy would let the two
+    paths disagree about when spec runs). mode is one of:
+
+    * ``"mtp"``   — checkpoint ships an MTP module (DeepSeek V3 / Kimi);
+    * ``"ngram"`` — prompt-lookup drafting (models/spec_ngram.py), any
+      model incl. DeltaNet hybrids; opt-in via KRASIS_TPU_SPEC_MODE=ngram;
+    * ``None``    — vanilla decode.
+
+    KRASIS_TPU_SPEC_MODE ∈ auto|mtp|ngram|off (auto = mtp when the
+    module is present, else off); KRASIS_TPU_NO_SPEC=1 ≙ off;
+    KRASIS_TPU_SPEC_K sets the draft depth (default 1 for mtp — one
+    module recursion per extra token — and 3 for ngram, where deeper
+    drafts cost only verify width)."""
     import os
 
-    enabled = (
+    want = os.environ.get("KRASIS_TPU_SPEC_MODE", "auto").lower()
+    if os.environ.get("KRASIS_TPU_NO_SPEC"):
+        want = "off"
+    mtp_ok = (
         cfg.num_nextn_predict_layers > 0
         and "mtp" in params
         and not cfg.is_hybrid
-        and not os.environ.get("KRASIS_TPU_NO_SPEC")
     )
-    k = max(1, int(os.environ.get("KRASIS_TPU_SPEC_K", "1")))
-    return enabled, k
+    if want in ("auto", "mtp"):
+        mode = "mtp" if mtp_ok else None
+    elif want == "ngram":
+        mode = "ngram"
+    else:
+        mode = None
+    default_k = 3 if mode == "ngram" else 1
+    k = max(1, int(os.environ.get("KRASIS_TPU_SPEC_K", str(default_k))))
+    return mode, k
 
 
 def mtp_forward(
@@ -191,6 +209,36 @@ def make_first_draft_fn(cfg: ModelConfig, quant: QuantConfig, mesh=None,
     return fn
 
 
+def verify_and_sample(logits, drafts, key, seen, temp, top_p, pres, top_k,
+                      max_top_k: int):
+    """The exactness core shared by every speculative verify step (MTP
+    here, prompt-lookup in models/spec_ngram.py): sample the S = k+1
+    positions SEQUENTIALLY — t_i is drawn with the presence mask of the
+    committed prefix, and commits only while every earlier draft matched
+    its sample (so each committed token's logits were computed from
+    valid cache rows). Returns (tokens [B,S], logprobs [B,S],
+    n_committed [B], seen, key)."""
+    from ..ops.sampling import sample_batched
+
+    B, S = drafts.shape[0], drafts.shape[1] + 1
+    rows = jnp.arange(B)
+    ok = jnp.ones((B,), jnp.bool_)
+    ncommit = jnp.zeros((B,), jnp.int32)
+    ts, lps = [], []
+    for i in range(S):
+        key, ki = jax.random.split(key)
+        t_i = sample_batched(ki, logits[:, i], temp, top_p, pres,
+                             seen, top_k, max_top_k=max_top_k)
+        ts.append(t_i)
+        lps.append(chosen_logprob(logits[:, i], t_i))
+        ncommit = ncommit + ok.astype(jnp.int32)
+        # committed tokens join the presence mask as they land
+        seen = seen.at[rows, t_i].set(seen[rows, t_i] | ok)
+        if i < S - 1:
+            ok = ok & (drafts[:, i] == t_i)
+    return jnp.stack(ts, axis=1), jnp.stack(lps, axis=1), ncommit, seen, key
+
+
 def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
                         mesh=None, max_top_k: int = 64, k: int = 1):
     """Fused speculative decode block with PER-SLOT sampling params:
@@ -211,7 +259,7 @@ def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
     Returns per step (tokens [steps, B, k+1], logprobs alike,
     n_committed [steps, B]) plus the carried state; the host emits
     tokens[i, b, :n_committed[i, b]]."""
-    from ..ops.sampling import sample_batched
+    from .model import la_spec_commit
 
     S = k + 1
 
@@ -219,7 +267,6 @@ def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
            pres, top_k):
         B = tok.shape[0]
         seqS = jnp.full((B,), S, jnp.int32)
-        rows = jnp.arange(B)
 
         def body(carry, _):
             tok, drafts, cache, mtp_cache, key, seen = carry
@@ -227,23 +274,15 @@ def make_spec_decode_fn(cfg: ModelConfig, quant: QuantConfig, steps: int,
             logits, hidden, cache = forward(
                 params, toksS, seqS, cache, cfg, quant, prefill=False,
                 return_all_logits=True, return_hidden=True, mesh=mesh,
+                spec_la=True,
             )
-            ok = jnp.ones((B,), jnp.bool_)
-            ncommit = jnp.zeros((B,), jnp.int32)
-            ts, lps = [], []
-            for i in range(S):
-                key, ki = jax.random.split(key)
-                t_i = sample_batched(ki, logits[:, i], temp, top_p, pres,
-                                     seen, top_k, max_top_k=max_top_k)
-                ts.append(t_i)
-                lps.append(chosen_logprob(logits[:, i], t_i))
-                ncommit = ncommit + ok.astype(jnp.int32)
-                # committed tokens join the presence mask as they land
-                seen = seen.at[rows, t_i].set(seen[rows, t_i] | ok)
-                if i < k:
-                    ok = ok & (drafts[:, i] == t_i)
-            ts_a = jnp.stack(ts, axis=1)                      # [B, S]
-            lps_a = jnp.stack(lps, axis=1)
+            ts_a, lps_a, ncommit, seen, key = verify_and_sample(
+                logits, drafts, key, seen, temp, top_p, pres, top_k,
+                max_top_k)
+            # DeltaNet layers (hybrid models): advance recurrent state by
+            # exactly the committed prefix (models/model.py la_spec_commit;
+            # no-op for pure-KV models).
+            cache = la_spec_commit(cache, ncommit)
 
             mlogits, mhidden, mtp_cache = mtp_forward(
                 params, ts_a, seqS, hidden, mtp_cache, cfg, quant,

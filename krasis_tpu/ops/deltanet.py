@@ -140,6 +140,36 @@ def gated_delta_rule_recurrent(
     return jnp.moveaxis(out, 0, 1), state  # [B, S, Hv, dv], final state
 
 
+def delta_state_update(
+    k: jax.Array,      # [B, S, Hk, dk]
+    v: jax.Array,      # [B, S, Hv, dv]
+    g: jax.Array,      # [B, S, Hv] log-decay (0 at masked positions)
+    beta: jax.Array,   # [B, S, Hv] (0 at masked positions)
+    state: jax.Array,  # [B, Hv, dk, dv] f32
+) -> jax.Array:
+    """State-only recurrence (no outputs) — the speculative-decoding
+    rollback path (models/model.py la_spec_commit): replay a verify
+    window's committed prefix onto the pre-window state. Positions with
+    beta=0, g=0 are exact no-ops (S·e^0 = S, k⊗0 = 0), so masking the
+    rejected tail per row advances each row's state by exactly its
+    committed token count, bit-identical to having decoded those tokens
+    one at a time."""
+    Hv = state.shape[1]
+    _, k, v, g, beta = _prep(k, k, v, g, beta, Hv)
+
+    def step(S, inp):
+        k_t, v_t, g_t, b_t = inp
+        S = S * jnp.exp(g_t)[..., None, None]
+        kv_mem = jnp.einsum("bhkv,bhk->bhv", S, k_t, precision=_P)
+        delta = (v_t - kv_mem) * b_t[..., None]
+        S = S + jnp.einsum("bhk,bhv->bhkv", k_t, delta, precision=_P)
+        return S, None
+
+    xs = tuple(jnp.moveaxis(t, 1, 0) for t in (k, v, g, beta))
+    state, _ = jax.lax.scan(step, state, xs)
+    return state
+
+
 def gated_delta_rule_chunked(
     q: jax.Array,
     k: jax.Array,

@@ -144,15 +144,20 @@ class Engine:
         # spec_config (one source for engine AND scheduler).
         from ..models.mtp import spec_config
 
-        self.spec_available, self.spec_k = spec_config(cfg, params)
+        self.spec_mode, self.spec_k = spec_config(cfg, params)
+        self.spec_available = self.spec_mode is not None
+        import os
+
+        self.spec_ngram_n = int(os.environ.get("KRASIS_TPU_NGRAM_N", "3"))
         self._spec_prefill_fns = {}   # history bucket → jitted chunk fn
         self._spec_decode_fns = {}    # (steps, max_top_k, k) → verify block
+        self._ngram_decode_fns = {}   # (steps, max_top_k) → ngram verify block
         self._first_draft_fns = {}    # spec_k → jitted first-draft chain
         self.mtp_cache = None
         self.last_spec_stats: Optional[Dict[str, int]] = None
         self._cache_len = max_len
         self.cache = init_cache(cfg, quant, batch_size, max_len)
-        if self.spec_available:
+        if self.spec_mode == "mtp":
             self.mtp_cache = init_mtp_cache(cfg, quant, batch_size, max_len)
 
     def _sample_fn(self, sampling: SamplingParams):
@@ -226,6 +231,19 @@ class Engine:
             )
         return self._first_draft_fns[self.spec_k]
 
+    def _ngram_decode_fn(self, steps: int, max_top_k: int):
+        key = (steps, max_top_k, self.spec_k, self.spec_ngram_n)
+        if key not in self._ngram_decode_fns:
+            from ..models.spec_ngram import make_ngram_decode_fn
+
+            self._ngram_decode_fns[key] = jax.jit(
+                make_ngram_decode_fn(self.cfg, self.quant, steps,
+                                     mesh=self.mesh, max_top_k=max_top_k,
+                                     k=self.spec_k, n_max=self.spec_ngram_n),
+                donate_argnums=(2, 3),
+            )
+        return self._ngram_decode_fns[key]
+
     def _spec_prefill_prompt(self, prompt_ids):
         """Speculative prefill (main chunks + MTP module over the shifted
         prompt), with the same OOM chunk-halving retry as the vanilla
@@ -278,11 +296,13 @@ class Engine:
         self, prompt_ids, max_new_tokens, sampling, stop_ids, seed,
         on_token, on_token_lp,
     ) -> GenerationResult:
-        """Generation through MTP speculative decoding: 1..spec_k+1
-        tokens committed per verify step (models/mtp.py). Greedy output
-        is bit-identical to the vanilla path; sampled output is
-        distribution-exact. Acceptance stats land in
+        """Generation through speculative decoding — MTP-module drafts
+        (models/mtp.py) or prompt-lookup drafts (models/spec_ngram.py),
+        per self.spec_mode: 1..spec_k+1 tokens committed per verify
+        step. Greedy output is bit-identical to the vanilla path;
+        sampled output is distribution-exact. Acceptance stats land in
         self.last_spec_stats."""
+        mtp = self.spec_mode != "ngram"
         n = len(prompt_ids)
         block = self.decode_block
         # each verify step may touch spec_k+1 cache positions
@@ -297,7 +317,10 @@ class Engine:
         self.reset(pick_cache_len(
             n + max_new_tokens + span + 1, self.max_len))
         t0 = time.perf_counter()
-        logits, h_last = self._spec_prefill_prompt(prompt_ids)
+        if mtp:
+            logits, h_last = self._spec_prefill_prompt(prompt_ids)
+        else:
+            logits = self._prefill_prompt(prompt_ids)
         logits.block_until_ready()
         t1 = time.perf_counter()
         B = self.batch_size
@@ -329,21 +352,36 @@ class Engine:
         emit(int(next_tok[0]), float(first_lp[0]))
 
         t2 = time.perf_counter()
-        draft, self.mtp_cache = self._first_draft_fn()(
-            self.params, next_tok, h_last, self.mtp_cache)
         steps_total = accepted_total = 0
         V = self.cfg.vocab_size
         mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
-        fn = self._spec_decode_fn(block, mtk)
         temp = jnp.full((B,), jnp.float32(sampling.temperature))
         topp = jnp.full((B,), jnp.float32(sampling.top_p))
         pres = jnp.full((B,), jnp.float32(sampling.presence_penalty))
         topk = jnp.full((B,), jnp.int32(sampling.top_k))
+        if mtp:
+            draft, self.mtp_cache = self._first_draft_fn()(
+                self.params, next_tok, h_last, self.mtp_cache)
+            fn = self._spec_decode_fn(block, mtk)
+        else:
+            # prompt-lookup drafting: the device-side token history seeds
+            # with the prompt + first token (models/spec_ngram.py)
+            hist_np = np.zeros((B, self._cache_len), np.int32)
+            hist_np[0, :n] = prompt_ids
+            hist_np[0, n] = int(next_tok[0])
+            hist = jnp.asarray(hist_np)
+            fn = self._ngram_decode_fn(block, mtk)
         while not stopped:
-            ts, lps, ncommit, next_tok, draft, self.cache, \
-                self.mtp_cache, key, seen = fn(
-                    self.params, next_tok, draft, self.cache,
-                    self.mtp_cache, key, seen, temp, topp, pres, topk,
+            if mtp:
+                ts, lps, ncommit, next_tok, draft, self.cache, \
+                    self.mtp_cache, key, seen = fn(
+                        self.params, next_tok, draft, self.cache,
+                        self.mtp_cache, key, seen, temp, topp, pres, topk,
+                    )
+            else:
+                ts, lps, ncommit, next_tok, self.cache, hist, key, seen = fn(
+                    self.params, next_tok, self.cache, hist, key, seen,
+                    temp, topp, pres, topk,
                 )
             ts_h = np.asarray(ts[:, 0, :])        # [steps, k+1]
             lps_h = np.asarray(lps[:, 0, :])
@@ -422,7 +460,7 @@ class Engine:
         self.cache = init_cache(
             self.cfg, self.quant, self.batch_size, self._cache_len
         )
-        if self.spec_available:
+        if self.spec_mode == "mtp":
             self.mtp_cache = init_mtp_cache(
                 self.cfg, self.quant, self.batch_size, self._cache_len
             )

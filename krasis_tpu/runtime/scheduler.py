@@ -142,15 +142,34 @@ class BatchScheduler:
         )
         self._chunk_fns = {}
 
-        # MTP speculative decoding across ALL slots (models/mtp.py): the
-        # verify step is exact per-slot for any sampling params, so the
-        # whole batch runs spec steps uniformly — each slot commits
-        # 1..spec_k+1 tokens/step. MTP-side cache state only influences
-        # draft quality (acceptance), never the output distribution,
+        # Speculative decoding across ALL slots — MTP-module drafts
+        # (models/mtp.py) or prompt-lookup drafts (models/spec_ngram.py),
+        # per spec_config: the verify step is exact per-slot for any
+        # sampling params, so the whole batch runs spec steps uniformly —
+        # each slot commits 1..spec_k+1 tokens/step. Draft-side state
+        # only influences acceptance, never the output distribution,
         # which is what keeps prefix reuse and slot churn simple.
         from ..models.mtp import spec_config
 
-        self.spec, self.spec_k = spec_config(cfg, params)
+        self.spec_mode, self.spec_k = spec_config(cfg, params)
+        self.spec = self.spec_mode == "mtp"   # MTP-module machinery
+        if self.spec_mode == "ngram":
+            import os
+
+            from ..models.spec_ngram import make_ngram_decode_fn
+
+            # per-slot token history, device-resident; drafting happens
+            # in-graph so it never costs a host round trip
+            self._hist = jnp.zeros((num_slots, max_len), jnp.int32)
+            self._ngram_decode = jax.jit(
+                make_ngram_decode_fn(
+                    cfg, quant, self.decode_block, mesh=mesh,
+                    k=self.spec_k,
+                    n_max=int(os.environ.get("KRASIS_TPU_NGRAM_N", "3")),
+                ),
+                donate_argnums=(2, 3),
+            )
+            self.stats_spec = {"steps": 0, "accepted": 0}
         if self.spec:
             from ..models.mtp import (
                 make_first_draft_fn,
@@ -410,6 +429,13 @@ class BatchScheduler:
             self.mtp_decode_cache = self._insert_mtp(
                 self.mtp_decode_cache, mcache, jnp.int32(slot))
             self._drafts[slot] = np.asarray(draft_a[0])
+        elif self.spec_mode == "ngram":
+            # seed the slot's on-device lookup history: prompt + first
+            # sampled token (stale data past that is masked by hlen)
+            row = np.zeros((self.max_len,), np.int32)
+            row[: len(ids)] = ids
+            row[len(ids)] = tok
+            self._hist = self._hist.at[slot].set(jnp.asarray(row))
         self._seen = self._seen.at[slot].set(False).at[slot, tok].set(True)
         self._temp[slot] = sp.temperature
         self._top_p[slot] = sp.top_p
@@ -471,7 +497,7 @@ class BatchScheduler:
                 if self._pending is None:
                     time.sleep(0.002)
                 continue
-            if self.spec:
+            if self.spec_mode is not None:
                 self._spec_decode_block()
                 continue
             toks, lps, _top, self.decode_cache, self._key, self._seen = (
@@ -500,17 +526,28 @@ class BatchScheduler:
     def _spec_decode_block(self):
         """One speculative decode block over all slots: every verify step
         commits 1..spec_k+1 tokens per slot, per that slot's accepted
-        draft prefix (models/mtp.py make_spec_decode_fn)."""
-        (ts, lps, ncommit, tok, drafts, self.decode_cache,
-         self.mtp_decode_cache, self._key, self._seen) = self._spec_decode(
-            self.params, jnp.asarray(self._tokens),
-            jnp.asarray(self._drafts), self.decode_cache,
-            self.mtp_decode_cache, self._key, self._seen,
-            jnp.asarray(self._temp), jnp.asarray(self._top_p),
-            jnp.asarray(self._pres), jnp.asarray(self._top_k),
-        )
-        self._tokens = np.asarray(tok).copy()
-        self._drafts = np.asarray(drafts).copy()
+        draft prefix (models/mtp.py make_spec_decode_fn /
+        models/spec_ngram.py make_ngram_decode_fn)."""
+        if self.spec_mode == "ngram":
+            (ts, lps, ncommit, tok, self.decode_cache, self._hist,
+             self._key, self._seen) = self._ngram_decode(
+                self.params, jnp.asarray(self._tokens), self.decode_cache,
+                self._hist, self._key, self._seen,
+                jnp.asarray(self._temp), jnp.asarray(self._top_p),
+                jnp.asarray(self._pres), jnp.asarray(self._top_k),
+            )
+            self._tokens = np.asarray(tok).copy()
+        else:
+            (ts, lps, ncommit, tok, drafts, self.decode_cache,
+             self.mtp_decode_cache, self._key, self._seen) = self._spec_decode(
+                self.params, jnp.asarray(self._tokens),
+                jnp.asarray(self._drafts), self.decode_cache,
+                self.mtp_decode_cache, self._key, self._seen,
+                jnp.asarray(self._temp), jnp.asarray(self._top_p),
+                jnp.asarray(self._pres), jnp.asarray(self._top_k),
+            )
+            self._tokens = np.asarray(tok).copy()
+            self._drafts = np.asarray(drafts).copy()
         ts_h = np.asarray(ts)          # [steps, slots, k+1]
         lps_h = np.asarray(lps)
         nc_h = np.asarray(ncommit)     # [steps, slots]

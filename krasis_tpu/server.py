@@ -646,6 +646,12 @@ def main():
                     help="speculative draft depth on MTP checkpoints "
                          "(each verify step commits 1..K+1 tokens; "
                          "0 disables speculative decoding)")
+    ap.add_argument("--spec-mode", default=None,
+                    choices=("auto", "mtp", "ngram", "off"),
+                    help="speculative draft source: mtp = checkpoint's "
+                         "MTP module, ngram = prompt-lookup (any model, "
+                         "incl. DeltaNet hybrids), auto = mtp when "
+                         "available else off (models/mtp.py spec_config)")
     ap.add_argument("--server-backend", default="auto",
                     choices=("auto", "native", "python"),
                     help="HTTP transport: C++ epoll server or stdlib")
@@ -664,6 +670,8 @@ def main():
             os.environ["KRASIS_TPU_NO_SPEC"] = "1"
         else:
             os.environ["KRASIS_TPU_SPEC_K"] = str(args.spec_k)
+    if args.spec_mode is not None:
+        os.environ["KRASIS_TPU_SPEC_MODE"] = args.spec_mode
 
     setup_run_logging(note=args.note)
 

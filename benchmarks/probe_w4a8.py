@@ -188,9 +188,13 @@ def main():
         float(jnp.sum(r[:1]))  # host readback forces completion
         return (time.time() - t0) / n * 1000
 
-    # chain calls to avoid measuring per-call dispatch only
-    tb = bench(lambda: moe_gathered_pallas(x, w13, w2, idx, wts))
-    tw = bench(lambda: moe_gathered_w4a8(x, w13, w2, idx, wts))
+    # jit both so the timing loop measures the kernel, not eager
+    # per-call retracing/dispatch (through the relay that overhead is
+    # ~30 ms/call and buried the baseline in the first measurement).
+    jb = jax.jit(moe_gathered_pallas)
+    jw = jax.jit(moe_gathered_w4a8)
+    tb = bench(lambda: jb(x, w13, w2, idx, wts))
+    tw = bench(lambda: jw(x, w13, w2, idx, wts))
     print(f"baseline W4A16 kernel: {tb:.3f} ms", flush=True)
     print(f"W4A8 kernel:           {tw:.3f} ms  ({(tb/tw-1)*100:+.1f}%)",
           flush=True)

@@ -535,7 +535,68 @@ def preset_config(name: str, **overrides: Any) -> ModelConfig:
             norm_topk_prob=True, rms_norm_eps=1e-6, rope_theta=10000000.0,
             partial_rotary_factor=0.25,
         ),
+        # Qwen3.5-35B-A3B: hybrid 30 DeltaNet + 10 GQA, 256 experts top-8
+        # (reference README.md:72 "256 routed, top-8, Hybrid (30 linear +
+        # 10 GQA)"); QCN-family layer shapes at 40 layers.
+        "qwen3.5-35b": dict(
+            model_type="qwen3_5_moe_text",
+            hidden_size=2048, intermediate_size=5120, moe_intermediate_size=512,
+            num_hidden_layers=40, num_attention_heads=16, num_key_value_heads=2,
+            vocab_size=151936, head_dim=256, qk_norm=True, norm_plus_one=True,
+            full_attention_interval=4,
+            layer_types=[
+                "full_attention" if (i + 1) % 4 == 0 else "linear_attention"
+                for i in range(40)
+            ],
+            linear_conv_kernel_dim=4, linear_key_head_dim=128,
+            linear_num_key_heads=16, linear_value_head_dim=128,
+            linear_num_value_heads=32,
+            n_routed_experts=256, num_experts_per_tok=8, n_shared_experts=1,
+            shared_expert_intermediate_size=512,
+            norm_topk_prob=True, rms_norm_eps=1e-6, rope_theta=10000000.0,
+            partial_rotary_factor=0.25,
+        ),
+        # GPT-OSS-120B: 128 experts top-4, alternating sliding(128)/full GQA
+        # with learned attention sinks, biased projections, clamped
+        # gate*sigmoid(gate*α)*(up+1) activation (reference moe.rs:268-287,
+        # weights/mod.rs:4682-4738 handles this family's MXFP4 checkpoints).
+        "gpt-oss-120b": dict(
+            model_type="gpt_oss",
+            hidden_size=2880, intermediate_size=2880, moe_intermediate_size=2880,
+            num_hidden_layers=36, num_attention_heads=64, num_key_value_heads=8,
+            vocab_size=201088, head_dim=64, qk_norm=False,
+            attention_bias=True, sliding_window=128,
+            layer_types=[
+                "sliding_attention" if i % 2 == 0 else "full_attention"
+                for i in range(36)
+            ],
+            n_routed_experts=128, num_experts_per_tok=4,
+            norm_topk_prob=True, moe_router_softmax_before_topk=True,
+            swiglu_limit=7.0, rms_norm_eps=1e-5, rope_theta=150000.0,
+            rope_scaling=dict(
+                rope_type="yarn", factor=32.0,
+                original_max_position_embeddings=4096,
+                beta_fast=32.0, beta_slow=1.0,
+            ),
+            max_position_embeddings=131072,
+        ),
     }
+    # Qwen3.5 architecture scaled to one 16GB chip (64 of 256 experts):
+    # same hidden/attention/DeltaNet shapes so per-layer latency is
+    # representative; expert count is what multi-chip EP adds back.
+    presets["qwen35-1chip"] = dict(
+        presets["qwen3.5-35b"],
+        n_routed_experts=64, num_experts_per_tok=8,
+    )
+    # GPT-OSS-20B: same family at 24 layers / 32 experts — fits one chip.
+    presets["gpt-oss-20b"] = dict(
+        presets["gpt-oss-120b"],
+        num_hidden_layers=24, n_routed_experts=32,
+        layer_types=[
+            "sliding_attention" if i % 2 == 0 else "full_attention"
+            for i in range(24)
+        ],
+    )
     # QCN architecture scaled to one 16GB chip (64 of 512 experts): same
     # hidden/attention/DeltaNet shapes, so per-layer latency is
     # representative; expert count is what multi-chip EP adds back.

@@ -59,6 +59,38 @@ def tiny_hybrid_cfg(**kw):
     )
 
 
+def tiny_qwen35_cfg(**kw):
+    """Qwen3.5-35B family scaled tiny (hybrid 3:1 over 4 layers)."""
+    return preset_config(
+        "qwen3.5-35b",
+        hidden_size=64, intermediate_size=128, moe_intermediate_size=32,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16,
+        layer_types=["linear_attention", "linear_attention",
+                     "linear_attention", "full_attention"],
+        linear_num_key_heads=2, linear_num_value_heads=4,
+        linear_key_head_dim=16, linear_value_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2,
+        shared_expert_intermediate_size=32,
+        **kw,
+    )
+
+
+def tiny_gptoss_cfg(**kw):
+    """GPT-OSS family scaled tiny: alternating sliding/full attention,
+    sinks, biased projections, clamped gpt-oss activation. Window=4 so
+    the sliding mask actually truncates at test lengths."""
+    return preset_config(
+        "gpt-oss-20b",
+        hidden_size=64, intermediate_size=32, moe_intermediate_size=32,
+        num_hidden_layers=4, num_attention_heads=4, num_key_value_heads=2,
+        vocab_size=256, head_dim=16, sliding_window=4,
+        layer_types=["sliding_attention", "full_attention"] * 2,
+        n_routed_experts=8, num_experts_per_tok=2,
+        **kw,
+    )
+
+
 QUANT = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="bf16")
 QUANT_FP8 = QuantConfig(expert_bits=4, group_size=32, kv_cache_dtype="fp8")
 
@@ -106,6 +138,14 @@ def test_gqa_prefill_decode_consistency():
 
 def test_hybrid_prefill_decode_consistency():
     _consistency_check(tiny_hybrid_cfg())
+
+
+def test_qwen35_prefill_decode_consistency():
+    _consistency_check(tiny_qwen35_cfg())
+
+
+def test_gptoss_prefill_decode_consistency():
+    _consistency_check(tiny_gptoss_cfg())
 
 
 def test_nonfactoring_pattern_fallback_runs():

@@ -132,7 +132,9 @@ class ModelConfig:
     topk_group: int = 0
     norm_topk_prob: bool = False
     has_router_bias: bool = False           # e_score_correction_bias present
-    moe_router_softmax_before_topk: bool = False  # GPT-OSS: topk→softmax handled via swiglu_limit in ref
+    # GPT-OSS routing: select on RAW logits, softmax over the selected top-k
+    # AFTER selection (reference moe.rs forward_moe_routed GPT-OSS branch).
+    moe_router_softmax_after_topk: bool = False
 
     # --- Norm / activation ---
     rms_norm_eps: float = 1e-6
@@ -342,7 +344,7 @@ class ModelConfig:
             # Qwen3.5 renormalizes top-k softmax weights even though its
             # config.json omits norm_topk_prob (hardcoded in HF modeling code).
             norm_topk_prob=cfg.get("norm_topk_prob", arch == "qwen3_5_moe_text"),
-            moe_router_softmax_before_topk=arch == "gpt_oss",
+            moe_router_softmax_after_topk=arch == "gpt_oss",
             rms_norm_eps=cfg.get("rms_norm_eps", 1e-6),
             hidden_act=cfg.get("hidden_act", "silu"),
             norm_plus_one=norm_plus_one,
@@ -538,6 +540,12 @@ def preset_config(name: str, **overrides: Any) -> ModelConfig:
         # Qwen3.5-35B-A3B: hybrid 30 DeltaNet + 10 GQA, 256 experts top-8
         # (reference README.md:72 "256 routed, top-8, Hybrid (30 linear +
         # 10 GQA)"); QCN-family layer shapes at 40 layers.
+        # CONFIRMED by the reference: num_hidden_layers=40, 256 experts,
+        # top-8, hybrid 3:1 ratio. ASSUMED (extrapolated from the QCN
+        # preset, no config.json available): hidden_size, head counts,
+        # head_dim, moe_intermediate_size, rope_theta, DeltaNet dims —
+        # verify against the real Qwen3.5-35B-A3B config.json when one is
+        # available before trusting synthetic numbers as model-exact.
         "qwen3.5-35b": dict(
             model_type="qwen3_5_moe_text",
             hidden_size=2048, intermediate_size=5120, moe_intermediate_size=512,
@@ -571,7 +579,7 @@ def preset_config(name: str, **overrides: Any) -> ModelConfig:
                 for i in range(36)
             ],
             n_routed_experts=128, num_experts_per_tok=4,
-            norm_topk_prob=True, moe_router_softmax_before_topk=True,
+            moe_router_softmax_after_topk=True,
             swiglu_limit=7.0, rms_norm_eps=1e-5, rope_theta=150000.0,
             rope_scaling=dict(
                 rope_type="yarn", factor=32.0,

@@ -55,7 +55,7 @@ def compute_routing(
 
     if cfg.scoring_func == "sigmoid":
         scores = jax.nn.sigmoid(logits)
-    elif cfg.moe_router_softmax_before_topk:
+    elif cfg.moe_router_softmax_after_topk:
         scores = logits  # GPT-OSS: select on raw logits, softmax after topk
     else:
         scores = jax.nn.softmax(logits, axis=-1)
@@ -83,7 +83,7 @@ def compute_routing(
     _, topk_idx = jax.lax.top_k(select, k)
     topk_idx = topk_idx.astype(jnp.int32)
 
-    if cfg.moe_router_softmax_before_topk:
+    if cfg.moe_router_softmax_after_topk:
         topk_logits = jnp.take_along_axis(logits, topk_idx, axis=-1)
         weights = jax.nn.softmax(topk_logits, axis=-1)
     else:

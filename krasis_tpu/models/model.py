@@ -388,8 +388,32 @@ def la_spec_commit(cache: Dict[str, Any], ncommit: jax.Array) -> Dict[str, Any]:
     }
 
 
+def _offload_moe(offload, x2d: jax.Array, topk_idx: jax.Array,
+                 topk_weights: jax.Array, layer: jax.Array) -> jax.Array:
+    """Routed-expert sublayer computed on the HOST against RAM-resident
+    weights (offload.HostExpertStore) via pure_callback — the offload
+    tier's decode path (the reference's CPU-expert regime, src/moe.rs;
+    see krasis_tpu/offload.py). Ships [T,H] bf16 down, [T,H] f32 back;
+    expert weights never touch HBM."""
+    import numpy as np
+
+    T, H = x2d.shape
+
+    def host(layer_, x_, idx_, w_):
+        return offload.forward(
+            int(layer_), np.asarray(x_), np.asarray(idx_), np.asarray(w_)
+        ).astype(np.float32)
+
+    out = jax.pure_callback(
+        host, jax.ShapeDtypeStruct((T, H), jnp.float32),
+        layer, x2d, topk_idx, topk_weights,
+    )
+    return out.astype(x2d.dtype)
+
+
 def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
-         activation: str = "bf16", sp_axis=None, ep_axis=None) -> jax.Array:
+         activation: str = "bf16", sp_axis=None, ep_axis=None,
+         offload=None) -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
 
     if sp_axis is not None:
@@ -418,6 +442,13 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
         x2d, lp["gate_w"], cfg, lp.get("gate_bias"),
         logit_bias=lp.get("gate_logit_bias"),
     )
+    if offload is not None and "w13" not in lp:
+        # Host-RAM experts (offload tier): routing/shared expert stay on
+        # device; the routed sublayer runs on the host.
+        return _mlp_shared(lp, x2d, cfg, gpt_oss, _offload_moe(
+            offload, x2d, routing.topk_idx, routing.topk_weights,
+            lp["_abs_layer"],
+        ))
     from ..parallel.ep import (
         ep_supported, moe_forward_ep, moe_forward_ep_local,
     )
@@ -481,6 +512,7 @@ def forward(
     ep_axis=None,
     return_hidden: bool = False,
     spec_la: bool = False,
+    offload=None,
 ) -> Tuple[jax.Array, Dict[str, Any]]:
     """One forward pass over `tokens`, updating `cache`.
 
@@ -508,11 +540,13 @@ def forward(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
         activation=(quant.expert_activation if not prefill else "bf16"),
-        sp_axis=sp_axis, ep_axis=ep_axis, spec_la=spec_la,
+        sp_axis=sp_axis, ep_axis=ep_axis, spec_la=spec_la, offload=offload,
     )
 
     new_prefix = []
     for i, lp in enumerate(params["prefix_layers"]):
+        if offload is not None:
+            lp = {**lp, "_abs_layer": jnp.int32(i)}
         x, new_lc = layer_step(x, lp, cache["prefix_layers"][i], specs[i])
         new_prefix.append(new_lc)
 
@@ -521,7 +555,7 @@ def forward(
         pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
         x, new_pattern = run_pattern_scan(
             x, params["pattern"], cache["pattern"], pat_specs,
-            info.reps, layer_step, prefill,
+            info.reps, layer_step, prefill, prefix_n=info.prefix_n,
         )
 
     x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps, cfg.norm_plus_one)
@@ -546,7 +580,7 @@ def make_layer_step(
     cfg: ModelConfig, *, prefill: bool, history: int, mesh,
     positions: jax.Array, valid: jax.Array, kv_len: jax.Array,
     activation: str = "bf16", sp_axis=None, ep_axis=None,
-    spec_la: bool = False,
+    spec_la: bool = False, offload=None,
 ):
     """Build the per-layer step closure (norm → attention → norm → MLP).
 
@@ -583,7 +617,7 @@ def make_layer_step(
         B, S = x.shape[:2]
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh,
                        activation=activation, sp_axis=sp_axis,
-                       ep_axis=ep_axis)
+                       ep_axis=ep_axis, offload=offload)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     return layer_step
@@ -597,6 +631,7 @@ def run_pattern_scan(
     reps: int,
     layer_step,
     prefill: bool,
+    prefix_n: int = 0,
 ):
     """lax.scan over `reps` repetitions of the layer pattern.
 
@@ -632,6 +667,8 @@ def run_pattern_scan(
                     w,
                 )
         lp["_layer_idx"] = r
+        # absolute layer index (offload tier / diagnostics)
+        lp["_abs_layer"] = prefix_n + r * period + t
         return lp
 
     if prefill:
@@ -680,36 +717,39 @@ def run_pattern_scan(
     return x, [{**new_other[t], **kv_final[t]} for t in range(period)]
 
 
-def make_forward_fns(cfg: ModelConfig, quant: QuantConfig, mesh=None):
+def make_forward_fns(cfg: ModelConfig, quant: QuantConfig, mesh=None,
+                     offload=None):
     """(prefill_fn, decode_fn) closures ready for jax.jit. Pass `mesh`
-    to run MoE layers through the explicit shard_map EP path."""
+    to run MoE layers through the explicit shard_map EP path; `offload`
+    (offload.HostExpertStore) to run routed experts on the host."""
 
     def prefill_fn(params, tokens, seq_lens, cache):
         return forward(params, tokens, seq_lens, cache, cfg, quant,
-                       prefill=True, mesh=mesh)
+                       prefill=True, mesh=mesh, offload=offload)
 
     def decode_fn(params, tokens, cache):
         seq_lens = jnp.ones((tokens.shape[0],), jnp.int32)
         return forward(params, tokens, seq_lens, cache, cfg, quant,
-                       prefill=False, mesh=mesh)
+                       prefill=False, mesh=mesh, offload=offload)
 
     def prefill_all_logits_fn(params, tokens, seq_lens, cache):
         return forward(
             params, tokens, seq_lens, cache, cfg, quant,
             prefill=True, return_all_logits=True, mesh=mesh,
+            offload=offload,
         )
 
     return prefill_fn, decode_fn, prefill_all_logits_fn
 
 
 def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
-                          mesh=None):
+                          mesh=None, offload=None):
     """Prefill-continuation step seeing a `history`-bucket cache prefix."""
 
     def fn(params, tokens, seq_lens, cache):
         return forward(
             params, tokens, seq_lens, cache, cfg, quant,
-            prefill=True, history=history, mesh=mesh,
+            prefill=True, history=history, mesh=mesh, offload=offload,
         )
 
     return fn
@@ -717,7 +757,7 @@ def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
 
 def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
                                  steps: int, mesh=None, max_top_k: int = 64,
-                                 top_logprobs: int = 0):
+                                 top_logprobs: int = 0, offload=None):
     """Fused decode+sample block with PER-SLOT sampling params. One
     device call advances every slot by `steps` tokens (per-token
     dispatch costs a host↔device round trip per step — ~28 ms through a
@@ -734,7 +774,7 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
             tok, cache, key, seen = carry
             logits, cache = forward(
                 params, tok[:, None], seq1, cache, cfg, quant, prefill=False,
-                mesh=mesh,
+                mesh=mesh, offload=offload,
             )
             key, sk = jax.random.split(key)
             nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k,
@@ -771,7 +811,7 @@ def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
 
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
                          sampling, steps: int, mesh=None,
-                         top_logprobs: int = 0):
+                         top_logprobs: int = 0, offload=None):
     """Single-request fused decode+sample loop: the batched block fn
     with `sampling` broadcast to per-row arrays (one code path — a fix
     to the scan/cache threading cannot drift between engine and
@@ -781,7 +821,8 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
     mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
     inner = make_multi_decode_batched_fn(cfg, quant, steps, mesh=mesh,
                                          max_top_k=mtk,
-                                         top_logprobs=top_logprobs)
+                                         top_logprobs=top_logprobs,
+                                         offload=offload)
 
     def fn(params, tok, cache, key, seen):
         B = tok.shape[0]

@@ -37,12 +37,22 @@ def build_synthetic_engine(
     batch_size: int = 1,
     seed: int = 0,
     mesh=None,
+    offload: bool = False,
 ) -> Engine:
+    """`offload=True` builds the host-RAM expert tier (krasis_tpu/offload):
+    the SAME synthetic weights, with routed experts moved to host memory
+    and stripped from the device tree — so offloaded == resident is
+    testable bit-for-bit."""
     quant = quant or QuantConfig()
     params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(seed))
+    store = None
+    if offload:
+        from ..offload import store_from_params
+
+        params, store = store_from_params(cfg, quant, params)
     if mesh is not None:
         from ..parallel.mesh import shard_params
 
         params = shard_params(params, cfg, mesh)
     return Engine(cfg, quant, params, max_len=max_len,
-                  batch_size=batch_size, mesh=mesh)
+                  batch_size=batch_size, mesh=mesh, offload=store)

@@ -23,6 +23,12 @@ _build_failed = False
 
 _SRC = os.path.join(os.path.dirname(__file__), "quant.cpp")
 
+_hm_lock = threading.Lock()
+_hm_lib: Optional[ctypes.CDLL] = None
+_hm_build_failed = False
+
+_HM_SRC = os.path.join(os.path.dirname(__file__), "hostmoe.cpp")
+
 
 def _build_dir() -> str:
     home = os.environ.get("KRASIS_TPU_HOME", os.path.expanduser("~/.krasis_tpu"))
@@ -69,6 +75,52 @@ def _load() -> Optional[ctypes.CDLL]:
 
 def available() -> bool:
     return _load() is not None
+
+
+def _load_hostmoe() -> Optional[ctypes.CDLL]:
+    """Host-RAM MoE expert engine (hostmoe.cpp) — the offload tier's
+    compute backend (krasis_tpu/offload.py). Same lazy self-build
+    pattern as the quantizer."""
+    global _hm_lib, _hm_build_failed
+    with _hm_lock:
+        if _hm_lib is not None or _hm_build_failed:
+            return _hm_lib
+        so_path = os.path.join(_build_dir(), "libkrasishost.so")
+        try:
+            src_mtime = os.path.getmtime(_HM_SRC)
+            if not os.path.exists(so_path) or os.path.getmtime(so_path) < src_mtime:
+                cmd = [
+                    "g++", "-O3", "-march=native", "-fopenmp", "-std=c++17",
+                    "-shared", "-fPIC", _HM_SRC, "-o", so_path + ".tmp",
+                ]
+                subprocess.run(cmd, check=True, capture_output=True, timeout=180)
+                os.replace(so_path + ".tmp", so_path)
+            lib = ctypes.CDLL(so_path)
+            lib.krasish_create.restype = ctypes.c_void_p
+            lib.krasish_create.argtypes = [
+                ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_float,
+            ]
+            lib.krasish_set_layer.restype = ctypes.c_int
+            lib.krasish_set_layer.argtypes = [ctypes.c_void_p, ctypes.c_int64] + \
+                [ctypes.c_void_p] * 6
+            lib.krasish_forward.restype = ctypes.c_int
+            lib.krasish_forward.argtypes = [
+                ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+                ctypes.c_void_p,
+            ]
+            lib.krasish_destroy.restype = None
+            lib.krasish_destroy.argtypes = [ctypes.c_void_p]
+            _hm_lib = lib
+        except Exception:
+            _hm_build_failed = True
+        return _hm_lib
+
+
+def hostmoe_available() -> bool:
+    return _load_hostmoe() is not None
 
 
 def quantize_native(w: np.ndarray, bits: int, group_size: int = 128):

@@ -116,6 +116,7 @@ class Engine:
         max_len: int = 4096,
         batch_size: int = 1,
         mesh=None,
+        offload=None,
     ):
         self.cfg = cfg
         # Resolve "auto" kv dtype ONCE at the engine's full size so every
@@ -125,10 +126,14 @@ class Engine:
         self.max_len = max_len
         self.batch_size = batch_size
         self.mesh = mesh
+        # Host-RAM expert offload (offload.HostExpertStore): routed
+        # experts live in host memory; the forward graphs call back into
+        # the host engine per MoE layer (models/model.py _offload_moe).
+        self.offload = offload
         enable_persistent_compilation_cache()
 
         prefill_fn, decode_fn, prefill_all_fn = make_forward_fns(
-            cfg, quant, mesh=mesh)
+            cfg, quant, mesh=mesh, offload=offload)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._prefill_all = jax.jit(prefill_all_fn, donate_argnums=(3,))
@@ -145,6 +150,10 @@ class Engine:
         from ..models.mtp import spec_config
 
         self.spec_mode, self.spec_k = spec_config(cfg, params)
+        if offload is not None:
+            # Speculative paths have their own forward graphs that don't
+            # carry the offload callback yet; vanilla decode only.
+            self.spec_mode = None
         self.spec_available = self.spec_mode is not None
         import os
 
@@ -180,7 +189,8 @@ class Engine:
             self._multi_decode_fns[key] = jax.jit(
                 make_multi_decode_fn(self.cfg, self.quant, sampling, steps,
                                      mesh=self.mesh,
-                                     top_logprobs=top_logprobs),
+                                     top_logprobs=top_logprobs,
+                                     offload=self.offload),
                 donate_argnums=(2,),
             )
         return self._multi_decode_fns[key]
@@ -189,7 +199,7 @@ class Engine:
         if hist_bucket not in self._chunk_fns:
             self._chunk_fns[hist_bucket] = jax.jit(
                 make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket,
-                                      mesh=self.mesh),
+                                      mesh=self.mesh, offload=self.offload),
                 donate_argnums=(3,),
             )
         return self._chunk_fns[hist_bucket]

@@ -1,0 +1,208 @@
+"""Host-RAM expert offload tier (krasis_tpu/offload.py + native/hostmoe.cpp).
+
+The reference's defining capability — models whose experts exceed device
+memory (reference src/moe.rs CPU expert engine; gpu_prefill.py DMA
+tiers) — re-designed for TPU: device attention + host-RAM routed experts
+through a pure_callback, one uniform quantized weight format.
+"""
+
+import numpy as np
+import pytest
+
+from krasis_tpu.config import QuantConfig
+from krasis_tpu.models.synthetic import build_synthetic_engine, tiny_config
+from krasis_tpu.offload import HostExpertStore, build_synthetic_store
+
+MLA_KW = dict(kv_lora_rank=64, q_lora_rank=None, qk_nope_head_dim=32,
+              qk_rope_head_dim=16, v_head_dim=32)
+
+
+def _rand_inputs(rng, T, k, H, E):
+    x = rng.standard_normal((T, H)).astype(np.float32) * 0.1
+    idx = rng.integers(0, E, (T, k)).astype(np.int32)
+    w = rng.random((T, k)).astype(np.float32)
+    return x, idx, w
+
+
+# ---------------------------------------------------------------------------
+# Store numerics: C++ engine vs numpy fallback vs device kernels
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("I", [192, 128])  # 192: I/2 NOT a multiple of gs
+def test_native_vs_numpy(bits, I):
+    cfg = tiny_config("deepseek-v2-lite", moe_intermediate_size=I,
+                      hidden_size=256, **MLA_KW)
+    store = build_synthetic_store(cfg, QuantConfig(expert_bits=bits), seed=1)
+    if not store._ensure_native():
+        pytest.skip("no C++ toolchain")
+    rng = np.random.default_rng(0)
+    layer = store.layers[0]
+    for T in (1, 7):  # both the column-parallel and pick-parallel regimes
+        x, idx, w = _rand_inputs(rng, T, 3, store.H, store.E)
+        native = store.forward(layer, x, idx, w)
+        ref = store._forward_np(layer, x, idx, w)
+        err = np.abs(native - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-6, (bits, I, T, err)
+
+
+def test_store_vs_device_oracle():
+    """Host store numerics == ops/moe gathered reference on the same
+    quantized bytes (f32 activations on both sides)."""
+    import jax.numpy as jnp
+    from ml_dtypes import bfloat16
+
+    from krasis_tpu.ops.moe import moe_forward_gathered
+    from krasis_tpu.quant import QTensor
+
+    cfg = tiny_config("deepseek-v2-lite", hidden_size=256,
+                      moe_intermediate_size=192, **MLA_KW)
+    store = build_synthetic_store(cfg, QuantConfig(), seed=2)
+    layer = store.layers[0]
+    e = store._layers[layer]
+    rng = np.random.default_rng(1)
+    x, idx, w = _rand_inputs(rng, 5, 3, store.H, store.E)
+
+    w13 = QTensor(jnp.asarray(e[0]), jnp.asarray(e[1].view(bfloat16)),
+                  store.bits, store.gs13)
+    w2 = QTensor(jnp.asarray(e[2]), jnp.asarray(e[3].view(bfloat16)),
+                 store.bits, store.gs2)
+    dev = np.asarray(moe_forward_gathered(
+        jnp.asarray(x), w13, w2, jnp.asarray(idx), jnp.asarray(w)),
+        np.float32)
+    host = store.forward(layer, x, idx, w)
+    err = np.abs(dev - host).max() / (np.abs(dev).max() + 1e-9)
+    assert err < 2e-3, err
+
+
+def test_negative_id_skips():
+    """EP-style skip: id < 0 contributes nothing (== zero weight)."""
+    cfg = tiny_config("qwen3-moe")
+    store = build_synthetic_store(cfg, QuantConfig(), seed=3)
+    rng = np.random.default_rng(2)
+    layer = store.layers[0]
+    x, idx, w = _rand_inputs(rng, 4, 2, store.H, store.E)
+    idx2 = idx.copy()
+    idx2[1, 0] = -1
+    w2 = w.copy()
+    w2[1, 0] = 0.0
+    np.testing.assert_allclose(
+        store.forward(layer, x, idx2, w),
+        store.forward(layer, x, idx, w2), rtol=1e-6, atol=1e-7)
+
+
+def test_gpt_oss_activation_and_bias():
+    """GPT-OSS clamped activation + per-expert biases, host vs numpy."""
+    cfg = tiny_config("gpt-oss-20b", num_hidden_layers=4, head_dim=32)
+    store = build_synthetic_store(cfg, QuantConfig(), seed=4)
+    layer = store.layers[0]
+    # give the biases real values
+    e = list(store._layers[layer])
+    rng = np.random.default_rng(3)
+    e[4] = rng.standard_normal(e[4].shape).astype(np.float32) * 0.05
+    e[5] = rng.standard_normal(e[5].shape).astype(np.float32) * 0.05
+    store.add_layer(layer, e[0], e[1].view(np.uint16), e[2],
+                    e[3].view(np.uint16), e[4], e[5])
+    x, idx, w = _rand_inputs(rng, 3, 2, store.H, store.E)
+    if store._ensure_native():
+        native = store.forward(layer, x, idx, w)
+        ref = store._forward_np(layer, x, idx, w)
+        err = np.abs(native - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-6, err
+    assert store.gpt_oss and store.swiglu_limit == 7.0
+
+
+# ---------------------------------------------------------------------------
+# End-to-end: offloaded engine == resident engine (same synthetic weights)
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("preset,kw", [
+    ("qwen3-moe", {}),                      # GQA
+    ("deepseek-v2-lite", MLA_KW),           # MLA + dense prefix + shared
+    ("gpt-oss-20b", dict(num_hidden_layers=4, head_dim=32)),  # biases
+])
+def test_offload_engine_parity(preset, kw):
+    cfg = tiny_config(preset, **kw)
+    quant = QuantConfig()
+    res = build_synthetic_engine(cfg, quant, max_len=256, seed=3)
+    off = build_synthetic_engine(cfg, quant, max_len=256, seed=3,
+                                 offload=True)
+    assert off.offload is not None
+    assert off.offload.layers, "store must hold MoE layers"
+    # device tree must NOT hold expert stacks anymore
+    for lp in off.params["pattern"]:
+        assert "w13" not in lp and "w2" not in lp
+
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    l1 = np.asarray(res.forward_all_logits(prompt), np.float32)
+    l2 = np.asarray(off.forward_all_logits(prompt), np.float32)
+    err = np.abs(l1 - l2).max() / (np.abs(l1).max() + 1e-9)
+    assert err < 3e-2, err  # host f32 vs device bf16 expert matmuls
+
+    # generation runs through prefill + fused decode blocks (callback
+    # inside lax.scan) and matches at least the first tokens
+    r1 = res.generate(prompt, max_new_tokens=12)
+    r2 = off.generate(prompt, max_new_tokens=12)
+    assert len(r2.tokens) == len(r1.tokens)
+    assert r1.tokens[:2] == r2.tokens[:2]
+
+
+def test_offload_hybrid_wiring():
+    """Hybrid DeltaNet model: assert the EXACT callback wiring — every
+    MoE layer's callback fires with the right absolute layer id, in
+    order, for both the unrolled-prefix and pattern-scan paths. (The
+    recurrent gating amplifies the host-f32 vs device-bf16 expert
+    rounding chaotically over 8 layers, so logits-closeness is not a
+    meaningful gate here; per-layer closeness is covered by
+    test_store_vs_device_oracle.)"""
+    cfg = tiny_config(
+        "qwen3-coder-next", num_hidden_layers=8, head_dim=32,
+        linear_key_head_dim=32, linear_num_key_heads=2,
+        linear_value_head_dim=32, linear_num_value_heads=4)
+    off = build_synthetic_engine(cfg, QuantConfig(), max_len=256, seed=3,
+                                 offload=True)
+    store = off.offload
+    assert store.layers == list(range(8))
+    calls = []
+    orig = store.forward
+
+    def spy(layer, x, idx, w):
+        calls.append((int(layer), x.shape[0]))
+        return orig(layer, x, idx, w)
+
+    store.forward = spy
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    r = off.generate(prompt, max_new_tokens=9)
+    assert len(r.tokens) == 9
+    # prefill: layers 0..7 once each, T = padded bucket width
+    assert [c[0] for c in calls[:8]] == list(range(8))
+    assert all(c[1] == calls[0][1] for c in calls[:8])
+    # decode: first token + 8-token fused block = at least 8 more sweeps
+    decode_calls = calls[8:]
+    assert [c[0] for c in decode_calls[:8]] == list(range(8))
+    assert all(c[1] == 1 for c in decode_calls)  # T = batch 1
+    n_sweeps = len(decode_calls) // 8
+    assert n_sweeps >= 8 and len(decode_calls) == 8 * n_sweeps
+
+
+def test_offload_chunked_prefill():
+    """Prompts beyond one chunk run the history-bucket continuation path
+    with the callback in the chunk graph."""
+    cfg = tiny_config("qwen3-moe")
+    quant = QuantConfig()
+    res = build_synthetic_engine(cfg, quant, max_len=4096, seed=5)
+    off = build_synthetic_engine(cfg, quant, max_len=4096, seed=5,
+                                 offload=True)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(1, cfg.vocab_size, 2500).tolist()  # > CHUNK=2048
+    r1 = res.generate(prompt, max_new_tokens=4)
+    r2 = off.generate(prompt, max_new_tokens=4)
+    assert len(r1.tokens) == len(r2.tokens) == 4
+
+
+def test_store_nbytes_and_layers():
+    cfg = tiny_config("deepseek-v2-lite", **MLA_KW)
+    store = build_synthetic_store(cfg, QuantConfig(), seed=0)
+    # layer 0 is dense (first_k_dense_replace=1): not in the store
+    assert 0 not in store.layers
+    assert store.nbytes() > 0

@@ -1,0 +1,246 @@
+"""Offload-tier engine: streamed-weight prefill + host-expert decode.
+
+Prefill for host-resident-expert models (offload.HostExpertStore) runs
+at device speed by STREAMING expert weights through HBM instead of
+computing MoE on the host: pattern repetition r's expert tensors are
+`jax.device_put` into a fresh buffer while repetition r-1 computes, and
+the whole prompt (all chunks) flows through one repetition's layers
+before the next repetition is touched — weights cross PCIe exactly once
+per prefill regardless of prompt length. This is the TPU-native form of
+the reference's layer-grouped pinned-DMA prefill pipeline (reference
+python/krasis/gpu_prefill.py:1266 preload_layer_group/swap_prefetch;
+model.py:2719 group-outer/chunk-inner loop), with jax's async dispatch
+standing in for CUDA streams and events.
+
+Decode inherits the host-callback MoE path from Engine (models/model.py
+_offload_moe): per decoded token the picked experts' bytes are read at
+host-RAM bandwidth — the reference's CPU-decode regime.
+
+Layer-wise dataflow note: processing chunk c of repetition r requires
+only chunks ≤ c of repetition r-1, so group-outer/chunk-inner computes
+exactly the same function as chunk-outer/layer-inner; the KV written by
+earlier chunks of the SAME repetition serves as attention history for
+later ones.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from ml_dtypes import bfloat16
+
+from ..config import ModelConfig, QuantConfig
+from ..models.model import make_layer_step
+from ..models.params import layer_specs, pattern_info
+from ..ops.norm import rms_norm
+from ..ops.qmm import linear
+from ..quant import QTensor
+from .engine import Engine, pick_history_bucket, _is_oom
+
+
+def make_streaming_rep_fn(cfg: ModelConfig, quant: QuantConfig,
+                          history: int):
+    """One pattern repetition (period layers) over one prefill chunk,
+    with this repetition's expert tensors as ARGUMENTS (streamed in) and
+    the stacked caches updated in place at repetition `r`."""
+    specs = layer_specs(cfg)
+    info = pattern_info(cfg)
+    pat_specs = specs[info.prefix_n : info.prefix_n + info.period]
+
+    def fn(pattern_ne, experts, r, x, seq_lens, length, caches):
+        B, S, H = x.shape
+        positions = length[:, None] + jnp.arange(S)[None, :]
+        valid = jnp.arange(S)[None, :] < seq_lens[:, None]
+        kv_len = length + seq_lens
+        layer_step = make_layer_step(
+            cfg, prefill=True, history=history, mesh=None,
+            positions=positions, valid=valid, kv_len=kv_len,
+        )
+        new_caches = []
+        for t in range(info.period):
+            lp = {
+                name: jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, r, 0, keepdims=False), w)
+                for name, w in pattern_ne[t].items()
+            }
+            if experts[t] is not None:
+                lp.update(experts[t])  # w13/w2 (+biases) for THIS rep
+            lc = jax.tree_util.tree_map(
+                lambda l: jax.lax.dynamic_index_in_dim(
+                    l, r, 0, keepdims=False), caches[t])
+            x, new_lc = layer_step(x, lp, lc, pat_specs[t])
+            new_caches.append({
+                k: caches[t][k].at[r].set(new_lc[k]) for k in new_lc
+            })
+        return x, new_caches
+
+    return fn
+
+
+def make_streaming_prefix_fn(cfg: ModelConfig, quant: QuantConfig,
+                             history: int, offload):
+    """Embedding + the unrolled prefix layers over one chunk (dense
+    prefix layers run resident; a MoE prefix layer would go through the
+    host callback)."""
+    specs = layer_specs(cfg)
+    info = pattern_info(cfg)
+
+    def fn(params, tokens, seq_lens, prefix_caches, length):
+        B, S = tokens.shape
+        positions = length[:, None] + jnp.arange(S)[None, :]
+        valid = jnp.arange(S)[None, :] < seq_lens[:, None]
+        kv_len = length + seq_lens
+        x = jnp.take(params["embed"], tokens, axis=0)
+        layer_step = make_layer_step(
+            cfg, prefill=True, history=history, mesh=None,
+            positions=positions, valid=valid, kv_len=kv_len,
+            offload=offload,
+        )
+        new = []
+        for i, lp in enumerate(params["prefix_layers"]):
+            if offload is not None:
+                lp = {**lp, "_abs_layer": jnp.int32(i)}
+            x, nlc = layer_step(x, lp, prefix_caches[i], specs[i])
+            new.append(nlc)
+        return x, new
+
+    return fn
+
+
+def make_head_fn(cfg: ModelConfig):
+    def fn(params, x, seq_lens):
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                     cfg.norm_plus_one)
+        idx = jnp.maximum(seq_lens - 1, 0)
+        x = jnp.take_along_axis(x, idx[:, None, None], axis=1)[:, 0]
+        return linear(x, params["lm_head"], out_dtype=jnp.float32)
+
+    return fn
+
+
+class OffloadEngine(Engine):
+    """Engine whose routed experts live in host RAM. Decode = Engine's
+    host-callback path; prefill = streamed-weight pipeline (disable with
+    streaming=False to run prefill through the host callback too — the
+    correctness reference for tests)."""
+
+    def __init__(self, cfg, quant, params, offload, streaming: bool = True,
+                 **kw):
+        super().__init__(cfg, quant, params, offload=offload, **kw)
+        self.streaming = streaming
+        self._info = pattern_info(cfg)
+        self._rep_fns: Dict[int, Any] = {}
+        self._prefix_fns: Dict[int, Any] = {}
+        self._head = jax.jit(make_head_fn(cfg))
+
+    # -- streamed prefill ------------------------------------------------
+
+    def _rep_fn(self, hist_bucket: int):
+        if hist_bucket not in self._rep_fns:
+            self._rep_fns[hist_bucket] = jax.jit(
+                make_streaming_rep_fn(self.cfg, self.quant, hist_bucket),
+                donate_argnums=(3, 6),  # x, caches
+            )
+        return self._rep_fns[hist_bucket]
+
+    def _prefix_fn(self, hist_bucket: int):
+        if hist_bucket not in self._prefix_fns:
+            self._prefix_fns[hist_bucket] = jax.jit(
+                make_streaming_prefix_fn(self.cfg, self.quant, hist_bucket,
+                                         self.offload),
+                donate_argnums=(3,),
+            )
+        return self._prefix_fns[hist_bucket]
+
+    def _rep_host_tree(self, r: int) -> List[Optional[Dict[str, Any]]]:
+        """Host-side (numpy, zero-copy views into the store) expert
+        tensors of repetition r, one entry per pattern position."""
+        info = self._info
+        out: List[Optional[Dict[str, Any]]] = []
+        for t in range(info.period):
+            layer = info.prefix_n + r * info.period + t
+            entry = self.offload._layers.get(layer)
+            if entry is None:
+                out.append(None)
+                continue
+            w13q, w13s, w2q, w2s, b13, b2 = entry
+            d: Dict[str, Any] = {
+                "w13": QTensor(w13q, w13s.view(bfloat16),
+                               self.offload.bits, self.offload.gs13),
+                "w2": QTensor(w2q, w2s.view(bfloat16),
+                              self.offload.bits, self.offload.gs2),
+            }
+            if b13 is not None:
+                d["w13_bias"] = b13
+            if b2 is not None:
+                d["w2_bias"] = b2
+            out.append(d)
+        return out
+
+    def _prefill_prompt_once(self, prompt_ids):
+        if not (self.streaming and self._info.reps):
+            return super()._prefill_prompt_once(prompt_ids)
+        return self._streaming_prefill(prompt_ids)
+
+    def _streaming_prefill(self, prompt_ids):
+        cfg, info = self.cfg, self._info
+        n = len(prompt_ids)
+        B = self.batch_size
+        C = min(self.chunk, ((n + 127) // 128) * 128)
+        n_chunks = -(-n // C)
+
+        tok_chunks, seq_chunks, len_chunks = [], [], []
+        for c in range(n_chunks):
+            m = min(C, n - c * C)
+            tokens = np.zeros((B, C), np.int32)
+            tokens[0, :m] = prompt_ids[c * C : c * C + m]
+            seq = np.zeros((B,), np.int32)
+            seq[0] = m
+            length = np.zeros((B,), np.int32)
+            length[0] = c * C
+            tok_chunks.append(jnp.asarray(tokens))
+            seq_chunks.append(jnp.asarray(seq))
+            len_chunks.append(jnp.asarray(length))
+
+        def bucket(c: int) -> int:
+            return 0 if c == 0 else pick_history_bucket(c * C)
+
+        # Phase 1: embedding + prefix layers, all chunks.
+        x_all: List[jax.Array] = []
+        prefix_caches = self.cache["prefix_layers"]
+        for c in range(n_chunks):
+            x, prefix_caches = self._prefix_fn(bucket(c))(
+                self.params, tok_chunks[c], seq_chunks[c], prefix_caches,
+                len_chunks[c],
+            )
+            x_all.append(x)
+
+        # Phase 2: pattern repetitions, weights streamed rep-by-rep with
+        # the NEXT rep's host->HBM copy issued before this rep computes
+        # (async dispatch overlaps transfer with compute).
+        pat_caches = self.cache["pattern"]
+        pattern_ne = self.params["pattern"]
+        nxt = jax.device_put(self._rep_host_tree(0))
+        for r in range(info.reps):
+            cur = nxt
+            if r + 1 < info.reps:
+                nxt = jax.device_put(self._rep_host_tree(r + 1))
+            ri = jnp.int32(r)
+            for c in range(n_chunks):
+                x_all[c], pat_caches = self._rep_fn(bucket(c))(
+                    pattern_ne, cur, ri, x_all[c], seq_chunks[c],
+                    len_chunks[c], pat_caches,
+                )
+            del cur
+
+        kv_len = jnp.zeros((B,), jnp.int32).at[0].set(n)
+        self.cache = {
+            "prefix_layers": prefix_caches,
+            "pattern": pat_caches,
+            "length": kv_len,
+        }
+        return self._head(self.params, x_all[-1], seq_chunks[-1])

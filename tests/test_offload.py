@@ -200,6 +200,64 @@ def test_offload_chunked_prefill():
     assert len(r1.tokens) == len(r2.tokens) == 4
 
 
+@pytest.mark.parametrize("preset,kw", [
+    ("qwen3-moe", {}),
+    # 5 layers: 1 dense prefix + 4 pattern reps (prefix + scan both hit)
+    ("deepseek-v2-lite", dict(MLA_KW, num_hidden_layers=5)),
+])
+def test_streaming_prefill_parity(preset, kw):
+    """OffloadEngine streamed-weight prefill == host-callback prefill ==
+    resident engine, through the multi-chunk history-bucket path."""
+    import jax
+
+    from krasis_tpu.models.params import init_synthetic_params
+    from krasis_tpu.offload import store_from_params
+    from krasis_tpu.runtime.engine import Engine
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg = tiny_config(preset, **kw)
+    quant = QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(3))
+    sparams, store = store_from_params(cfg, quant, params)
+    res = Engine(cfg, quant, params, max_len=4096)
+    cb = OffloadEngine(cfg, quant, sparams, store, streaming=False,
+                       max_len=4096)
+    st = OffloadEngine(cfg, quant, sparams, store, streaming=True,
+                       max_len=4096)
+    rng = np.random.default_rng(1)
+    prompt = rng.integers(1, cfg.vocab_size, 2500).tolist()  # 2 chunks
+    r0 = res.generate(prompt, max_new_tokens=6)
+    r1 = cb.generate(prompt, max_new_tokens=6)
+    r2 = st.generate(prompt, max_new_tokens=6)
+    assert r1.tokens == r2.tokens, (r1.tokens, r2.tokens)
+    assert len(r0.tokens) == len(r2.tokens)
+    assert r0.tokens[0] == r2.tokens[0]
+    # the streamed path compiled per-rep fns for both history buckets
+    assert 0 in st._rep_fns and len(st._rep_fns) >= 2
+
+
+def test_streaming_prefill_single_chunk_short():
+    """Short prompts stream through one chunk (padded to 128)."""
+    import jax
+
+    from krasis_tpu.models.params import init_synthetic_params
+    from krasis_tpu.offload import store_from_params
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg = tiny_config("qwen3-moe")
+    quant = QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(5))
+    sparams, store = store_from_params(cfg, quant, params)
+    cb = OffloadEngine(cfg, quant, sparams, store, streaming=False,
+                       max_len=256)
+    st = OffloadEngine(cfg, quant, sparams, store, streaming=True,
+                       max_len=256)
+    prompt = [3, 1, 4, 1, 5, 9]
+    r1 = cb.generate(prompt, max_new_tokens=8)
+    r2 = st.generate(prompt, max_new_tokens=8)
+    assert r1.tokens == r2.tokens
+
+
 def test_store_nbytes_and_layers():
     cfg = tiny_config("deepseek-v2-lite", **MLA_KW)
     store = build_synthetic_store(cfg, QuantConfig(), seed=0)

@@ -33,12 +33,40 @@ import numpy as np
 from ml_dtypes import bfloat16
 
 from ..config import ModelConfig, QuantConfig
-from ..models.model import make_layer_step
+from ..models.model import (
+    _gqa_attention,
+    _la_attention,
+    _mla_attention,
+    make_layer_step,
+)
 from ..models.params import layer_specs, pattern_info
+from ..ops.moe import mlp_forward
 from ..ops.norm import rms_norm
 from ..ops.qmm import linear
+from ..ops.routing import compute_routing
 from ..quant import QTensor
 from .engine import Engine, pick_history_bucket, _is_oom
+
+_CALLBACKS_OK: Optional[bool] = None
+
+
+def callbacks_supported() -> bool:
+    """Whether this backend's PJRT implements host callbacks
+    (pure_callback). Standard TPU/CPU PJRT does; the axon relay does not
+    ("axon_pjrt does not support host send/recv callbacks") — there the
+    offload tier decodes through the segmented per-layer path instead."""
+    global _CALLBACKS_OK
+    if _CALLBACKS_OK is None:
+        try:
+            def probe(x):
+                return jax.pure_callback(
+                    lambda v: np.asarray(v) + 1,
+                    jax.ShapeDtypeStruct((), jnp.int32), x)
+
+            _CALLBACKS_OK = int(jax.jit(probe)(jnp.int32(1))) == 2
+        except Exception:
+            _CALLBACKS_OK = False
+    return _CALLBACKS_OK
 
 
 def make_streaming_rep_fn(cfg: ModelConfig, quant: QuantConfig,
@@ -111,6 +139,114 @@ def make_streaming_prefix_fn(cfg: ModelConfig, quant: QuantConfig,
     return fn
 
 
+_KV_KEYS = ("k", "v", "kv")
+
+
+def make_seg_layer_fn(cfg: ModelConfig, quant: QuantConfig, spec,
+                      stacked: bool):
+    """One decode layer as a standalone jitted segment, splitting at the
+    routed-MoE boundary so a host without callback support (axon relay)
+    can compute the experts between device dispatches.
+
+    Segment body: apply the PREVIOUS MoE layer's pending outputs
+    (shared-expert tensor left on device + routed output uploaded from
+    the host), then input-norm → attention → post-norm, and either
+    finish a dense MLP inline or stop after routing + shared expert,
+    returning what the host engine needs (normed activations, top-k ids
+    and weights). KV caches stay pattern-stacked with the repetition
+    index resolved in the attention kernels — the same access pattern as
+    the fused production decode."""
+    gpt_oss = cfg.model_type == "gpt_oss"
+    has_moe = spec.mlp_kind == "moe"
+
+    def fn(stacks, pendS, pendM, x, caches, r, length):
+        B = x.shape[0]
+        x = x + pendS + pendM.astype(x.dtype)
+        positions = length[:, None]
+        valid = jnp.ones((B, 1), jnp.bool_)
+        kv_len = length + 1
+        if stacked:
+            lp = {
+                name: jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, r, 0, keepdims=False), w)
+                for name, w in stacks.items()
+            }
+        else:
+            lp = stacks
+        normed = rms_norm(x, lp["input_norm"], cfg.rms_norm_eps,
+                          cfg.norm_plus_one)
+        if spec.attn_kind == "gqa":
+            lc = {k: v for k, v in caches.items() if k in _KV_KEYS}
+            attn, new_lc = _gqa_attention(
+                lp, lc, normed, positions, kv_len, cfg, spec,
+                prefill=False, lidx=r if stacked else None)
+            new_caches = new_lc
+        elif spec.attn_kind == "mla":
+            lc = {k: v for k, v in caches.items() if k in _KV_KEYS}
+            attn, new_lc = _mla_attention(
+                lp, lc, normed, positions, kv_len, cfg, prefill=False,
+                lidx=r if stacked else None)
+            new_caches = new_lc
+        else:
+            # recurrent state is small: slice at r, write back at r
+            if stacked:
+                lc = jax.tree_util.tree_map(
+                    lambda l: jax.lax.dynamic_index_in_dim(
+                        l, r, 0, keepdims=False), caches)
+            else:
+                lc = caches
+            attn, new_lc = _la_attention(lp, lc, normed, valid, cfg,
+                                         prefill=False)
+            if stacked:
+                new_caches = {k: caches[k].at[r].set(v)
+                              for k, v in new_lc.items()}
+            else:
+                new_caches = new_lc
+        x = x + attn
+        normed2 = rms_norm(x, lp["post_norm"], cfg.rms_norm_eps,
+                           cfg.norm_plus_one)
+        H = x.shape[-1]
+        n2d = normed2.reshape(B, H)
+        if not has_moe:
+            out = mlp_forward(n2d, lp["mlp_w13"], lp["mlp_w2"],
+                              swiglu_limit=cfg.swiglu_limit,
+                              gpt_oss=gpt_oss)
+            return x + out.reshape(B, 1, H), new_caches
+        routing = compute_routing(
+            n2d, lp["gate_w"], cfg, lp.get("gate_bias"),
+            logit_bias=lp.get("gate_logit_bias"))
+        shared = jnp.zeros_like(x)
+        if "shared_w13" in lp:
+            sh = mlp_forward(n2d, lp["shared_w13"], lp["shared_w2"])
+            if "shared_gate_w" in lp:
+                sg = jax.nn.sigmoid(
+                    linear(n2d, lp["shared_gate_w"]).astype(jnp.float32))
+                sh = sh * sg.astype(sh.dtype)
+            shared = sh.reshape(B, 1, H)
+        return (x, shared, routing.topk_idx, routing.topk_weights, n2d,
+                new_caches)
+
+    return fn
+
+
+def make_embed_fn(cfg: ModelConfig):
+    def fn(params, tok):
+        return jnp.take(params["embed"], tok[:, None], axis=0)
+
+    return fn
+
+
+def make_seg_final_fn(cfg: ModelConfig):
+    def fn(params, x, pendS, pendM):
+        x = x + pendS + pendM.astype(x.dtype)
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                     cfg.norm_plus_one)
+        return linear(x[:, 0], params["lm_head"], out_dtype=jnp.float32)
+
+    return fn
+
+
 def make_head_fn(cfg: ModelConfig):
     def fn(params, x, seq_lens):
         x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
@@ -129,13 +265,120 @@ class OffloadEngine(Engine):
     correctness reference for tests)."""
 
     def __init__(self, cfg, quant, params, offload, streaming: bool = True,
-                 **kw):
+                 segmented: Optional[bool] = None, **kw):
         super().__init__(cfg, quant, params, offload=offload, **kw)
         self.streaming = streaming
         self._info = pattern_info(cfg)
         self._rep_fns: Dict[int, Any] = {}
         self._prefix_fns: Dict[int, Any] = {}
         self._head = jax.jit(make_head_fn(cfg))
+        # Segmented decode: per-layer device dispatches with the host MoE
+        # between them, for backends without host-callback support (the
+        # axon relay). KRASIS_TPU_SEG_DECODE=1 forces it (tests).
+        import os
+
+        if segmented is None:
+            segmented = bool(os.environ.get("KRASIS_TPU_SEG_DECODE")) or \
+                not callbacks_supported()
+        self.segmented = segmented
+        self._specs = layer_specs(cfg)
+        self._seg_pattern: Dict[int, Any] = {}
+        self._seg_prefix: Dict[int, Any] = {}
+        self._emb = jax.jit(make_embed_fn(cfg))
+        self._seg_final = jax.jit(make_seg_final_fn(cfg))
+
+    # -- segmented decode (callback-free backends) ------------------------
+
+    def _seg_fn(self, t: int, stacked: bool):
+        cache_fns = self._seg_pattern if stacked else self._seg_prefix
+        if t not in cache_fns:
+            spec = self._specs[self._info.prefix_n + t] if stacked \
+                else self._specs[t]
+            cache_fns[t] = jax.jit(
+                make_seg_layer_fn(self.cfg, self.quant, spec, stacked),
+                donate_argnums=(3, 4),  # x, caches
+            )
+        return cache_fns[t]
+
+    def _host_moe(self, layer: int, n2d, idx, wts, B: int):
+        out = self.offload.forward(
+            layer, np.asarray(n2d, np.float32), np.asarray(idx),
+            np.asarray(wts))
+        H = out.shape[-1]
+        return jnp.asarray(out.reshape(B, 1, H), jnp.float32)
+
+    def _segmented_forward(self, params, tok, cache):
+        """One decode step: per-layer segments with the host expert
+        engine invoked between dispatches. Returns (logits, new_cache)."""
+        info, cfg = self._info, self.cfg
+        B = tok.shape[0]
+        x = self._emb(params, tok)
+        zeros = jnp.zeros_like(x)
+        pendS, pendM = zeros, zeros.astype(jnp.float32)
+        length = cache["length"]
+        prefix_caches = list(cache["prefix_layers"])
+        for i, lp in enumerate(params["prefix_layers"]):
+            seg = self._seg_fn(i, stacked=False)
+            if self._specs[i].mlp_kind == "moe":
+                x, pendS, idx, wts, n2d, prefix_caches[i] = seg(
+                    lp, pendS, pendM, x, prefix_caches[i], 0, length)
+                pendM = self._host_moe(i, n2d, idx, wts, B)
+            else:
+                x, prefix_caches[i] = seg(
+                    lp, pendS, pendM, x, prefix_caches[i], 0, length)
+                pendS, pendM = zeros, zeros.astype(jnp.float32)
+        pat_caches = list(cache["pattern"])
+        for r in range(info.reps):
+            ri = jnp.int32(r)
+            for t in range(info.period):
+                seg = self._seg_fn(t, stacked=True)
+                layer = info.prefix_n + r * info.period + t
+                if self._specs[layer].mlp_kind == "moe":
+                    x, pendS, idx, wts, n2d, pat_caches[t] = seg(
+                        params["pattern"][t], pendS, pendM, x,
+                        pat_caches[t], ri, length)
+                    pendM = self._host_moe(layer, n2d, idx, wts, B)
+                else:
+                    x, pat_caches[t] = seg(
+                        params["pattern"][t], pendS, pendM, x,
+                        pat_caches[t], ri, length)
+                    pendS, pendM = zeros, zeros.astype(jnp.float32)
+        logits = self._seg_final(params, x, pendS, pendM)
+        new_cache = {
+            "prefix_layers": prefix_caches,
+            "pattern": pat_caches,
+            "length": length + 1,
+        }
+        return logits, new_cache
+
+    def _multi_decode_fn(self, sampling, steps: int, top_logprobs: int = 0):
+        if not self.segmented:
+            return super()._multi_decode_fn(sampling, steps, top_logprobs)
+        sample_fn = self._sample_fn(sampling)
+
+        def driver(params, tok, cache, key, seen):
+            B = tok.shape[0]
+            toks, lps, tvs, tis = [], [], [], []
+            for _ in range(steps):
+                logits, cache = self._segmented_forward(params, tok, cache)
+                key, sk = jax.random.split(key)
+                tok, lp = sample_fn(sk, logits, seen)
+                if top_logprobs > 0:
+                    lsm = jax.nn.log_softmax(logits.astype(jnp.float32),
+                                             axis=-1)
+                    tv, ti = jax.lax.top_k(lsm, top_logprobs)
+                else:
+                    tv = jnp.zeros((B, 1), jnp.float32)
+                    ti = jnp.zeros((B, 1), jnp.int32)
+                seen = seen.at[jnp.arange(B), tok].set(True)
+                toks.append(tok)
+                lps.append(lp)
+                tvs.append(tv)
+                tis.append(ti)
+            return (jnp.stack(toks), jnp.stack(lps),
+                    (jnp.stack(tvs), jnp.stack(tis)), cache, key, seen)
+
+        return driver
 
     # -- streamed prefill ------------------------------------------------
 

@@ -258,6 +258,45 @@ def test_streaming_prefill_single_chunk_short():
     assert r1.tokens == r2.tokens
 
 
+@pytest.mark.parametrize("preset,kw", [
+    ("qwen3-moe", {}),
+    ("deepseek-v2-lite", dict(MLA_KW, num_hidden_layers=5)),
+    ("qwen3-coder-next",
+     dict(num_hidden_layers=8, head_dim=32, linear_key_head_dim=32,
+          linear_num_key_heads=2, linear_value_head_dim=32,
+          linear_num_value_heads=4)),
+])
+def test_segmented_decode_parity(preset, kw):
+    """Segmented decode (per-layer dispatches + host MoE between them —
+    the path for backends without host callbacks, e.g. the axon relay)
+    emits exactly the same tokens as the callback decode."""
+    import jax
+
+    from krasis_tpu.models.params import init_synthetic_params
+    from krasis_tpu.offload import store_from_params
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg = tiny_config(preset, **kw)
+    quant = QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(3))
+    sparams, store = store_from_params(cfg, quant, params)
+    cb = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                       max_len=256)
+    sg = OffloadEngine(cfg, quant, sparams, store, segmented=True,
+                       max_len=256)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    r1 = cb.generate(prompt, max_new_tokens=12)
+    r2 = sg.generate(prompt, max_new_tokens=12)
+    assert r1.tokens == r2.tokens, (r1.tokens, r2.tokens)
+    # sampled path (per-step PRNG alignment with the fused block)
+    from krasis_tpu.ops.sampling import SamplingParams
+
+    s = SamplingParams(temperature=0.8, top_k=10, top_p=0.9)
+    r3 = cb.generate(prompt, max_new_tokens=8, sampling=s, seed=7)
+    r4 = sg.generate(prompt, max_new_tokens=8, sampling=s, seed=7)
+    assert len(r3.tokens) == len(r4.tokens)
+
+
 def test_store_nbytes_and_layers():
     cfg = tiny_config("deepseek-v2-lite", **MLA_KW)
     store = build_synthetic_store(cfg, QuantConfig(), seed=0)

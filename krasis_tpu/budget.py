@@ -53,6 +53,17 @@ class BudgetReport:
             rest = rest - att + att // n_chips
         return rest + expert_total // n_chips
 
+    def offload_split(self, group_layers: int = 1):
+        """(device_bytes, host_bytes) under host-RAM expert offload
+        (krasis_tpu/offload): HBM holds everything but the routed
+        experts plus TWO streamed layer-group buffers (double-buffered
+        prefill pipeline, runtime/offload_engine.py); host RAM (or the
+        mmap page cache) holds the experts."""
+        experts = self.components["experts"]
+        rest = self.total_weight_bytes - experts
+        stream = 2 * group_layers * self.expert_bytes_per_layer
+        return rest + stream, experts
+
     def max_context_tokens(self, n_chips: int, hbm_per_chip: int,
                            reserve_frac: float = 0.15) -> int:
         usable = int(hbm_per_chip * (1 - reserve_frac)) * n_chips
@@ -185,4 +196,12 @@ def format_budget(cfg: ModelConfig, quant: QuantConfig,
     lines.append(f"  KV bytes/token: {rep.kv_bytes_per_token}")
     lines.append(f"  max context @ {n_chips} chips: "
                  f"{rep.max_context_tokens(n_chips, hbm_per_chip):,} tokens")
+    if rep.components.get("experts"):
+        from .models.params import pattern_info
+
+        dev, host = rep.offload_split(max(pattern_info(cfg).period, 1))
+        lines.append(
+            f"  --offload experts: {dev / gb:.2f} GiB HBM + "
+            f"{host / gb:.2f} GiB host RAM"
+        )
     return "\n".join(lines)

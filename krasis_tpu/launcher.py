@@ -135,6 +135,8 @@ SETTINGS = [
      "--attention-quant"),
     ("expert_activation", "expert activations (bf16/int8=W4A8)", "bf16",
      "--expert-activation"),
+    ("offload", "expert offload (none/experts=host RAM)", "none",
+     "--offload"),
     ("max_len", "max context length", "4096", "--max-len"),
     ("slots", "batching slots (0 = single)", "0", "--slots"),
     ("decode_block", "decode block (tokens/device call)", "8",

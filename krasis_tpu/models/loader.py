@@ -604,13 +604,12 @@ def place_params(params: Dict[str, Any], cfg: ModelConfig,
     return jax.tree_util.tree_map(lambda l: jnp.asarray(np.asarray(l)), params)
 
 
-def load_params(
+def _host_pytree(
     cfg: ModelConfig, quant: QuantConfig, dtype=jnp.bfloat16,
-    use_cache: bool = True, mesh=None,
+    use_cache: bool = True,
 ) -> Dict[str, Any]:
-    """Load (and quantize) a checkpoint into device memory, going through
-    the versioned mmap weight cache when possible. Concurrent starts
-    serialize on a build lock (losers wait for the winner's cache)."""
+    """Host-side (mmap-backed when cached) parameter pytree, building the
+    weight cache under the build lock if needed."""
     from .weight_cache import BuildLock, CacheReader
 
     d = _cache_dir(cfg, quant)
@@ -625,6 +624,43 @@ def load_params(
                         build_cache(cfg, quant, d, dtype=dtype)
                 finally:
                     lock.release()
-        return place_params(CacheReader(d).as_pytree(), cfg, mesh)
-    host = WeightLoader(cfg, quant, dtype=dtype).load()
-    return place_params(host, cfg, mesh)
+        return CacheReader(d).as_pytree()
+    return WeightLoader(cfg, quant, dtype=dtype).load()
+
+
+def load_params(
+    cfg: ModelConfig, quant: QuantConfig, dtype=jnp.bfloat16,
+    use_cache: bool = True, mesh=None,
+) -> Dict[str, Any]:
+    """Load (and quantize) a checkpoint into device memory, going through
+    the versioned mmap weight cache when possible. Concurrent starts
+    serialize on a build lock (losers wait for the winner's cache)."""
+    return place_params(
+        _host_pytree(cfg, quant, dtype=dtype, use_cache=use_cache),
+        cfg, mesh)
+
+
+def load_params_offload(cfg: ModelConfig, quant: QuantConfig,
+                        dtype=jnp.bfloat16, use_cache: bool = True):
+    """Load for the host-RAM expert offload tier (krasis_tpu/offload):
+    non-expert weights go to the device; routed experts stay HOST-side,
+    pointed at IN PLACE in the mmap weight cache — the OS page cache is
+    the expert store, no second RAM copy (the reference's mmap'd CPU
+    decode cache philosophy, src/weights/mod.rs:955-1135 + decode.rs
+    consolidate_weights_mmap). Returns (device_params, HostExpertStore).
+    """
+    from ..offload import store_from_params
+
+    host = _host_pytree(cfg, quant, dtype=dtype, use_cache=use_cache)
+    stripped, store = store_from_params(cfg, quant, host)
+    if "mtp" in stripped and "w13" in stripped["mtp"].get("layer", {}):
+        # MTP module experts: host-resident at index num_hidden_layers
+        mtp_layer = dict(stripped["mtp"]["layer"])
+        w13, w2 = mtp_layer.pop("w13"), mtp_layer.pop("w2")
+        store.add_layer(
+            cfg.num_hidden_layers, np.asarray(w13.q), np.asarray(w13.scales),
+            np.asarray(w2.q), np.asarray(w2.scales),
+        )
+        stripped = dict(stripped)
+        stripped["mtp"] = dict(stripped["mtp"], layer=mtp_layer)
+    return place_params(stripped, cfg, mesh=None), store

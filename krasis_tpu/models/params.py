@@ -129,6 +129,7 @@ def _init_layer(
     key: jax.Array,
     stack_n: Optional[int] = None,
     dtype=jnp.bfloat16,
+    skip_experts: bool = False,
 ) -> Dict[str, Any]:
     """One layer's params; with stack_n, leaves get a leading reps dim."""
     H = cfg.hidden_size
@@ -221,12 +222,15 @@ def _init_layer(
             lp["gate_bias"] = jnp.zeros(lead + (E,), jnp.float32)
         if cfg.model_type == "gpt_oss":
             lp["gate_logit_bias"] = jnp.zeros(lead + (E,), jnp.float32)
-        k13, k2 = jax.random.split(next(keys))
-        lp["w13"] = random_qtensor(k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
-        lp["w2"] = random_qtensor(k2, lead + (E, I, H), quant.expert_bits, gs)
-        if cfg.model_type == "gpt_oss":
-            lp["w13_bias"] = jnp.zeros(lead + (E, 2 * I), jnp.float32)
-            lp["w2_bias"] = jnp.zeros(lead + (E, H), jnp.float32)
+        if not skip_experts:
+            k13, k2 = jax.random.split(next(keys))
+            lp["w13"] = random_qtensor(
+                k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
+            lp["w2"] = random_qtensor(
+                k2, lead + (E, I, H), quant.expert_bits, gs)
+            if cfg.model_type == "gpt_oss":
+                lp["w13_bias"] = jnp.zeros(lead + (E, 2 * I), jnp.float32)
+                lp["w2_bias"] = jnp.zeros(lead + (E, H), jnp.float32)
         if cfg.n_shared_experts > 0:
             Is = cfg.shared_expert_intermediate_size or (
                 cfg.moe_intermediate_size * cfg.n_shared_experts
@@ -251,8 +255,12 @@ def init_synthetic_params(
     quant: QuantConfig,
     key: jax.Array,
     dtype=jnp.bfloat16,
+    skip_experts: bool = False,
 ) -> Dict[str, Any]:
-    """Random parameters in the production (pattern-stacked) layout."""
+    """Random parameters in the production (pattern-stacked) layout.
+
+    skip_experts: omit the routed w13/w2 stacks (host-RAM offload tier —
+    models whose experts cannot fit HBM at all; offload.py holds them)."""
     specs = layer_specs(cfg)
     info = pattern_info(cfg)
     H = cfg.hidden_size
@@ -270,13 +278,15 @@ def init_synthetic_params(
             rnd((H, cfg.vocab_size), dt=jnp.float32), quant.lm_head, quant.group_size
         ),
         "prefix_layers": [
-            _init_layer(cfg, quant, specs[i], next(keys), dtype=dtype)
+            _init_layer(cfg, quant, specs[i], next(keys), dtype=dtype,
+                        skip_experts=skip_experts)
             for i in range(info.prefix_n)
         ],
         "pattern": [
             _init_layer(
                 cfg, quant, specs[info.prefix_n + t], next(keys),
                 stack_n=info.reps, dtype=dtype,
+                skip_experts=skip_experts,
             )
             for t in range(info.period)
         ],

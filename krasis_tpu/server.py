@@ -657,6 +657,13 @@ def main():
                     help="HTTP transport: C++ epoll server or stdlib")
     ap.add_argument("--note", default=None,
                     help="run note written to the top of the log file")
+    ap.add_argument("--offload", default="none",
+                    choices=("none", "experts"),
+                    help="experts: keep routed expert weights in HOST RAM "
+                         "(serve models whose experts exceed HBM; prefill "
+                         "streams weights per layer group, decode computes "
+                         "experts on the host — the reference's big-model "
+                         "capability, README.md:3-23)")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-serve compile warmup")
     ap.add_argument("--min-free-ram-gb", type=float, default=2.0,
@@ -696,6 +703,11 @@ def main():
         dp, ep = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(dp * ep, dp=dp)
 
+    offload = args.offload == "experts"
+    if offload and (mesh is not None or args.slots > 0):
+        ap.error("--offload experts is single-chip/single-engine for now "
+                 "(no --mesh / --slots)")
+
     if args.synthetic:
         from .models.synthetic import build_synthetic_engine, tiny_config
 
@@ -705,23 +717,43 @@ def main():
         else:
             cfg = preset_config(args.synthetic)
             quant = make_quant()
-        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
-                                        mesh=mesh)
+        if offload:
+            from .models.params import init_synthetic_params
+            from .offload import build_synthetic_store
+            from .runtime.offload_engine import OffloadEngine
+            import jax as _jax
+
+            store = build_synthetic_store(cfg, quant, seed=0)
+            params = init_synthetic_params(
+                cfg, quant, _jax.random.PRNGKey(0), skip_experts=True)
+            engine = OffloadEngine(cfg, quant, params, store,
+                                   max_len=args.max_len)
+        else:
+            engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
+                                            mesh=mesh)
         tok, params = None, engine.params
         name = f"synthetic/{args.synthetic}"
     else:
-        from .models.loader import load_params
+        from .models.loader import load_params, load_params_offload
         from .runtime.engine import Engine
         from .runtime.tokenizer import Tokenizer
 
         cfg = ModelConfig.from_model_path(args.model)
         quant = make_quant()
-        params = load_params(cfg, quant)
-        if mesh is not None:
-            from .parallel.mesh import shard_params
+        if offload:
+            from .runtime.offload_engine import OffloadEngine
 
-            params = shard_params(params, cfg, mesh)
-        engine = Engine(cfg, quant, params, max_len=args.max_len, mesh=mesh)
+            params, store = load_params_offload(cfg, quant)
+            engine = OffloadEngine(cfg, quant, params, store,
+                                   max_len=args.max_len)
+        else:
+            params = load_params(cfg, quant)
+            if mesh is not None:
+                from .parallel.mesh import shard_params
+
+                params = shard_params(params, cfg, mesh)
+            engine = Engine(cfg, quant, params, max_len=args.max_len,
+                            mesh=mesh)
         tok_files = ("tokenizer.json", "tokenizer_config.json",
                      "tokenizer.model")
         if os.path.isdir(args.model) and not any(

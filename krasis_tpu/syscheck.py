@@ -57,10 +57,12 @@ def device_report() -> Dict:
     }
 
 
-def run_startup_checks(cfg=None, quant=None, verbose: bool = True) -> Dict:
+def run_startup_checks(cfg=None, quant=None, verbose: bool = True,
+                       offload: bool = False) -> Dict:
     """Environment + (optional) model-fit check. Returns the report;
     raises RuntimeError if the model cannot fit (refuse-to-start,
-    reference model.py:145)."""
+    reference model.py:145). With `offload`, the fit check splits into
+    HBM-without-experts vs device memory AND experts vs host RAM."""
     rep = device_report()
     try:
         from . import native
@@ -79,16 +81,40 @@ def run_startup_checks(cfg=None, quant=None, verbose: bool = True) -> Dict:
             hbm = max(hbm, int(d.get("hbm_limit_gb", 0) * (1 << 30)))
         if hbm == 0:
             hbm = 16 << 30  # assume v5e
-        per_chip = b.per_chip(n)
         rep["model_weight_gb"] = round(b.total_weight_bytes / (1 << 30), 2)
+        if offload:
+            from .models.params import pattern_info
+
+            dev, host = b.offload_split(max(pattern_info(cfg).period, 1))
+            rep["per_chip_gb"] = round(dev / (1 << 30), 2)
+            rep["host_expert_gb"] = round(host / (1 << 30), 2)
+            host_gb = _host_mem_gb()
+            if dev > hbm * 0.92:
+                raise RuntimeError(
+                    f"offload mode still needs {dev / (1 << 30):.1f} GiB "
+                    f"HBM (non-expert weights + stream buffers) but HBM "
+                    f"is {hbm / (1 << 30):.1f} GiB — refusing to start"
+                )
+            if host / (1 << 30) > host_gb * 0.92:
+                raise RuntimeError(
+                    f"host experts need {host / (1 << 30):.1f} GiB RAM but "
+                    f"host has {host_gb:.1f} GiB — refusing to start"
+                )
+            return _finish_report(rep, verbose)
+        per_chip = b.per_chip(n)
         rep["per_chip_gb"] = round(per_chip / (1 << 30), 2)
         rep["max_context"] = b.max_context_tokens(n, hbm)
         if per_chip > hbm * 0.92:
             raise RuntimeError(
                 f"model needs {per_chip / (1 << 30):.1f} GiB/chip but HBM is "
                 f"{hbm / (1 << 30):.1f} GiB — refusing to start "
-                f"(shard over more chips or lower expert_bits)"
+                f"(shard over more chips, lower expert_bits, or use "
+                f"--offload experts)"
             )
+    return _finish_report(rep, verbose)
+
+
+def _finish_report(rep: Dict, verbose: bool) -> Dict:
     if verbose:
         import json
 

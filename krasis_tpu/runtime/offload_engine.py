@@ -224,8 +224,16 @@ def make_seg_layer_fn(cfg: ModelConfig, quant: QuantConfig, spec,
                     linear(n2d, lp["shared_gate_w"]).astype(jnp.float32))
                 sh = sh * sg.astype(sh.dtype)
             shared = sh.reshape(B, 1, H)
-        return (x, shared, routing.topk_idx, routing.topk_weights, n2d,
-                new_caches)
+        # Host-bound outputs packed into ONE f32 buffer: each device->host
+        # fetch is a full round trip on relay backends, so
+        # [activations | topk ids | topk weights] travel together.
+        # (int32 ids are exact in f32 for any real expert count.)
+        packed = jnp.concatenate([
+            n2d.astype(jnp.float32),
+            routing.topk_idx.astype(jnp.float32),
+            routing.topk_weights.astype(jnp.float32),
+        ], axis=-1)
+        return x, shared, packed, new_caches
 
     return fn
 
@@ -300,10 +308,14 @@ class OffloadEngine(Engine):
             )
         return cache_fns[t]
 
-    def _host_moe(self, layer: int, n2d, idx, wts, B: int):
+    def _host_moe(self, layer: int, packed, B: int):
+        """Unpack [activations | ids | weights] (one D2H fetch) and run
+        the host expert engine."""
+        k = self.cfg.num_experts_per_tok
+        p = np.asarray(packed, np.float32)
+        n2d, idx, wts = p[:, :-2 * k], p[:, -2 * k:-k], p[:, -k:]
         out = self.offload.forward(
-            layer, np.asarray(n2d, np.float32), np.asarray(idx),
-            np.asarray(wts))
+            layer, n2d, np.rint(idx).astype(np.int32), wts)
         H = out.shape[-1]
         return jnp.asarray(out.reshape(B, 1, H), jnp.float32)
 
@@ -320,9 +332,9 @@ class OffloadEngine(Engine):
         for i, lp in enumerate(params["prefix_layers"]):
             seg = self._seg_fn(i, stacked=False)
             if self._specs[i].mlp_kind == "moe":
-                x, pendS, idx, wts, n2d, prefix_caches[i] = seg(
+                x, pendS, packed, prefix_caches[i] = seg(
                     lp, pendS, pendM, x, prefix_caches[i], 0, length)
-                pendM = self._host_moe(i, n2d, idx, wts, B)
+                pendM = self._host_moe(i, packed, B)
             else:
                 x, prefix_caches[i] = seg(
                     lp, pendS, pendM, x, prefix_caches[i], 0, length)
@@ -334,10 +346,10 @@ class OffloadEngine(Engine):
                 seg = self._seg_fn(t, stacked=True)
                 layer = info.prefix_n + r * info.period + t
                 if self._specs[layer].mlp_kind == "moe":
-                    x, pendS, idx, wts, n2d, pat_caches[t] = seg(
+                    x, pendS, packed, pat_caches[t] = seg(
                         params["pattern"][t], pendS, pendM, x,
                         pat_caches[t], ri, length)
-                    pendM = self._host_moe(layer, n2d, idx, wts, B)
+                    pendM = self._host_moe(layer, packed, B)
                 else:
                     x, pat_caches[t] = seg(
                         params["pattern"][t], pendS, pendM, x,

@@ -266,6 +266,16 @@ def make_head_fn(cfg: ModelConfig):
     return fn
 
 
+def make_head_all_fn(cfg: ModelConfig):
+    """All-position logits head (perplexity path)."""
+    def fn(params, x):
+        x = rms_norm(x, params["final_norm"], cfg.rms_norm_eps,
+                     cfg.norm_plus_one)
+        return linear(x, params["lm_head"], out_dtype=jnp.float32)
+
+    return fn
+
+
 class OffloadEngine(Engine):
     """Engine whose routed experts live in host RAM. Decode = Engine's
     host-callback path; prefill = streamed-weight pipeline (disable with
@@ -441,7 +451,24 @@ class OffloadEngine(Engine):
             return super()._prefill_prompt_once(prompt_ids)
         return self._streaming_prefill(prompt_ids)
 
-    def _streaming_prefill(self, prompt_ids):
+    def forward_all_logits(self, prompt_ids):
+        """All-position logits through the streamed prefill (perplexity
+        path for offloaded models — the resident implementation's
+        prefill graph would need the callback support this tier cannot
+        assume)."""
+        if not (self.streaming and self._info.reps):
+            return super().forward_all_logits(prompt_ids)
+        self.reset()
+        n = len(prompt_ids)
+        if not hasattr(self, "_head_all"):
+            self._head_all = jax.jit(make_head_all_fn(self.cfg))
+        _, x_all, seqs = self._streaming_prefill(prompt_ids,
+                                                 return_hidden=True)
+        outs = [np.asarray(self._head_all(self.params, x)[0])
+                for x in x_all]
+        return jnp.asarray(np.concatenate(outs, axis=0)[:n])
+
+    def _streaming_prefill(self, prompt_ids, return_hidden: bool = False):
         cfg, info = self.cfg, self._info
         n = len(prompt_ids)
         B = self.batch_size
@@ -498,4 +525,7 @@ class OffloadEngine(Engine):
             "pattern": pat_caches,
             "length": kv_len,
         }
-        return self._head(self.params, x_all[-1], seq_chunks[-1])
+        logits = self._head(self.params, x_all[-1], seq_chunks[-1])
+        if return_hidden:
+            return logits, x_all, seq_chunks
+        return logits

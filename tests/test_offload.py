@@ -235,6 +235,14 @@ def test_streaming_prefill_parity(preset, kw):
     # the streamed path compiled per-rep fns for both history buckets
     assert 0 in st._rep_fns and len(st._rep_fns) >= 2
 
+    # all-logits (perplexity path) through the streamed prefill
+    short = prompt[:64]
+    l_res = np.asarray(res.forward_all_logits(short), np.float32)
+    l_st = np.asarray(st.forward_all_logits(short), np.float32)
+    assert l_st.shape == l_res.shape
+    err = np.abs(l_res - l_st).max() / (np.abs(l_res).max() + 1e-9)
+    assert err < 3e-2, err
+
 
 def test_streaming_prefill_single_chunk_short():
     """Short prompts stream through one chunk (padded to 128)."""

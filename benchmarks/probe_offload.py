@@ -34,12 +34,22 @@ from krasis_tpu.runtime.offload_engine import OffloadEngine, callbacks_supported
 
 
 def main():
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="deepseek-v2-lite")
+    ap.add_argument("--bits", type=int, default=8)
+    ap.add_argument("--prompt", type=int, default=512)
+    ap.add_argument("--decode", type=int, default=16)
+    ap.add_argument("--max-len", type=int, default=2048)
+    args = ap.parse_args()
+
     assert jax.default_backend() == "tpu", jax.default_backend()
     print(f"[probe] backend=tpu callbacks={callbacks_supported()}",
           flush=True)
 
-    cfg = preset_config("deepseek-v2-lite")
-    quant = QuantConfig(expert_bits=8)  # the config that OOMs resident
+    cfg = preset_config(args.preset)
+    quant = QuantConfig(expert_bits=args.bits)
 
     t0 = time.time()
     store = build_synthetic_store(cfg, quant, seed=1, fill="fast")
@@ -51,28 +61,26 @@ def main():
     # device tree without experts (synthetic non-expert weights)
     params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(0),
                                    skip_experts=True)
-    eng = OffloadEngine(cfg, quant, params, store, max_len=2048)
+    eng = OffloadEngine(cfg, quant, params, store, max_len=args.max_len)
     print(f"[probe] engine up in {time.time()-t0:.1f}s "
           f"(streaming={eng.streaming} segmented={eng.segmented})",
           flush=True)
 
     rng = np.random.default_rng(0)
-    prompt = rng.integers(1, cfg.vocab_size, 512).tolist()
+    prompt = rng.integers(1, cfg.vocab_size, args.prompt).tolist()
 
     t0 = time.time()
-    r = eng.generate(prompt, max_new_tokens=16)
+    r = eng.generate(prompt, max_new_tokens=args.decode)
     cold = time.time() - t0
     print(f"[probe] cold generate: {cold:.1f}s "
           f"(prefill {r.prefill_s:.1f}s, decode {r.decode_s:.1f}s)",
           flush=True)
 
     t0 = time.time()
-    r = eng.generate(prompt, max_new_tokens=16)
-    info = pattern_info(cfg)
-    rep_bytes = store.nbytes() / len(store.layers) * info.period
+    r = eng.generate(prompt, max_new_tokens=args.decode)
     out = {
-        "metric": "v2lite_q8_offload_1chip",
-        "prefill_tokens": 512,
+        "metric": f"{args.preset}_q{args.bits}_offload_1chip",
+        "prefill_tokens": args.prompt,
         "prefill_s": round(r.prefill_s, 2),
         "prefill_tok_s": round(r.prefill_tok_s, 1),
         "decode_tokens": len(r.tokens),

@@ -444,11 +444,30 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
     )
     if offload is not None and "w13" not in lp:
         # Host-RAM experts (offload tier): routing/shared expert stay on
-        # device; the routed sublayer runs on the host.
-        return _mlp_shared(lp, x2d, cfg, gpt_oss, _offload_moe(
-            offload, x2d, routing.topk_idx, routing.topk_weights,
-            lp["_abs_layer"],
-        ))
+        # device; the routed sublayer runs on the host — except picks
+        # that hit the HBM hot-expert cache (offload.build_hot_params,
+        # the reference's HCS split: GPU-hot + CPU-cold in parallel,
+        # gpu_prefill.py:3198).
+        idx, wts = routing.topk_idx, routing.topk_weights
+        hot_out = 0.0
+        if "hot_w13" in lp:
+            remap = lp["hot_remap"]            # [E] (rep-sliced)
+            hot_local = jnp.take(remap, idx, axis=0)
+            hot_valid = hot_local >= 0
+            hot_out = moe_forward(
+                x2d, lp["hot_w13"], lp["hot_w2"],
+                jnp.where(hot_valid, hot_local, 0),
+                jnp.where(hot_valid, wts, 0.0),
+                swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+                w13_bias=lp.get("hot_w13_bias"),
+                w2_bias=lp.get("hot_w2_bias"),
+                layer_idx=lp.get("_layer_idx"), pick_valid=hot_valid,
+            )
+            idx = jnp.where(hot_valid, -1, idx)
+            wts = jnp.where(hot_valid, 0.0, wts)
+        out = hot_out + _offload_moe(offload, x2d, idx, wts,
+                                     lp["_abs_layer"])
+        return _mlp_shared(lp, x2d, cfg, gpt_oss, out)
     from ..parallel.ep import (
         ep_supported, moe_forward_ep, moe_forward_ep_local,
     )
@@ -645,7 +664,7 @@ def run_pattern_scan(
     # (dynamic-slice) copies ~the active expert bytes × layers × steps
     # — profiled as the decode bottleneck. Everything else (attention,
     # norms, gates — 100× smaller) is sliced per rep as before.
-    STACKED_KEYS = ("w13", "w2")
+    STACKED_KEYS = ("w13", "w2", "hot_w13", "hot_w2")
     # KV cache leaves get the same treatment in DECODE: carried WHOLE
     # through the scan with the layer index resolved inside the
     # attention kernel — scanning over them (xs/ys) makes XLA

@@ -35,7 +35,7 @@ import numpy as np
 from ml_dtypes import bfloat16
 
 from .config import ModelConfig, QuantConfig
-from .quant import pick_group_size
+from .quant import QTensor, pick_group_size
 
 __all__ = ["HostExpertStore", "build_synthetic_store", "store_from_params"]
 
@@ -68,6 +68,11 @@ class HostExpertStore:
         self._layers: Dict[int, Tuple] = {}
         self._handle = None
         self._lib = None
+        # expert-activation heatmap: layer -> int64 [E] hit counts
+        # (reference gpu_prefill.py:2388 heatmap collection — drives the
+        # hot-expert HBM cache, build_hot_params)
+        self.heatmap: Dict[int, np.ndarray] = {}
+        self.collect_heatmap = True
 
     # -- construction ------------------------------------------------
 
@@ -167,6 +172,13 @@ class HostExpertStore:
         topk_idx = np.ascontiguousarray(topk_idx, np.int32)
         topk_w = np.ascontiguousarray(topk_w, np.float32)
         T, k = topk_idx.shape
+        if self.collect_heatmap:
+            hm = self.heatmap.get(layer)
+            if hm is None:
+                hm = self.heatmap[layer] = np.zeros(self.E, np.int64)
+            ids = topk_idx[topk_idx >= 0]
+            if ids.size:
+                np.add.at(hm, ids, 1)
         if self._ensure_native():
             out = np.empty((T, self.H), np.float32)
             rc = self._lib.krasish_forward(
@@ -274,6 +286,105 @@ def store_from_params(
         for t, lp in enumerate(params["pattern"])
     ]
     return out, store
+
+
+def hot_expert_ids(store: HostExpertStore, layer: int, n_hot: int,
+                   heatmap: Optional[Dict[int, np.ndarray]] = None) -> np.ndarray:
+    """Top-n_hot expert ids for a layer by activation count (sorted).
+    Falls back to the first n_hot when no heatmap data exists yet."""
+    hm = (heatmap or store.heatmap).get(layer)
+    if hm is None or hm.sum() == 0:
+        return np.arange(n_hot, dtype=np.int32)
+    return np.sort(np.argsort(-hm)[:n_hot]).astype(np.int32)
+
+
+def build_hot_params(
+    cfg: ModelConfig,
+    quant: QuantConfig,
+    params: Dict,
+    store: HostExpertStore,
+    n_hot: int,
+    heatmap: Optional[Dict[int, np.ndarray]] = None,
+) -> Dict:
+    """Pin the hottest n_hot experts per MoE layer into HBM — the TPU
+    analog of the reference's HCS (hot-cached-static) decode
+    (gpu_prefill.py:2742 _init_hot_cached_static: heatmap-driven GPU-hot
+    + CPU-cold split). Adds to each MoE layer's params:
+
+    * hot_w13 / hot_w2: QTensor substacks [(reps,) n_hot, ...] (device);
+    * hot_remap: int32 [(reps,) E] — global expert id → hot slot, -1 for
+      cold (decode computes hot picks on the MXU, ships only cold picks
+      to the host engine);
+    * hot biases for GPT-OSS.
+
+    Shapes are uniform across layers, so swapping in a recalibrated hot
+    set (OffloadEngine.update_hot_cache) never recompiles."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.params import pattern_info
+
+    info = pattern_info(cfg)
+
+    def one_layer(layer: int):
+        entry = store._layers[layer]
+        w13q, w13s, w2q, w2s, b13, b2 = entry
+        ids = hot_expert_ids(store, layer, n_hot, heatmap)
+        remap = np.full(store.E, -1, np.int32)
+        remap[ids] = np.arange(n_hot, dtype=np.int32)
+        out = {
+            "hot_w13": (w13q[ids], w13s[ids]),
+            "hot_w2": (w2q[ids], w2s[ids]),
+            "hot_remap": remap,
+        }
+        if b13 is not None:
+            out["hot_w13_bias"] = b13[ids]
+        if b2 is not None:
+            out["hot_w2_bias"] = b2[ids]
+        return out
+
+    def qt(pairs, gs):
+        q = np.stack([p[0] for p in pairs])
+        s = np.stack([p[1] for p in pairs])
+        return QTensor(jnp.asarray(q), jnp.asarray(s.view(bfloat16)),
+                       store.bits, gs)
+
+    new = dict(params)
+    new["prefix_layers"] = []
+    for i, lp in enumerate(params["prefix_layers"]):
+        if i in store._layers:
+            h = one_layer(i)
+            lp = dict(lp)
+            lp["hot_w13"] = QTensor(
+                jnp.asarray(h["hot_w13"][0]),
+                jnp.asarray(h["hot_w13"][1].view(bfloat16)),
+                store.bits, store.gs13)
+            lp["hot_w2"] = QTensor(
+                jnp.asarray(h["hot_w2"][0]),
+                jnp.asarray(h["hot_w2"][1].view(bfloat16)),
+                store.bits, store.gs2)
+            lp["hot_remap"] = jnp.asarray(h["hot_remap"])
+            for bk in ("hot_w13_bias", "hot_w2_bias"):
+                if bk in h:
+                    lp[bk] = jnp.asarray(h[bk])
+        new["prefix_layers"].append(lp)
+
+    new["pattern"] = []
+    for t, lp in enumerate(params["pattern"]):
+        layers = [info.prefix_n + r * info.period + t
+                  for r in range(info.reps)]
+        if layers and all(l in store._layers for l in layers):
+            hs = [one_layer(l) for l in layers]
+            lp = dict(lp)
+            lp["hot_w13"] = qt([h["hot_w13"] for h in hs], store.gs13)
+            lp["hot_w2"] = qt([h["hot_w2"] for h in hs], store.gs2)
+            lp["hot_remap"] = jnp.asarray(
+                np.stack([h["hot_remap"] for h in hs]))
+            for bk in ("hot_w13_bias", "hot_w2_bias"):
+                if bk in hs[0]:
+                    lp[bk] = jnp.asarray(np.stack([h[bk] for h in hs]))
+        new["pattern"].append(lp)
+    return new
 
 
 def build_synthetic_store(

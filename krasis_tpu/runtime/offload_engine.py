@@ -94,6 +94,9 @@ def make_streaming_rep_fn(cfg: ModelConfig, quant: QuantConfig,
                     lambda l: jax.lax.dynamic_index_in_dim(
                         l, r, 0, keepdims=False), w)
                 for name, w in pattern_ne[t].items()
+                # hot-cache leaves are a decode feature; prefill runs the
+                # full streamed stack
+                if not name.startswith("hot_")
             }
             if experts[t] is not None:
                 lp.update(experts[t])  # w13/w2 (+biases) for THIS rep
@@ -166,10 +169,13 @@ def make_seg_layer_fn(cfg: ModelConfig, quant: QuantConfig, spec,
         valid = jnp.ones((B, 1), jnp.bool_)
         kv_len = length + 1
         if stacked:
+            # hot-expert substacks stay WHOLE (kernels index the rep
+            # in-kernel, same as the production stacked-weight rule)
             lp = {
-                name: jax.tree_util.tree_map(
-                    lambda l: jax.lax.dynamic_index_in_dim(
-                        l, r, 0, keepdims=False), w)
+                name: (w if name in ("hot_w13", "hot_w2")
+                       else jax.tree_util.tree_map(
+                           lambda l: jax.lax.dynamic_index_in_dim(
+                               l, r, 0, keepdims=False), w))
                 for name, w in stacks.items()
             }
         else:
@@ -216,6 +222,7 @@ def make_seg_layer_fn(cfg: ModelConfig, quant: QuantConfig, spec,
         routing = compute_routing(
             n2d, lp["gate_w"], cfg, lp.get("gate_bias"),
             logit_bias=lp.get("gate_logit_bias"))
+        idx, wts = routing.topk_idx, routing.topk_weights
         shared = jnp.zeros_like(x)
         if "shared_w13" in lp:
             sh = mlp_forward(n2d, lp["shared_w13"], lp["shared_w2"])
@@ -224,14 +231,35 @@ def make_seg_layer_fn(cfg: ModelConfig, quant: QuantConfig, spec,
                     linear(n2d, lp["shared_gate_w"]).astype(jnp.float32))
                 sh = sh * sg.astype(sh.dtype)
             shared = sh.reshape(B, 1, H)
+        if "hot_w13" in lp:
+            # HBM hot-expert cache (offload.build_hot_params): hot picks
+            # compute on the MXU and ride the device-resident `shared`
+            # tensor; only cold picks cross to the host.
+            from ..ops.moe import moe_forward
+
+            remap = lp["hot_remap"]
+            hot_local = jnp.take(remap, idx, axis=0)
+            hot_valid = hot_local >= 0
+            hot_out = moe_forward(
+                n2d, lp["hot_w13"], lp["hot_w2"],
+                jnp.where(hot_valid, hot_local, 0),
+                jnp.where(hot_valid, wts, 0.0),
+                swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+                w13_bias=lp.get("hot_w13_bias"),
+                w2_bias=lp.get("hot_w2_bias"),
+                layer_idx=r if stacked else None, pick_valid=hot_valid,
+            )
+            shared = shared + hot_out.reshape(B, 1, H)
+            idx = jnp.where(hot_valid, -1, idx)
+            wts = jnp.where(hot_valid, 0.0, wts)
         # Host-bound outputs packed into ONE f32 buffer: each device->host
         # fetch is a full round trip on relay backends, so
         # [activations | topk ids | topk weights] travel together.
         # (int32 ids are exact in f32 for any real expert count.)
         packed = jnp.concatenate([
             n2d.astype(jnp.float32),
-            routing.topk_idx.astype(jnp.float32),
-            routing.topk_weights.astype(jnp.float32),
+            idx.astype(jnp.float32),
+            wts.astype(jnp.float32),
         ], axis=-1)
         return x, shared, packed, new_caches
 
@@ -283,8 +311,15 @@ class OffloadEngine(Engine):
     correctness reference for tests)."""
 
     def __init__(self, cfg, quant, params, offload, streaming: bool = True,
-                 segmented: Optional[bool] = None, **kw):
+                 segmented: Optional[bool] = None, hot_experts: int = 0,
+                 **kw):
+        if hot_experts > 0:
+            from ..offload import build_hot_params
+
+            params = build_hot_params(cfg, quant, params, offload,
+                                      hot_experts)
         super().__init__(cfg, quant, params, offload=offload, **kw)
+        self.hot_experts = hot_experts
         self.streaming = streaming
         self._info = pattern_info(cfg)
         self._rep_fns: Dict[int, Any] = {}
@@ -304,6 +339,21 @@ class OffloadEngine(Engine):
         self._seg_prefix: Dict[int, Any] = {}
         self._emb = jax.jit(make_embed_fn(cfg))
         self._seg_final = jax.jit(make_seg_final_fn(cfg))
+
+    def update_hot_cache(self):
+        """Re-select the hot experts from the heatmap collected since
+        startup (store.heatmap counts COLD traffic while the cache is
+        active — calibrate with hot_experts disabled or accept drift)
+        and swap the substacks in place. Shapes are unchanged, so no
+        graph recompiles (≙ the reference's HCS calibration loop,
+        server.py:475-700)."""
+        if self.hot_experts <= 0:
+            return
+        from ..offload import build_hot_params
+
+        self.params = build_hot_params(
+            self.cfg, self.quant, self.params, self.offload,
+            self.hot_experts)
 
     # -- segmented decode (callback-free backends) ------------------------
 

@@ -305,6 +305,128 @@ def test_segmented_decode_parity(preset, kw):
     assert len(r3.tokens) == len(r4.tokens)
 
 
+# ---------------------------------------------------------------------------
+# Hot-expert HBM cache (offload.build_hot_params — the reference's HCS)
+# ---------------------------------------------------------------------------
+
+def _make_offload_pair(preset="qwen3-moe", **kw):
+    import jax
+
+    from krasis_tpu.models.params import init_synthetic_params
+    from krasis_tpu.offload import store_from_params
+
+    cfg = tiny_config(preset, **kw)
+    quant = QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(3))
+    sparams, store = store_from_params(cfg, quant, params)
+    return cfg, quant, sparams, store
+
+
+def _spy_cold(store):
+    cold = []
+    orig = store.forward
+
+    def spy(layer, x, idx, w):
+        cold.append(int((np.asarray(idx) >= 0).sum()))
+        return orig(layer, x, idx, w)
+
+    store.forward = spy
+    return cold, orig
+
+
+def test_hot_cache_all_hot_no_host_traffic():
+    """n_hot == E: every pick is served from HBM; the host engine sees
+    zero live picks; tokens match the no-cache engine exactly in the
+    streamed-prefill + hot-decode configuration."""
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg, quant, sparams, store = _make_offload_pair()
+    base = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                         max_len=256)
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+    r0 = base.generate(prompt, max_new_tokens=10)
+
+    hot = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                        max_len=256, hot_experts=cfg.n_routed_experts)
+    cold, orig = _spy_cold(store)
+    r1 = hot.generate(prompt, max_new_tokens=10)
+    store.forward = orig
+    assert sum(cold) == 0
+    assert r1.tokens == r0.tokens
+
+
+def test_hot_cache_partial_split():
+    """Partial cache: cold traffic shrinks but stays nonzero; callback
+    and segmented decode agree token-for-token; heatmap collected."""
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg, quant, sparams, store = _make_offload_pair()
+    prompt = [3, 1, 4, 1, 5, 9, 2, 6]
+
+    part = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                         max_len=256, hot_experts=4)
+    cold, orig = _spy_cold(store)
+    r1 = part.generate(prompt, max_new_tokens=10)
+    store.forward = orig
+    assert 0 < sum(cold)
+
+    seg = OffloadEngine(cfg, quant, sparams, store, segmented=True,
+                        max_len=256, hot_experts=4)
+    r2 = seg.generate(prompt, max_new_tokens=10)
+    assert r1.tokens == r2.tokens
+
+    assert store.heatmap and all(
+        hm.sum() > 0 for hm in store.heatmap.values())
+
+
+def test_hot_cache_heatmap_selection_and_update():
+    """hot_expert_ids picks the top-count experts; update_hot_cache
+    swaps substacks without changing shapes."""
+    import jax
+
+    from krasis_tpu.offload import hot_expert_ids
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg, quant, sparams, store = _make_offload_pair()
+    layer = store.layers[0]
+    store.heatmap[layer] = np.array([0, 9, 1, 8, 0, 7, 0, 2], np.int64)
+    ids = hot_expert_ids(store, layer, 3)
+    assert ids.tolist() == [1, 3, 5]
+    # no data -> first n
+    store.heatmap.pop(layer)
+    assert hot_expert_ids(store, layer, 3).tolist() == [0, 1, 2]
+
+    eng = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                        max_len=256, hot_experts=4)
+    shapes = jax.tree_util.tree_map(
+        lambda l: getattr(l, "shape", None), eng.params)
+    eng.generate([3, 1, 4], max_new_tokens=4)   # collect heatmap
+    eng.update_hot_cache()
+    shapes2 = jax.tree_util.tree_map(
+        lambda l: getattr(l, "shape", None), eng.params)
+    assert shapes == shapes2
+    r = eng.generate([3, 1, 4], max_new_tokens=4)
+    assert len(r.tokens) == 4
+
+
+def test_hot_cache_gpt_oss_biases():
+    """GPT-OSS per-expert biases ride the hot substack."""
+    from krasis_tpu.runtime.offload_engine import OffloadEngine
+
+    cfg, quant, sparams, store = _make_offload_pair(
+        "gpt-oss-20b", num_hidden_layers=4, head_dim=32)
+    eng = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                        max_len=256, hot_experts=4)
+    lp = eng.params["pattern"][0]
+    assert "hot_w13_bias" in lp and "hot_w2_bias" in lp
+    base = OffloadEngine(cfg, quant, sparams, store, segmented=False,
+                         max_len=256)
+    prompt = [3, 1, 4, 1, 5]
+    r0 = base.generate(prompt, max_new_tokens=8)
+    r1 = eng.generate(prompt, max_new_tokens=8)
+    assert len(r0.tokens) == len(r1.tokens)
+
+
 def test_store_nbytes_and_layers():
     cfg = tiny_config("deepseek-v2-lite", **MLA_KW)
     store = build_synthetic_store(cfg, QuantConfig(), seed=0)

@@ -137,6 +137,8 @@ SETTINGS = [
      "--expert-activation"),
     ("offload", "expert offload (none/experts=host RAM)", "none",
      "--offload"),
+    ("hot_experts", "offload: hot experts pinned in HBM", "0",
+     "--hot-experts"),
     ("max_len", "max context length", "4096", "--max-len"),
     ("slots", "batching slots (0 = single)", "0", "--slots"),
     ("decode_block", "decode block (tokens/device call)", "8",

@@ -657,6 +657,10 @@ def main():
                     help="HTTP transport: C++ epoll server or stdlib")
     ap.add_argument("--note", default=None,
                     help="run note written to the top of the log file")
+    ap.add_argument("--hot-experts", type=int, default=0, metavar="N",
+                    help="offload mode: pin the N hottest experts per MoE "
+                         "layer in HBM (heatmap-driven; host serves only "
+                         "cold picks — the reference's HCS split)")
     ap.add_argument("--offload", default="none",
                     choices=("none", "experts"),
                     help="experts: keep routed expert weights in HOST RAM "
@@ -727,7 +731,8 @@ def main():
             params = init_synthetic_params(
                 cfg, quant, _jax.random.PRNGKey(0), skip_experts=True)
             engine = OffloadEngine(cfg, quant, params, store,
-                                   max_len=args.max_len)
+                                   max_len=args.max_len,
+                                   hot_experts=args.hot_experts)
         else:
             engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
                                             mesh=mesh)
@@ -745,7 +750,8 @@ def main():
 
             params, store = load_params_offload(cfg, quant)
             engine = OffloadEngine(cfg, quant, params, store,
-                                   max_len=args.max_len)
+                                   max_len=args.max_len,
+                                   hot_experts=args.hot_experts)
         else:
             params = load_params(cfg, quant)
             if mesh is not None:

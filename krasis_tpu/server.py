@@ -661,13 +661,15 @@ def main():
                     help="offload mode: pin the N hottest experts per MoE "
                          "layer in HBM (heatmap-driven; host serves only "
                          "cold picks — the reference's HCS split)")
-    ap.add_argument("--offload", default="none",
-                    choices=("none", "experts"),
+    ap.add_argument("--offload", default="auto",
+                    choices=("auto", "none", "experts"),
                     help="experts: keep routed expert weights in HOST RAM "
                          "(serve models whose experts exceed HBM; prefill "
                          "streams weights per layer group, decode computes "
                          "experts on the host — the reference's big-model "
-                         "capability, README.md:3-23)")
+                         "capability, README.md:3-23). auto (default): "
+                         "resident when the model fits HBM, experts "
+                         "otherwise")
     ap.add_argument("--no-warmup", action="store_true",
                     help="skip the pre-serve compile warmup")
     ap.add_argument("--min-free-ram-gb", type=float, default=2.0,
@@ -708,6 +710,28 @@ def main():
         mesh = make_mesh(dp * ep, dp=dp)
 
     offload = args.offload == "experts"
+    if args.offload == "auto" and mesh is None and args.slots == 0:
+        # pick the tier by fit: resident when HBM holds the model
+        from .budget import compute_budget
+        from .syscheck import device_report
+
+        acfg = (preset_config(args.synthetic) if args.synthetic
+                and args.synthetic != "tiny"
+                else None if args.synthetic
+                else ModelConfig.from_model_path(args.model))
+        if acfg is not None:
+            b = compute_budget(acfg, make_quant())
+            rep = device_report()
+            hbm = max((int(d.get("hbm_limit_gb", 0) * (1 << 30))
+                       for d in rep.get("devices", [])), default=0)                 or (16 << 30)
+            if b.per_chip(max(rep.get("n_devices", 1), 1)) > hbm * 0.92:
+                offload = True
+                logging.getLogger("krasis_tpu.server").warning(
+                    "model does not fit HBM resident "
+                    "(%.1f GiB > %.1f GiB usable) — enabling "
+                    "--offload experts automatically",
+                    b.per_chip(max(rep.get("n_devices", 1), 1)) / 2**30,
+                    hbm * 0.92 / 2**30)
     if offload and (mesh is not None or args.slots > 0):
         ap.error("--offload experts is single-chip/single-engine for now "
                  "(no --mesh / --slots)")

@@ -118,6 +118,7 @@ class BatchScheduler:
         num_slots: int = 4,
         mesh=None,
         decode_block: int = 8,
+        offload=None,
     ):
         self.cfg = cfg
         self.quant = quant = resolve_kv_quant(cfg, quant, num_slots, max_len)
@@ -126,8 +127,24 @@ class BatchScheduler:
         self.num_slots = num_slots
         self.mesh = mesh
         self.decode_block = max(1, decode_block)
+        # Host-RAM expert offload: MoE layers call the host engine from
+        # inside the jitted graphs (models/model.py _offload_moe) — the
+        # continuous-batching upgrade of the reference's CPU-decode
+        # serving. Requires a PJRT with host-callback support (standard
+        # TPU/CPU; NOT the axon relay — use the single-request
+        # OffloadEngine's segmented decode there).
+        self.offload = offload
+        if offload is not None:
+            from .offload_engine import callbacks_supported
 
-        prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant, mesh=mesh)
+            if not callbacks_supported():
+                raise RuntimeError(
+                    "continuous batching with --offload experts needs a "
+                    "backend with host-callback support; this PJRT has "
+                    "none (run without --slots for segmented decode)")
+
+        prefill_fn, decode_fn, _ = make_forward_fns(cfg, quant, mesh=mesh,
+                                                    offload=offload)
         self._prefill = jax.jit(prefill_fn, donate_argnums=(3,))
         self._decode = jax.jit(decode_fn, donate_argnums=(2,))
         self._insert = jax.jit(insert_slot, donate_argnums=(0,))
@@ -137,7 +154,7 @@ class BatchScheduler:
         # trip per step); per-slot sampling params stay vectorized
         self._decode_sample = jax.jit(
             make_multi_decode_batched_fn(cfg, quant, self.decode_block,
-                                         mesh=mesh),
+                                         mesh=mesh, offload=offload),
             donate_argnums=(2,),
         )
         self._chunk_fns = {}
@@ -152,6 +169,8 @@ class BatchScheduler:
         from ..models.mtp import spec_config
 
         self.spec_mode, self.spec_k = spec_config(cfg, params)
+        if offload is not None:
+            self.spec_mode = None  # spec graphs don't carry the callback
         self.spec = self.spec_mode == "mtp"   # MTP-module machinery
         if self.spec_mode == "ngram":
             import os
@@ -256,7 +275,7 @@ class BatchScheduler:
         if hist_bucket not in self._chunk_fns:
             self._chunk_fns[hist_bucket] = jax.jit(
                 make_chunk_prefill_fn(self.cfg, self.quant, hist_bucket,
-                                      mesh=self.mesh),
+                                      mesh=self.mesh, offload=self.offload),
                 donate_argnums=(3,),
             )
         return self._chunk_fns[hist_bucket]

@@ -732,9 +732,15 @@ def main():
                     "--offload experts automatically",
                     b.per_chip(max(rep.get("n_devices", 1), 1)) / 2**30,
                     hbm * 0.92 / 2**30)
-    if offload and (mesh is not None or args.slots > 0):
-        ap.error("--offload experts is single-chip/single-engine for now "
-                 "(no --mesh / --slots)")
+    if offload and mesh is not None:
+        ap.error("--offload experts is single-chip for now (no --mesh)")
+    if offload and args.slots > 0:
+        from .runtime.offload_engine import callbacks_supported
+
+        if not callbacks_supported():
+            ap.error("--offload experts with --slots needs a backend with "
+                     "host-callback support (this PJRT has none); drop "
+                     "--slots for segmented decode")
 
     if args.synthetic:
         from .models.synthetic import build_synthetic_engine, tiny_config
@@ -804,9 +810,10 @@ def main():
     sched = None
     if args.slots > 0:
         from .runtime.scheduler import BatchScheduler
-        sched = BatchScheduler(cfg, quant, params,
+        sched = BatchScheduler(cfg, quant, engine.params,
                                max_len=args.max_len, num_slots=args.slots,
-                               decode_block=args.decode_block, mesh=mesh)
+                               decode_block=args.decode_block, mesh=mesh,
+                               offload=getattr(engine, "offload", None))
     if not args.no_warmup:
         warmup(engine, sched)
     run_server(engine, tok, name, args.host, args.port, scheduler=sched,

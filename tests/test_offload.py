@@ -427,6 +427,51 @@ def test_hot_cache_gpt_oss_biases():
     assert len(r0.tokens) == len(r1.tokens)
 
 
+def test_scheduler_offload_parity():
+    """Continuous batching over a host-expert model (callback backends):
+    the offloaded scheduler emits the same greedy tokens as the resident
+    one, and serves concurrent requests."""
+    import jax
+
+    from krasis_tpu.models.params import init_synthetic_params
+    from krasis_tpu.offload import store_from_params
+    from krasis_tpu.ops.sampling import SamplingParams
+    from krasis_tpu.runtime.scheduler import BatchScheduler
+
+    cfg = tiny_config("qwen3-moe")
+    quant = QuantConfig()
+    params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(3))
+    sparams, store = store_from_params(cfg, quant, params)
+
+    res = BatchScheduler(cfg, quant, params, max_len=256, num_slots=2,
+                         decode_block=4)
+    off = BatchScheduler(cfg, quant, sparams, max_len=256, num_slots=2,
+                         decode_block=4, offload=store)
+
+    def drain(req):
+        out = []
+        while True:
+            t = req.out_queue.get(timeout=120)
+            if t is None:
+                break
+            out.append(t)
+        return out
+
+    greedy = SamplingParams(temperature=0.0)
+    try:
+        o_res = drain(res.submit([3, 1, 4, 1, 5], max_new_tokens=8,
+                                 sampling=greedy))
+        o_off = drain(off.submit([3, 1, 4, 1, 5], max_new_tokens=8,
+                                 sampling=greedy))
+        assert o_res == o_off
+        r1 = off.submit([2, 7, 1], max_new_tokens=6, sampling=greedy)
+        r2 = off.submit([9, 9, 8, 2], max_new_tokens=6, sampling=greedy)
+        assert len(drain(r1)) == 6 and len(drain(r2)) == 6
+    finally:
+        res.shutdown()
+        off.shutdown()
+
+
 def test_store_nbytes_and_layers():
     cfg = tiny_config("deepseek-v2-lite", **MLA_KW)
     store = build_synthetic_store(cfg, QuantConfig(), seed=0)

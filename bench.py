@@ -24,6 +24,9 @@ def main() -> int:
     ap.add_argument("--prefill-tokens", type=int, default=2048)
     ap.add_argument("--decode-tokens", type=int, default=64)
     ap.add_argument("--max-len", type=int, default=4096)
+    ap.add_argument("--runs", type=int, default=5,
+                    help="timed repeats; median is the headline, IQR is "
+                         "the dispersion (the relay is noisy)")
     args = ap.parse_args()
 
     import numpy as np
@@ -61,19 +64,36 @@ def main() -> int:
     rng = np.random.default_rng(0)
     prompt = rng.integers(100, cfg.vocab_size - 100, size=prefill_tokens).tolist()
 
-    # warmup at the FULL measured length (compiles prefill buckets, chunk
-    # fns, and the decode block — first-call timings are compile-bound)
+    # warmup at the EXACT timed configuration (same prompt length, same
+    # max_new_tokens): prefill buckets, chunk fns, decode block AND the
+    # cache-length bucket are all specialized — warming a different
+    # shape leaves a compile inside the first timed run
     t0 = time.time()
-    eng.generate(prompt, max_new_tokens=3,
+    eng.generate(prompt, max_new_tokens=args.decode_tokens,
                  sampling=SamplingParams(temperature=0.0), stop_ids={-1})
     print(f"[bench] warmup (compile) in {time.time() - t0:.1f}s", file=sys.stderr)
 
-    res = eng.generate(
-        prompt, max_new_tokens=args.decode_tokens,
-        sampling=SamplingParams(temperature=0.0), stop_ids={-1},
-    )
-    decode_tok_s = res.decode_tok_s
-    prefill_tok_s = res.prefill_tok_s
+    # variance-controlled protocol: the warmup above compiled every
+    # program the timed runs touch (same prompt, same lengths); each
+    # timed repeat is identical, so dispersion = relay/hardware noise.
+    # Headline = median, IQR recorded so cross-round comparisons can
+    # tell a regression from tunnel jitter.
+    decode_runs, prefill_runs = [], []
+    for _ in range(max(1, args.runs)):
+        res = eng.generate(
+            prompt, max_new_tokens=args.decode_tokens,
+            sampling=SamplingParams(temperature=0.0), stop_ids={-1},
+        )
+        decode_runs.append(res.decode_tok_s)
+        prefill_runs.append(res.prefill_tok_s)
+
+    def med_iqr(xs):
+        a = np.asarray(xs, np.float64)
+        return (float(np.median(a)),
+                float(np.percentile(a, 75) - np.percentile(a, 25)))
+
+    decode_tok_s, decode_iqr = med_iqr(decode_runs)
+    prefill_tok_s, prefill_iqr = med_iqr(prefill_runs)
 
     print(json.dumps({
         "metric": metric,
@@ -81,7 +101,10 @@ def main() -> int:
         "unit": "tok/s",
         "vs_baseline": round(decode_tok_s / baseline_decode, 3),
         "extra": {
+            "decode_iqr": round(decode_iqr, 2),
+            "decode_runs": [round(r, 2) for r in decode_runs],
             "prefill_tok_s": round(prefill_tok_s, 1),
+            "prefill_iqr": round(prefill_iqr, 1),
             "prefill_tokens": prefill_tokens,
             "decode_tokens": len(res.tokens),
         },

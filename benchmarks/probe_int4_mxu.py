@@ -13,9 +13,10 @@ Isolates, at V2-Lite expert shapes (H=2048, I=1408, gs=128):
   E. unpack ops  — cheaper VPU unpack variants (shift sign-extend vs
                    mask-xor-sub).
 
-Timing protocol: each variant runs ITERS times inside one jitted
-fori_loop with a data dependency (x feeds from the previous output) so
-the relay's ~28 ms dispatch cost is paid once per measurement.
+Timing protocol: each variant queues ITERS independent async dispatches
+of the same args and blocks once at the end (see timed()): the queue
+drains at kernel speed, so per-iter time approaches on-chip kernel time
+while the relay's ~28 ms dispatch cost amortizes across the queue.
 """
 from __future__ import annotations
 
@@ -52,7 +53,13 @@ x0 = jax.random.normal(key, (T, H), jnp.bfloat16)
 idx = jnp.arange(K_TOP, dtype=jnp.int32)[None, :] * 3  # spread experts
 wts = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
 
-PICK_BYTES = w13.q.shape[-2] * w13.q.shape[-1] + w2.q.shape[-2] * w2.q.shape[-1]
+# bytes one expert pick streams: packed int4 weights + bf16 group scales
+# (kernels in sections B/C read both)
+PICK_BYTES = (
+    w13.q.shape[-2] * w13.q.shape[-1] + w2.q.shape[-2] * w2.q.shape[-1]
+    + 2 * (w13.scales.shape[-2] * w13.scales.shape[-1]
+           + w2.scales.shape[-2] * w2.scales.shape[-1])
+)
 
 
 def timed(name, fn, *args, bytes_per_iter=None):
@@ -173,9 +180,10 @@ def try_int4_pallas_cast():
 
 
 def _bitcast_kernel(q_ref, o_ref):
+    # write a full (1, 2) block so a scalar-store limitation can't
+    # masquerade as a bitcast failure
     w4 = pltpu.bitcast(q_ref[:], jnp.int4)
-    o_ref[0, 0] = jnp.int32(w4.shape[0])
-    o_ref[0, 1] = jnp.int32(w4.shape[1])
+    o_ref[:] = jnp.array([[w4.shape[0], w4.shape[1]]], jnp.int32)
 
 
 def try_bitcast():

@@ -19,8 +19,31 @@ from typing import Dict, List, Optional
 import numpy as np
 
 PREFILL_LENGTHS = (20_000, 35_000, 50_000)   # reference benchmark.py:43
-DECODE_RUNS = 3
+DECODE_RUNS = 5
 DECODE_TOKENS = 64
+
+
+def robust_stats(xs: List[float]) -> Dict:
+    """Median + IQR dispersion for a run series, with outlier flagging.
+
+    The relay/tunnel to the chip is noisy (round-3 saw the same kernel
+    measure 2.4 vs 4.0 ms in consecutive runs) and a first run that hits
+    an uncompiled program is silently slow — so every reported number
+    carries its dispersion, and runs outside median ± 1.5*IQR are listed
+    in `flagged` instead of silently averaged in (the round-3
+    25/72/73-tok/s mean-of-compile bug)."""
+    a = np.asarray(xs, np.float64)
+    med = float(np.median(a))
+    q1, q3 = float(np.percentile(a, 25)), float(np.percentile(a, 75))
+    iqr = q3 - q1
+    lo, hi = med - 1.5 * iqr, med + 1.5 * iqr
+    flagged = [i for i, v in enumerate(a) if not (lo <= v <= hi)]
+    return {
+        "median": round(med, 2),
+        "iqr": round(iqr, 2),
+        "runs": [round(float(v), 2) for v in a],
+        "flagged_runs": flagged,
+    }
 
 
 def _system_info() -> Dict:
@@ -88,17 +111,31 @@ def run_engine_benchmark(
             "domain": dom,
         }
 
-    decode_rates = []
+    # decode warm run at the EXACT timed configuration: the decode
+    # programs are specialized on cache length, so the 50K-context
+    # warmup above does NOT warm the 2048-context decode path (round-3
+    # leak: first decode run measured 25 tok/s against 72/73 after —
+    # a compile inside the timing window).
     n_ctx = min(2048, engine.max_len // 2)
+    engine.generate(make_prompt(n_ctx, corpus.WARMUP_DOMAIN),
+                    max_new_tokens=decode_tokens,
+                    sampling=greedy, stop_ids={-1})
+
+    decode_rates = []
     for r in range(decode_runs):
         dom = domains[(r + len(prefill_lengths)) % len(domains)]
         res = engine.generate(make_prompt(n_ctx, dom),
                               max_new_tokens=decode_tokens,
                               sampling=greedy, stop_ids={-1})
         decode_rates.append(res.decode_tok_s)
+    stats = robust_stats(decode_rates)
     results["decode"] = {
+        "tok_s_median": stats["median"],
+        "tok_s_iqr": stats["iqr"],
+        "tok_s_runs": stats["runs"],
+        "flagged_runs": stats["flagged_runs"],
+        # kept for older report readers; median is the headline
         "tok_s_mean": round(float(np.mean(decode_rates)), 2),
-        "tok_s_runs": [round(r, 2) for r in decode_rates],
         "context": n_ctx,
         "tokens_per_run": decode_tokens,
     }

@@ -1,0 +1,459 @@
+"""Quality certification matrix: PPL deltas per quantization mode.
+
+The reference certifies every precision decision with measured perplexity
+(reference perplexity/results/*.json; ADVANCED.md:30-47 — GPU attention
+INT8 was *disabled* after a PPL regression, reference config.py:209).
+This box has no real checkpoint and no egress, so the anchor is the
+closest honest substitute: a tiny Qwen3-MoE checkpoint in REAL HF format
+(config.json + safetensors + a BPE tokenizer actually trained on the
+bundled corpus) that is itself TRAINED on held-in domains of the corpus
+until it has genuine predictive structure — so quantization noise moves
+held-out PPL the way it does on a real model, instead of being invisible
+against random-weight entropy.
+
+Every mode is then measured through the PRODUCTION path — ModelConfig →
+models/loader.load_params (quantizing exactly as serving does) →
+Engine.forward_all_logits → perplexity.evaluate_perplexity — at two
+window/stride shapes, on held-out domains the model never saw:
+
+    bf16        full-precision baseline
+    q8          INT8 experts (+ int8 lm_head/shared/dense defaults)
+    q4          INT4 experts (the production default)
+    q4-w4a8     INT4 experts with INT8 activations (MXU int8xint8 path)
+    q4-attn-int8/int4   quantized attention projections over q4
+    q4-kvfp8    fp8-e4m3 KV cache over q4
+    q4-offload  host-RAM expert tier (offload.py + native/hostmoe.cpp)
+
+plus exactness rows for the speculative decode modes (greedy tokens must
+be IDENTICAL with spec on/off — stronger than any PPL bound).
+
+Accept thresholds (relative PPL increase) follow the reference's
+decision style: a mode is production-default material only if its PPL
+cost is small against the precision step it buys. Incremental modes
+(w4a8 / attn quant / fp8 KV / offload) are judged against q4, their
+base configuration, not against bf16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+VOCAB = 2048
+TRAIN_DOMAINS = ("code", "docs", "headers", "catalog")
+EVAL_DOMAINS = ("legal", "dialogue")
+
+CHAT_TEMPLATE = (
+    "{% for message in messages %}"
+    "{{ '<|' + message['role'] + '|>' + message['content'] }}"
+    "{% endfor %}"
+    "{% if add_generation_prompt %}{{ '<|assistant|>' }}{% endif %}"
+)
+
+# mode -> (base mode it's judged against, max accepted relative PPL
+# increase). Rationale: q8 should be quality-free (reference ships INT8
+# as its conservative mode); q4 is the production default and carries
+# the reference's own Q4-vs-BF16 budget; incremental modes must not add
+# more noise than a fraction of the q4 step itself; offload runs the
+# SAME quantized weights through the host engine, so anything beyond
+# float-accumulation jitter is a bug.
+THRESHOLDS: Dict[str, Tuple[Optional[str], float]] = {
+    "bf16": (None, 0.0),
+    "q8": ("bf16", 0.005),
+    "q4": ("bf16", 0.02),
+    "q4-w4a8": ("q4", 0.01),
+    "q4-attn-int8": ("q4", 0.005),
+    "q4-attn-int4": ("q4", 0.02),
+    "q4-kvfp8": ("q4", 0.005),
+    "q4-offload": ("q4", 0.003),
+}
+
+
+def _quant_for(mode: str, group_size: int):
+    from .config import QuantConfig
+
+    base = dict(group_size=group_size, kv_cache_dtype="bf16")
+    if mode == "bf16":
+        return QuantConfig(expert_bits=16, lm_head="bf16", attention="bf16",
+                           shared_expert="bf16", dense_mlp="bf16", **base)
+    if mode == "q8":
+        return QuantConfig(expert_bits=8, **base)
+    if mode in ("q4", "q4-offload"):
+        return QuantConfig(expert_bits=4, **base)
+    if mode == "q4-w4a8":
+        return QuantConfig(expert_bits=4, expert_activation="int8", **base)
+    if mode == "q4-attn-int8":
+        return QuantConfig(expert_bits=4, attention="int8", **base)
+    if mode == "q4-attn-int4":
+        return QuantConfig(expert_bits=4, attention="int4", **base)
+    if mode == "q4-kvfp8":
+        base["kv_cache_dtype"] = "fp8"
+        return QuantConfig(expert_bits=4, **base)
+    raise ValueError(f"unknown mode {mode}")
+
+
+# --------------------------------------------------------------------------
+# Trained tiny checkpoint (cached under $KRASIS_TPU_HOME/quality/)
+# --------------------------------------------------------------------------
+
+def _home() -> str:
+    return os.environ.get("KRASIS_TPU_HOME",
+                          os.path.expanduser("~/.krasis_tpu"))
+
+
+def build_quality_checkpoint(
+    steps: int = 600,
+    seed: int = 0,
+    hidden: int = 256,
+    layers: int = 4,
+    experts: int = 8,
+    top_k: int = 2,
+    moe_intermediate: int = 128,
+    batch: int = 8,
+    seq: int = 256,
+    lr: float = 3e-3,
+    out_dir: Optional[str] = None,
+    force: bool = False,
+    log_every: int = 50,
+) -> str:
+    """Train the tokenizer AND the tiny model; save as a real HF
+    checkpoint. Cached: a finished build (meta.json present) is reused.
+
+    Returns the checkpoint directory path.
+    """
+    import torch
+
+    key = (f"qw3moe-h{hidden}l{layers}e{experts}k{top_k}"
+           f"m{moe_intermediate}-v{VOCAB}-s{steps}-b{batch}x{seq}"
+           f"-lr{lr:g}-seed{seed}-v1")
+    out = out_dir or os.path.join(_home(), "quality", key)
+    meta_path = os.path.join(out, "meta.json")
+    if os.path.exists(meta_path) and not force:
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    from tokenizers import Tokenizer as RawTok
+    from tokenizers.models import BPE
+    from tokenizers.trainers import BpeTrainer
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+    from transformers import (PreTrainedTokenizerFast, Qwen3MoeConfig,
+                              Qwen3MoeForCausalLM)
+
+    from .prompts import load_domain
+
+    train_text = "\n\n".join(load_domain(d) for d in TRAIN_DOMAINS)
+
+    raw = RawTok(BPE(unk_token=None))
+    raw.pre_tokenizer = ByteLevel(add_prefix_space=False)
+    raw.decoder = ByteLevelDecoder()
+    trainer = BpeTrainer(
+        vocab_size=VOCAB - 4, show_progress=False,
+        special_tokens=["<|endoftext|>", "<|user|>", "<|assistant|>",
+                        "<|system|>"],
+        initial_alphabet=ByteLevel.alphabet(),
+    )
+    raw.train_from_iterator(
+        [train_text[i:i + 8192] for i in range(0, len(train_text), 8192)],
+        trainer)
+    tok = PreTrainedTokenizerFast(
+        tokenizer_object=raw,
+        eos_token="<|endoftext|>", pad_token="<|endoftext|>",
+        chat_template=CHAT_TEMPLATE,
+    )
+    tok.save_pretrained(out)
+
+    torch.manual_seed(seed)
+    hf_cfg = Qwen3MoeConfig(
+        vocab_size=VOCAB, hidden_size=hidden, intermediate_size=2 * hidden,
+        moe_intermediate_size=moe_intermediate, num_hidden_layers=layers,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=64,
+        num_experts=experts, num_experts_per_tok=top_k,
+        decoder_sparse_step=1, max_position_embeddings=4096,
+        eos_token_id=tok.eos_token_id,
+        # keep the router trained (load-balance aux loss) so experts
+        # differentiate instead of collapsing onto one
+        output_router_logits=True, router_aux_loss_coef=0.01,
+    )
+    model = Qwen3MoeForCausalLM(hf_cfg)
+    model.train()
+
+    ids = np.asarray(tok(train_text)["input_ids"], np.int64)
+    rng = np.random.default_rng(seed)
+    opt = torch.optim.AdamW(model.parameters(), lr=lr, weight_decay=0.01)
+    warmup = max(1, steps // 20)
+    sched = torch.optim.lr_scheduler.LambdaLR(
+        opt, lambda s: min(1.0, (s + 1) / warmup)
+        * 0.5 * (1 + math.cos(math.pi * min(1.0, s / max(1, steps)))))
+
+    t0 = time.time()
+    losses: List[float] = []
+    for step in range(steps):
+        starts = rng.integers(0, len(ids) - seq - 1, size=batch)
+        x = np.stack([ids[s:s + seq] for s in starts])
+        batch_t = torch.from_numpy(x)
+        # HF causal-LM shifts labels internally: labels == input_ids
+        res = model(input_ids=batch_t, labels=batch_t)
+        opt.zero_grad()
+        res.loss.backward()
+        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+        opt.step()
+        sched.step()
+        losses.append(float(res.loss))
+        if log_every and (step + 1) % log_every == 0:
+            print(f"[quality-train] step {step + 1}/{steps} "
+                  f"loss={np.mean(losses[-log_every:]):.4f} "
+                  f"({time.time() - t0:.0f}s)", flush=True)
+
+    model.eval()
+    # held-out sanity: PPL on eval domains through the torch model
+    with torch.no_grad():
+        ev = np.asarray(
+            tok(load_domain(EVAL_DOMAINS[0])[:40_000])["input_ids"],
+            np.int64)[:2048]
+        t = torch.from_numpy(ev)[None]
+        nll = torch.nn.functional.cross_entropy(
+            model(input_ids=t).logits[0, :-1].float(), t[0, 1:])
+        holdout_ppl = float(torch.exp(nll))
+
+    # output_router_logits is a TRAINING switch; a served checkpoint
+    # must not ask the runtime for router logits
+    model.config.output_router_logits = False
+    model.save_pretrained(out, safe_serialization=True)
+    meta = {
+        "key": key, "steps": steps, "seed": seed,
+        "final_train_loss": float(np.mean(losses[-20:])),
+        "holdout_ppl_torch": holdout_ppl,
+        "train_domains": TRAIN_DOMAINS, "eval_domains": EVAL_DOMAINS,
+        "train_tokens": int(len(ids)), "elapsed_s": round(time.time() - t0, 1),
+    }
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"[quality-train] done: train-loss {meta['final_train_loss']:.3f} "
+          f"holdout-ppl {holdout_ppl:.2f} in {meta['elapsed_s']}s", flush=True)
+    return out
+
+
+# --------------------------------------------------------------------------
+# Matrix runner
+# --------------------------------------------------------------------------
+
+def _eval_tokens(ckpt: str, max_tokens: int) -> List[int]:
+    from .prompts import load_domain
+    from .runtime.tokenizer import Tokenizer
+
+    tok = Tokenizer(ckpt)
+    text = "\n\n".join(load_domain(d) for d in EVAL_DOMAINS)
+    return tok.encode(text)[:max_tokens]
+
+
+def _build_engine(ckpt: str, mode: str, group_size: int, max_len: int):
+    import jax.numpy as jnp
+
+    from .config import ModelConfig
+    from .models.loader import load_params
+    from .runtime.engine import Engine
+
+    cfg = ModelConfig.from_model_path(ckpt)
+    quant = _quant_for(mode, group_size)
+    dtype = jnp.float32 if mode == "bf16" else jnp.bfloat16
+    params = load_params(cfg, quant, dtype=dtype)
+    if mode == "q4-offload":
+        from .offload import store_from_params
+        from .runtime.offload_engine import OffloadEngine
+
+        dev_params, store = store_from_params(cfg, quant, params)
+        return OffloadEngine(cfg, quant, dev_params, store, max_len=max_len)
+    return Engine(cfg, quant, params, max_len=max_len)
+
+
+def run_matrix(
+    ckpt: str,
+    modes: Sequence[str] = tuple(THRESHOLDS),
+    shapes: Sequence[Tuple[int, int]] = ((512, 256), (256, 128)),
+    max_tokens: int = 30_000,
+    group_size: int = 128,
+    spec_checks: bool = True,
+) -> Dict:
+    """PPL for every mode at every (window, stride) shape + spec-decode
+    exactness rows. Returns the full results dict (see write_markdown)."""
+    from .perplexity import evaluate_perplexity
+
+    ids = _eval_tokens(ckpt, max_tokens)
+    max_len = max(w for w, _ in shapes)
+    rows: Dict[str, Dict] = {}
+    for mode in modes:
+        eng = _build_engine(ckpt, mode, group_size, max_len)
+        entry: Dict = {"shapes": {}}
+        for window, stride in shapes:
+            t0 = time.time()
+            r = evaluate_perplexity(eng, ids, window=window, stride=stride,
+                                    log_every=0)
+            entry["shapes"][f"{window}/{stride}"] = {
+                "ppl": round(r["ppl"], 4),
+                "tokens_scored": r["tokens_scored"],
+                "elapsed_s": round(time.time() - t0, 1),
+            }
+            print(f"[quality] {mode:14s} w{window}/s{stride}: "
+                  f"ppl={r['ppl']:.4f} ({r['tokens_scored']} tok, "
+                  f"{time.time() - t0:.0f}s)", flush=True)
+        rows[mode] = entry
+        del eng
+
+    # deltas + verdicts
+    for mode, entry in rows.items():
+        base_mode, tol = THRESHOLDS.get(mode, ("bf16", 0.02))
+        if base_mode is None or base_mode not in rows:
+            entry["verdict"] = "baseline"
+            continue
+        deltas = []
+        for shp, r in entry["shapes"].items():
+            base_ppl = rows[base_mode]["shapes"][shp]["ppl"]
+            d = r["ppl"] / base_ppl - 1.0
+            r["delta_vs_" + base_mode] = round(d, 5)
+            deltas.append(d)
+        worst = max(deltas)
+        entry["base"] = base_mode
+        entry["tolerance"] = tol
+        entry["worst_delta"] = round(worst, 5)
+        entry["verdict"] = "accept" if worst <= tol else "REJECT"
+
+    out: Dict = {"checkpoint": ckpt, "eval_tokens": len(ids),
+                 "group_size": group_size, "modes": rows}
+    meta_path = os.path.join(ckpt, "meta.json")
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            out["checkpoint_meta"] = json.load(f)
+
+    if spec_checks:
+        out["spec"] = run_spec_exactness(ckpt, group_size)
+    return out
+
+
+def run_spec_exactness(ckpt: str, group_size: int = 128,
+                       n_tokens: int = 48) -> Dict:
+    """Greedy tokens with speculative decoding ON must equal vanilla
+    greedy tokens — exactness, the strongest possible quality statement
+    (a PPL delta of exactly 0 by construction). Covers ngram
+    (prompt-lookup) spec on the trained checkpoint; MTP exactness is
+    proven the same way on synthetic weights in tests/test_mtp.py (the
+    tiny HF checkpoint has no MTP head to load)."""
+    from .ops.sampling import SamplingParams
+    from .runtime.tokenizer import Tokenizer
+
+    tok = Tokenizer(ckpt)
+    prompts = [
+        tok.apply_chat_template([{"role": "user", "content": p}])
+        for p in ("Explain the os module in Python.",
+                  "Summarize the indemnification clause.",
+                  "List the catalog items and their part numbers.")
+    ]
+    greedy = SamplingParams(temperature=0.0)
+
+    eng = _build_engine(ckpt, "q4", group_size, 512)
+    old = os.environ.get("KRASIS_TPU_SPEC_MODE")
+    results = {}
+    try:
+        vanilla = []
+        eng.spec_available = False
+        for p in prompts:
+            vanilla.append(eng.generate(p, max_new_tokens=n_tokens,
+                                        sampling=greedy, stop_ids={-1}).tokens)
+        os.environ["KRASIS_TPU_SPEC_MODE"] = "ngram"
+        eng2 = _build_engine(ckpt, "q4", group_size, 512)
+        assert eng2.spec_mode == "ngram", eng2.spec_mode
+        match, committed = True, 0
+        for p, want in zip(prompts, vanilla):
+            r = eng2.generate(p, max_new_tokens=n_tokens, sampling=greedy,
+                              stop_ids={-1})
+            committed += len(r.tokens)
+            if r.tokens != want:
+                match = False
+        results["ngram"] = {
+            "exact": match, "tokens": committed,
+            "verdict": "accept" if match else "REJECT",
+        }
+    finally:
+        if old is None:
+            os.environ.pop("KRASIS_TPU_SPEC_MODE", None)
+        else:
+            os.environ["KRASIS_TPU_SPEC_MODE"] = old
+    return results
+
+
+def write_markdown(res: Dict, path: str) -> None:
+    lines = ["# Quantization quality matrix (PPL deltas)", ""]
+    meta = res.get("checkpoint_meta", {})
+    lines += [
+        f"Checkpoint: trained tiny Qwen3-MoE ({meta.get('key', '?')}), "
+        f"train loss {meta.get('final_train_loss', float('nan')):.3f}, "
+        f"torch holdout PPL {meta.get('holdout_ppl_torch', float('nan')):.2f}.",
+        f"Eval: {res['eval_tokens']} held-out tokens "
+        f"({', '.join(EVAL_DOMAINS)}), group_size={res['group_size']}.",
+        "",
+        "Every row runs the PRODUCTION loader/engine/kernels "
+        "(reference discipline: perplexity/results/*.json; "
+        "ADVANCED.md:30-47).", "",
+    ]
+    shapes = list(next(iter(res["modes"].values()))["shapes"])
+    hdr = "| mode | " + " | ".join(f"PPL {s}" for s in shapes) + \
+          " | vs | worst Δ | tol | verdict |"
+    lines += [hdr, "|" + "---|" * (len(shapes) + 5)]
+    for mode, e in res["modes"].items():
+        cells = [f"{e['shapes'][s]['ppl']:.4f}" for s in shapes]
+        if e.get("verdict") == "baseline":
+            lines.append(f"| {mode} | " + " | ".join(cells)
+                         + " | — | — | — | baseline |")
+        else:
+            lines.append(
+                f"| {mode} | " + " | ".join(cells)
+                + f" | {e['base']} | {e['worst_delta']:+.3%} "
+                f"| {e['tolerance']:.1%} | **{e['verdict']}** |")
+    if "spec" in res:
+        lines += ["", "## Speculative decoding exactness", ""]
+        for name, r in res["spec"].items():
+            lines.append(f"- `{name}`: greedy tokens identical with spec "
+                         f"on/off over {r['tokens']} tokens → "
+                         f"**{r['verdict']}**")
+        lines.append("- `mtp`: exactness proven on synthetic weights "
+                     "(tests/test_mtp.py greedy-equality suite)")
+    with open(path, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--steps", type=int, default=600)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--max-tokens", type=int, default=30_000)
+    ap.add_argument("--modes", nargs="*", default=list(THRESHOLDS))
+    ap.add_argument("--group-size", type=int, default=128)
+    ap.add_argument("--no-spec", action="store_true")
+    ap.add_argument("--force-train", action="store_true")
+    ap.add_argument("--out", default="benchmarks/quality")
+    args = ap.parse_args()
+
+    ckpt = build_quality_checkpoint(steps=args.steps, seed=args.seed,
+                                    force=args.force_train)
+    res = run_matrix(ckpt, modes=args.modes, max_tokens=args.max_tokens,
+                     group_size=args.group_size,
+                     spec_checks=not args.no_spec)
+    os.makedirs(args.out, exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    jpath = os.path.join(args.out, f"matrix_{stamp}.json")
+    with open(jpath, "w") as f:
+        json.dump(res, f, indent=2)
+    write_markdown(res, os.path.join(args.out, "QUALITY.md"))
+    print(json.dumps({m: e.get("verdict") for m, e in res["modes"].items()},
+                     indent=2))
+    print("results:", jpath)
+
+
+if __name__ == "__main__":
+    main()

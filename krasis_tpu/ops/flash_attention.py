@@ -173,10 +173,14 @@ def flash_attention(
     v_from_k: bool = False,
     v_dim: Optional[int] = None,         # Dv when v_from_k (prefix of D)
     out_dtype=None,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
     kv_layout: str = "bshd",  # "bhsd": k/v already [B, Hkv, S, D] (cache)
     layer: Optional[jax.Array] = None,  # with 5D [L,B,Hkv,S,D] bhsd stacks
 ) -> jax.Array:
+    if interpret is None:
+        # match the decode kernel: KRASIS_TPU_PALLAS_INTERPRET runs the
+        # real kernel in interpret mode on CPU (dryrun/CI path)
+        interpret = interpret_mode()
     B, Sq, Hq, D = q.shape
     stacked = k.ndim == 5
     if stacked:

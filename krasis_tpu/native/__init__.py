@@ -113,6 +113,8 @@ def _load_hostmoe() -> Optional[ctypes.CDLL]:
             ]
             lib.krasish_destroy.restype = None
             lib.krasish_destroy.argtypes = [ctypes.c_void_p]
+            lib.krasish_tier.restype = ctypes.c_int
+            lib.krasish_tier.argtypes = [ctypes.c_void_p]
             _hm_lib = lib
         except Exception:
             _hm_build_failed = True

@@ -34,12 +34,41 @@
 #include <omp.h>
 #endif
 
-#if defined(__AVX512BW__) && defined(__AVX512F__)
+// SIMD tiers are compiled with per-function target attributes and picked
+// at runtime by cpuid, independent of the -march the TU was built with:
+// AVX-512 (this box), AVX2+FMA (the reference's baseline ISA — its
+// headline 5900X host is AVX2-only, reference src/kernel/avx2.rs), and
+// a portable scalar fallback. KRASISH_FORCE_TIER=avx512|avx2|scalar
+// (read at krasish_create) pins a tier for testing.
+#if defined(__x86_64__) || defined(__i386__)
 #include <immintrin.h>
-#define KRASISH_AVX512 1
+#define KRASISH_X86 1
 #endif
 
 namespace {
+
+enum Tier { TIER_SCALAR = 0, TIER_AVX2 = 1, TIER_AVX512 = 2 };
+
+static Tier detect_tier() {
+    const char* f = std::getenv("KRASISH_FORCE_TIER");
+#ifdef KRASISH_X86
+    __builtin_cpu_init();
+    const bool has512 =
+        __builtin_cpu_supports("avx512f") && __builtin_cpu_supports("avx512bw");
+    const bool has2 =
+        __builtin_cpu_supports("avx2") && __builtin_cpu_supports("fma");
+    if (f) {
+        if (!std::strcmp(f, "avx512") && has512) return TIER_AVX512;
+        if (!std::strcmp(f, "avx2") && has2) return TIER_AVX2;
+        return TIER_SCALAR;
+    }
+    if (has512) return TIER_AVX512;
+    if (has2) return TIER_AVX2;
+#else
+    (void)f;
+#endif
+    return TIER_SCALAR;
+}
 
 static inline float bf16_to_f32(uint16_t b) {
     uint32_t u = static_cast<uint32_t>(b) << 16;
@@ -63,10 +92,13 @@ struct HostMoE {
     int gs13, gs2;
     int gpt_oss;
     float swiglu_limit;
+    Tier tier;
     std::vector<LayerWeights> layers;
 };
 
-#ifdef KRASISH_AVX512
+#ifdef KRASISH_X86
+#define KRASISH_T512 __attribute__((target("avx512f,avx512bw")))
+#define KRASISH_T256 __attribute__((target("avx2,fma")))
 
 // 64-column stripe of the INT4 matvec: y[n0:n0+64] += dequant matvec.
 // One pass over the byte rows; each 64-byte row feeds the lo (element r)
@@ -75,6 +107,7 @@ struct HostMoE {
 // boundaries are offset by K/2 % gs relative to the byte rows; rows are
 // processed in segments on which both halves' group indices are
 // constant (e.g. V2-Lite w2: K=1408, K/2=704 is NOT a gs multiple).
+KRASISH_T512
 static void qmatvec4_stripe(const float* x, const int8_t* q,
                             const uint16_t* s, int64_t K, int64_t N,
                             int gs, int64_t n0, float* y) {
@@ -138,6 +171,7 @@ static void qmatvec4_stripe(const float* x, const int8_t* q,
 }
 
 // 64-column stripe of the INT8 matvec.
+KRASISH_T512
 static void qmatvec8_stripe(const float* x, const int8_t* q,
                             const uint16_t* s, int64_t K, int64_t N,
                             int gs, int64_t n0, float* y) {
@@ -170,7 +204,113 @@ static void qmatvec8_stripe(const float* x, const int8_t* q,
     for (int v = 0; v < 4; ++v) _mm512_storeu_ps(y + n0 + 16 * v, acc[v]);
 }
 
-#endif  // KRASISH_AVX512
+// ---- AVX2+FMA tier (32-column stripes; the reference's baseline ISA,
+// reference src/kernel/avx2.rs:1066-1206) -------------------------------
+
+// 8 signed bytes (low half of `b16`) -> 8 f32 lanes.
+KRASISH_T256
+static inline __m256 cvt8i8_ps(__m128i b16, int hi8) {
+    const __m128i b8 = hi8 ? _mm_srli_si128(b16, 8) : b16;
+    return _mm256_cvtepi32_ps(_mm256_cvtepi8_epi32(b8));
+}
+
+// 8 bf16 scales -> 8 f32 lanes.
+KRASISH_T256
+static inline __m256 bf16x8_ps(const uint16_t* p) {
+    const __m128i h = _mm_loadu_si128((const __m128i*)p);
+    return _mm256_castsi256_ps(
+        _mm256_slli_epi32(_mm256_cvtepu16_epi32(h), 16));
+}
+
+// 32-column stripe of the INT4 matvec (same group-segment walk as the
+// AVX-512 version; see that function's comment for why).
+KRASISH_T256
+static void qmatvec4_stripe_avx2(const float* x, const int8_t* q,
+                                 const uint16_t* s, int64_t K, int64_t N,
+                                 int gs, int64_t n0, float* y) {
+    const int64_t half = K / 2;
+    const __m256i m4 = _mm256_set1_epi8(0xF);
+    const __m256i m8 = _mm256_set1_epi8(8);
+
+    __m256 acc[4];
+    for (int v = 0; v < 4; ++v) acc[v] = _mm256_loadu_ps(y + n0 + 8 * v);
+
+    int64_t r0 = 0;
+    while (r0 < half) {
+        const int64_t lo_end = (r0 / gs + 1) * gs;
+        const int64_t hi_end = ((r0 + half) / gs + 1) * gs - half;
+        int64_t r1 = lo_end < hi_end ? lo_end : hi_end;
+        if (r1 > half) r1 = half;
+        __m256 tlo[4], thi[4];
+        for (int v = 0; v < 4; ++v) {
+            tlo[v] = _mm256_setzero_ps();
+            thi[v] = _mm256_setzero_ps();
+        }
+        for (int64_t r = r0; r < r1; ++r) {
+            const __m256i b =
+                _mm256_loadu_si256((const __m256i*)(q + r * N + n0));
+            const __m256i lo = _mm256_sub_epi8(
+                _mm256_xor_si256(_mm256_and_si256(b, m4), m8), m8);
+            const __m256i hs =
+                _mm256_and_si256(_mm256_srli_epi16(b, 4), m4);
+            const __m256i hi = _mm256_sub_epi8(_mm256_xor_si256(hs, m8), m8);
+            const __m256 xl = _mm256_set1_ps(x[r]);
+            const __m256 xh = _mm256_set1_ps(x[r + half]);
+            const __m128i lo_l = _mm256_castsi256_si128(lo);
+            const __m128i lo_h = _mm256_extracti128_si256(lo, 1);
+            const __m128i hi_l = _mm256_castsi256_si128(hi);
+            const __m128i hi_h = _mm256_extracti128_si256(hi, 1);
+            tlo[0] = _mm256_fmadd_ps(xl, cvt8i8_ps(lo_l, 0), tlo[0]);
+            tlo[1] = _mm256_fmadd_ps(xl, cvt8i8_ps(lo_l, 1), tlo[1]);
+            tlo[2] = _mm256_fmadd_ps(xl, cvt8i8_ps(lo_h, 0), tlo[2]);
+            tlo[3] = _mm256_fmadd_ps(xl, cvt8i8_ps(lo_h, 1), tlo[3]);
+            thi[0] = _mm256_fmadd_ps(xh, cvt8i8_ps(hi_l, 0), thi[0]);
+            thi[1] = _mm256_fmadd_ps(xh, cvt8i8_ps(hi_l, 1), thi[1]);
+            thi[2] = _mm256_fmadd_ps(xh, cvt8i8_ps(hi_h, 0), thi[2]);
+            thi[3] = _mm256_fmadd_ps(xh, cvt8i8_ps(hi_h, 1), thi[3]);
+        }
+        const uint16_t* slo = s + (r0 / gs) * N + n0;
+        const uint16_t* shi = s + ((r0 + half) / gs) * N + n0;
+        for (int v = 0; v < 4; ++v) {
+            acc[v] = _mm256_fmadd_ps(tlo[v], bf16x8_ps(slo + 8 * v), acc[v]);
+            acc[v] = _mm256_fmadd_ps(thi[v], bf16x8_ps(shi + 8 * v), acc[v]);
+        }
+        r0 = r1;
+    }
+    for (int v = 0; v < 4; ++v) _mm256_storeu_ps(y + n0 + 8 * v, acc[v]);
+}
+
+// 32-column stripe of the INT8 matvec.
+KRASISH_T256
+static void qmatvec8_stripe_avx2(const float* x, const int8_t* q,
+                                 const uint16_t* s, int64_t K, int64_t N,
+                                 int gs, int64_t n0, float* y) {
+    __m256 acc[4];
+    for (int v = 0; v < 4; ++v) acc[v] = _mm256_loadu_ps(y + n0 + 8 * v);
+    const int64_t n_groups = K / gs;
+    for (int64_t g = 0; g < n_groups; ++g) {
+        __m256 t[4];
+        for (int v = 0; v < 4; ++v) t[v] = _mm256_setzero_ps();
+        const int64_t r0 = g * gs, r1 = r0 + gs;
+        for (int64_t r = r0; r < r1; ++r) {
+            const __m256i b =
+                _mm256_loadu_si256((const __m256i*)(q + r * N + n0));
+            const __m256 xr = _mm256_set1_ps(x[r]);
+            const __m128i bl = _mm256_castsi256_si128(b);
+            const __m128i bh = _mm256_extracti128_si256(b, 1);
+            t[0] = _mm256_fmadd_ps(xr, cvt8i8_ps(bl, 0), t[0]);
+            t[1] = _mm256_fmadd_ps(xr, cvt8i8_ps(bl, 1), t[1]);
+            t[2] = _mm256_fmadd_ps(xr, cvt8i8_ps(bh, 0), t[2]);
+            t[3] = _mm256_fmadd_ps(xr, cvt8i8_ps(bh, 1), t[3]);
+        }
+        const uint16_t* sg = s + g * N + n0;
+        for (int v = 0; v < 4; ++v)
+            acc[v] = _mm256_fmadd_ps(t[v], bf16x8_ps(sg + 8 * v), acc[v]);
+    }
+    for (int v = 0; v < 4; ++v) _mm256_storeu_ps(y + n0 + 8 * v, acc[v]);
+}
+
+#endif  // KRASISH_X86
 
 // Portable stripe fallbacks (width 64 unless clipped by N).
 static void qmatvec4_stripe_ref(const float* x, const int8_t* q,
@@ -225,18 +365,30 @@ static void qmatvec8_stripe_ref(const float* x, const int8_t* q,
 }
 
 // y[N] (f32, caller-zeroed) += dequant(W)[K, N] matvec with x[K], over
-// columns [c0, c1).
+// columns [c0, c1). `tier` picks the SIMD implementation (runtime cpuid
+// dispatch; all tiers bit-agree with the scalar reference).
 static void qmatvec_range(const float* x, const int8_t* q, const uint16_t* s,
                           int64_t K, int64_t N, int bits, int gs, int64_t c0,
-                          int64_t c1, float* y) {
+                          int64_t c1, float* y, Tier tier) {
     int64_t n0 = c0;
-#ifdef KRASISH_AVX512
-    for (; n0 + 64 <= c1; n0 += 64) {
-        if (bits == 4)
-            qmatvec4_stripe(x, q, s, K, N, gs, n0, y);
-        else
-            qmatvec8_stripe(x, q, s, K, N, gs, n0, y);
+#ifdef KRASISH_X86
+    if (tier == TIER_AVX512) {
+        for (; n0 + 64 <= c1; n0 += 64) {
+            if (bits == 4)
+                qmatvec4_stripe(x, q, s, K, N, gs, n0, y);
+            else
+                qmatvec8_stripe(x, q, s, K, N, gs, n0, y);
+        }
+    } else if (tier == TIER_AVX2) {
+        for (; n0 + 32 <= c1; n0 += 32) {
+            if (bits == 4)
+                qmatvec4_stripe_avx2(x, q, s, K, N, gs, n0, y);
+            else
+                qmatvec8_stripe_avx2(x, q, s, K, N, gs, n0, y);
+        }
     }
+#else
+    (void)tier;
 #endif
     for (; n0 < c1; n0 += 64) {
         const int64_t nw = (c1 - n0) < 64 ? (c1 - n0) : 64;
@@ -280,7 +432,7 @@ static bool pick_forward(const PickCtx& c, int64_t p, float* hbuf,
     const float* xt = c.x + t * H;
     std::memset(hbuf, 0, 2 * I * sizeof(float));
     qmatvec_range(xt, c.lw->w13_q + e * w13_esz, c.lw->w13_s + e * w13_ssz, H,
-                  2 * I, h->bits, h->gs13, 0, 2 * I, hbuf);
+                  2 * I, h->bits, h->gs13, 0, 2 * I, hbuf, h->tier);
     if (c.lw->w13_bias) {
         const float* b = c.lw->w13_bias + e * 2 * I;
         for (int64_t i = 0; i < 2 * I; ++i) hbuf[i] += b[i];
@@ -302,7 +454,7 @@ static bool pick_forward(const PickCtx& c, int64_t p, float* hbuf,
         }
     }
     qmatvec_range(abuf, c.lw->w2_q + e * w2_esz, c.lw->w2_s + e * w2_ssz, I, H,
-                  h->bits, h->gs2, 0, H, po);
+                  h->bits, h->gs2, 0, H, po, h->tier);
     if (c.lw->w2_bias) {
         const float* b = c.lw->w2_bias + e * H;
         for (int64_t n = 0; n < H; ++n) po[n] += b[n];
@@ -332,8 +484,15 @@ void* krasish_create(int64_t n_layers, int64_t E, int64_t H, int64_t I,
     h->gs2 = gs2;
     h->gpt_oss = gpt_oss;
     h->swiglu_limit = swiglu_limit;
+    h->tier = detect_tier();
     h->layers.resize(n_layers);
     return h;
+}
+
+// Active SIMD tier: 0 = scalar, 1 = AVX2+FMA, 2 = AVX-512.
+int krasish_tier(void* hp) {
+    HostMoE* h = static_cast<HostMoE*>(hp);
+    return h ? static_cast<int>(h->tier) : -1;
 }
 
 int krasish_set_layer(void* hp, int64_t layer, const void* w13_q,
@@ -437,7 +596,7 @@ int krasish_forward(void* hp, int64_t layer, int64_t T, int64_t k,
             const int64_t c0 = (stripes1 * tid / nt) * 64;
             const int64_t c1 = (stripes1 * (tid + 1) / nt) * 64;
             qmatvec_range(xt, q13, s13, H, N1, h->bits, h->gs13, c0,
-                          c1 < N1 ? c1 : N1, hbuf.data());
+                          c1 < N1 ? c1 : N1, hbuf.data(), h->tier);
 #pragma omp barrier
 #pragma omp single
             {
@@ -466,7 +625,7 @@ int krasish_forward(void* hp, int64_t layer, int64_t T, int64_t k,
             const int64_t d0 = (stripes2 * tid / nt) * 64;
             const int64_t d1 = (stripes2 * (tid + 1) / nt) * 64;
             qmatvec_range(abuf.data(), q2, s2, I, H, h->bits, h->gs2, d0,
-                          d1 < H ? d1 : H, po);
+                          d1 < H ? d1 : H, po, h->tier);
         }
         if (lw.w2_bias) {
             const float* b = lw.w2_bias + e * H;

@@ -152,6 +152,15 @@ class HostExpertStore:
             self._register(layer, entry)
         return True
 
+    def native_tier(self) -> str:
+        """Active SIMD tier of the native engine: 'avx512' | 'avx2' |
+        'scalar' (runtime cpuid dispatch; KRASISH_FORCE_TIER pins one),
+        or 'numpy' when the C++ engine isn't available."""
+        if not self._ensure_native():
+            return "numpy"
+        t = self._lib.krasish_tier(self._handle)
+        return {0: "scalar", 1: "avx2", 2: "avx512"}.get(t, f"unknown({t})")
+
     def __del__(self):  # pragma: no cover - interpreter teardown
         try:
             if self._handle is not None and self._lib is not None:

@@ -46,6 +46,48 @@ def test_native_vs_numpy(bits, I):
         assert err < 2e-6, (bits, I, T, err)
 
 
+@pytest.mark.parametrize("tier", ["avx512", "avx2", "scalar"])
+def test_simd_tiers_bit_agree(tier, monkeypatch):
+    """Every SIMD tier (AVX-512 / AVX2 / scalar — runtime cpuid dispatch,
+    KRASISH_FORCE_TIER pins one) must agree with the numpy oracle on the
+    same packed bytes, at both bits and with a non-gs-aligned I (the
+    hi-nibble group-offset case). Per-tier matvec GB/s is logged.
+    The AVX2 tier is the reference's baseline ISA (its headline 5900X
+    host, reference src/kernel/avx2.rs:1066-1206)."""
+    import time
+
+    monkeypatch.setenv("KRASISH_FORCE_TIER", tier)
+    rng = np.random.default_rng(0)
+    for bits, I in ((4, 192), (4, 128), (8, 192)):
+        cfg = tiny_config("deepseek-v2-lite", moe_intermediate_size=I,
+                          hidden_size=256, **MLA_KW)
+        store = build_synthetic_store(
+            cfg, QuantConfig(expert_bits=bits), seed=1)
+        if not store._ensure_native():
+            pytest.skip("no C++ toolchain")
+        if store.native_tier() != tier:
+            pytest.skip(f"cpu lacks {tier}")
+        layer = store.layers[0]
+        for T in (1, 7):  # column-parallel and pick-parallel regimes
+            x, idx, w = _rand_inputs(rng, T, 3, store.H, store.E)
+            native = store.forward(layer, x, idx, w)
+            ref = store._forward_np(layer, x, idx, w)
+            err = np.abs(native - ref).max() / (np.abs(ref).max() + 1e-9)
+            assert err < 2e-6, (tier, bits, I, T, err)
+        # tier throughput: decode-shape (T=1) repeat over the layer
+        k = 3
+        x, idx, w = _rand_inputs(rng, 1, k, store.H, store.E)
+        iters = 20
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            store.forward(layer, x, idx, w)
+        dt = (time.perf_counter() - t0) / iters
+        e = store._layers[layer]
+        pick_bytes = sum(a.nbytes for a in e[:4]) // store.E
+        print(f"[tier {tier} bits={bits} I={I}] "
+              f"{k * pick_bytes / dt / 1e9:.2f} GB/s ({dt * 1e6:.0f} us)")
+
+
 def test_store_vs_device_oracle():
     """Host store numerics == ops/moe gathered reference on the same
     quantized bytes (f32 activations on both sides)."""

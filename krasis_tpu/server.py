@@ -465,19 +465,28 @@ class _StdlibWriter:
 
     def send_json(self, code: int, body: bytes) -> None:
         h = self._h
-        h.send_response(code)
-        h.send_header("Content-Type", "application/json")
-        h.send_header("Content-Length", str(len(body)))
-        h.end_headers()
-        h.wfile.write(body)
+        try:
+            h.send_response(code)
+            h.send_header("Content-Type", "application/json")
+            h.send_header("Content-Length", str(len(body)))
+            h.end_headers()
+            h.wfile.write(body)
+        except (BrokenPipeError, ConnectionResetError):
+            # client disconnected before/while the response was written —
+            # routine teardown, not an error (the socketserver default
+            # would print a full traceback mid-suite)
+            self._dead = True
 
     def sse_start(self) -> None:
         h = self._h
-        h.send_response(200)
-        h.send_header("Content-Type", "text/event-stream")
-        h.send_header("Cache-Control", "no-cache")
-        h.send_header("Transfer-Encoding", "chunked")
-        h.end_headers()
+        try:
+            h.send_response(200)
+            h.send_header("Content-Type", "text/event-stream")
+            h.send_header("Cache-Control", "no-cache")
+            h.send_header("Transfer-Encoding", "chunked")
+            h.end_headers()
+        except (BrokenPipeError, ConnectionResetError):
+            self._dead = True
 
     def sse_send(self, data: bytes) -> bool:
         if self._dead:
@@ -516,15 +525,40 @@ class Handler(BaseHTTPRequestHandler):
             n = int(self.headers.get("Content-Length", 0))
         except ValueError:
             n = 0
-        body = self.rfile.read(n) if n else b""
-        handle_request(STATE, self.command, self.path, body,
-                       _StdlibWriter(self))
+        try:
+            body = self.rfile.read(n) if n else b""
+            handle_request(STATE, self.command, self.path, body,
+                           _StdlibWriter(self))
+        except (BrokenPipeError, ConnectionResetError):
+            # mid-request disconnect: close quietly
+            self.close_connection = True
 
     def do_GET(self):
         self._dispatch()
 
     def do_POST(self):
         self._dispatch()
+
+
+class _QuietThreadingHTTPServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer that treats client-gone errors as routine.
+
+    The default handle_error prints a full traceback to stderr for ANY
+    exception in a handler thread — including BrokenPipe/ConnectionReset
+    from a client that simply disconnected mid-stream (seen as stray
+    "Exception occurred during processing of request" noise in test
+    runs). Real errors still get the default report."""
+
+    daemon_threads = True
+
+    def handle_error(self, request, client_address):
+        import sys
+
+        exc = sys.exc_info()[1]
+        if isinstance(exc, (BrokenPipeError, ConnectionResetError,
+                            ConnectionAbortedError, TimeoutError)):
+            return
+        super().handle_error(request, client_address)
 
 
 # ---- lifecycle -------------------------------------------------------------
@@ -556,7 +590,7 @@ def _make_httpd(host: str, port: int, backend: str = "auto"):
         if backend == "native":
             raise RuntimeError("native server requested but the C++ "
                                "library failed to build")
-    return ThreadingHTTPServer((host, port), Handler), "python"
+    return _QuietThreadingHTTPServer((host, port), Handler), "python"
 
 
 def start_temp_server(engine, tokenizer, model_name: str,

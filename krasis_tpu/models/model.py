@@ -821,6 +821,42 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
     return fn
 
 
+def make_forced_decode_fn(cfg: ModelConfig, quant: QuantConfig,
+                          steps: int, mesh=None, offload=None):
+    """Teacher-forced decode block for DECODE-PATH perplexity.
+
+    Advances `steps` positions through the exact serving decode graph
+    (one token per step: W4A8 grouped MoE when enabled, quantized
+    attention projections, fp8 KV cache reads — everything the prefill
+    all-logits path does NOT exercise), feeding FORCED tokens and
+    returning log P(next forced token) per step. One device call per
+    block via lax.scan. Quality-certification analog of the reference
+    measuring PPL "through the production forward path"
+    (reference perplexity/measure_ppl.py) — here applied to the decode
+    engine specifically, because several quantization decisions (e.g.
+    expert_activation=int8) only exist in decode.
+    """
+
+    def fn(params, toks, cache):
+        # toks: [B, steps+1] — feed toks[:, t], score toks[:, t+1]
+        B = toks.shape[0]
+        seq1 = jnp.ones((B,), jnp.int32)
+
+        def body(cache, xs):
+            cur, nxt = xs
+            logits, cache = forward(
+                params, cur[:, None], seq1, cache, cfg, quant,
+                prefill=False, mesh=mesh, offload=offload,
+            )
+            return cache, chosen_logprob(logits, nxt)
+
+        xs = (toks[:, :-1].T, toks[:, 1:].T)     # [steps, B] each
+        cache, lps = jax.lax.scan(body, cache, xs)
+        return lps.T, cache                      # [B, steps]
+
+    return fn
+
+
 def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
     """log P(tok) under log_softmax(logits): [B, V], [B] → [B] f32."""
     lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)

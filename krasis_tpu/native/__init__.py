@@ -9,10 +9,29 @@ krasis_tpu.quant.quantize_np (verified in tests/test_native.py).
 from __future__ import annotations
 
 import ctypes
+import logging
 import os
 import subprocess
 import threading
 from typing import Optional
+
+log = logging.getLogger("krasis_tpu.native")
+
+
+def _report_build_failure(what: str, exc: Exception) -> None:
+    """One clear warning per failed self-build: what failed, why, and
+    what the fallback costs (install story: a missing g++ must degrade
+    loudly-but-gracefully, not silently)."""
+    detail = ""
+    if isinstance(exc, subprocess.CalledProcessError):
+        err = (exc.stderr or b"").decode("utf-8", "replace").strip()
+        detail = f"; compiler said:\n{err[-2000:]}" if err else ""
+    elif isinstance(exc, FileNotFoundError):
+        detail = "; is g++ installed and on PATH?"
+    else:
+        detail = f": {exc!r}"
+    log.warning("native %s self-build failed (%s)%s", what,
+                type(exc).__name__, detail)
 
 import numpy as np
 from ml_dtypes import bfloat16
@@ -68,8 +87,12 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_void_p, ctypes.c_void_p,
             ]
             _lib = lib
-        except Exception:
+        except Exception as exc:
             _build_failed = True
+            _report_build_failure(
+                "quantizer (quant.cpp) — falling back to the numpy "
+                "quantizer (slower first-load quantization, identical "
+                "numerics)", exc)
         return _lib
 
 
@@ -116,8 +139,12 @@ def _load_hostmoe() -> Optional[ctypes.CDLL]:
             lib.krasish_tier.restype = ctypes.c_int
             lib.krasish_tier.argtypes = [ctypes.c_void_p]
             _hm_lib = lib
-        except Exception:
+        except Exception as exc:
             _hm_build_failed = True
+            _report_build_failure(
+                "host-MoE engine (hostmoe.cpp) — the --offload experts "
+                "tier will use the numpy fallback (orders of magnitude "
+                "slower; fine for tests, not serving)", exc)
         return _hm_lib
 
 

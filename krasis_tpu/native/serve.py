@@ -82,8 +82,14 @@ def _load() -> Optional[ctypes.CDLL]:
             lib.ks_cancelled.restype = ctypes.c_int
             lib.ks_cancelled.argtypes = [ctypes.c_int, ctypes.c_long]
             _lib = lib
-        except Exception:
+        except Exception as exc:
             _build_failed = True
+            from . import _report_build_failure
+
+            _report_build_failure(
+                "HTTP server (serve.cpp) — falling back to the stdlib "
+                "ThreadingHTTPServer transport (correct, higher "
+                "per-connection overhead)", exc)
         return _lib
 
 

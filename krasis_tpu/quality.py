@@ -205,7 +205,7 @@ def build_quality_checkpoint(
         torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
         opt.step()
         sched.step()
-        losses.append(float(res.loss))
+        losses.append(float(res.loss.detach()))
         if log_every and (step + 1) % log_every == 0:
             print(f"[quality-train] step {step + 1}/{steps} "
                   f"loss={np.mean(losses[-log_every:]):.4f} "
@@ -273,6 +273,59 @@ def _build_engine(ckpt: str, mode: str, group_size: int, max_len: int):
     return Engine(cfg, quant, params, max_len=max_len)
 
 
+def evaluate_decode_perplexity(engine, token_ids: Sequence[int],
+                               segment: int = 512) -> Dict:
+    """PPL through the DECODE path (teacher-forced serving decode graph,
+    models/model.make_forced_decode_fn). Several precision decisions —
+    W4A8 expert activations foremost — exist ONLY in decode, so the
+    prefill all-logits PPL cannot see them; this can.
+
+    Protocol: the stream is cut into `segment`-token segments; each
+    segment seeds the cache with its first token via prefill, then
+    advances the decode graph teacher-forced, scoring
+    log P(tok[i+1] | tok[..i]) for positions 2..segment-1. Context
+    resets per segment — identical for every mode, so deltas are
+    comparable (the certification currency)."""
+    import jax
+    import jax.numpy as jnp
+
+    from .models.model import make_forced_decode_fn
+    from .runtime.engine import pick_bucket, pick_cache_len
+
+    steps = segment - 2          # feeds tok[1..segment-2]
+    fn = jax.jit(
+        make_forced_decode_fn(engine.cfg, engine.quant, steps,
+                              mesh=engine.mesh, offload=engine.offload),
+        donate_argnums=(2,),
+    )
+    B = engine.batch_size
+    total_nll, total = 0.0, 0
+    t0 = time.time()
+    for s0 in range(0, len(token_ids) - segment + 1, segment):
+        seg = token_ids[s0:s0 + segment]
+        engine.reset(pick_cache_len(segment, engine.max_len))
+        bucket = pick_bucket(1)
+        tokens = np.zeros((B, bucket), np.int32)
+        tokens[0, 0] = seg[0]
+        seq_lens = np.zeros((B,), np.int32)
+        seq_lens[0] = 1
+        _, engine.cache = engine._prefill(
+            engine.params, jnp.asarray(tokens), jnp.asarray(seq_lens),
+            engine.cache)
+        toks = np.zeros((B, steps + 1), np.int32)
+        toks[0] = seg[1:]
+        lps, engine.cache = fn(engine.params, jnp.asarray(toks),
+                               engine.cache)
+        total_nll += -float(np.asarray(lps[0], np.float32).sum())
+        total += steps
+    return {
+        "ppl": math.exp(total_nll / total),
+        "tokens_scored": total,
+        "segment": segment,
+        "elapsed_s": time.time() - t0,
+    }
+
+
 def run_matrix(
     ckpt: str,
     modes: Sequence[str] = tuple(THRESHOLDS),
@@ -280,9 +333,11 @@ def run_matrix(
     max_tokens: int = 30_000,
     group_size: int = 128,
     spec_checks: bool = True,
+    decode_path: bool = True,
 ) -> Dict:
-    """PPL for every mode at every (window, stride) shape + spec-decode
-    exactness rows. Returns the full results dict (see write_markdown)."""
+    """PPL for every mode at every (window, stride) shape — prefill path
+    AND teacher-forced decode path — + spec-decode exactness rows.
+    Returns the full results dict (see write_markdown)."""
     from .perplexity import evaluate_perplexity
 
     ids = _eval_tokens(ckpt, max_tokens)
@@ -303,10 +358,21 @@ def run_matrix(
             print(f"[quality] {mode:14s} w{window}/s{stride}: "
                   f"ppl={r['ppl']:.4f} ({r['tokens_scored']} tok, "
                   f"{time.time() - t0:.0f}s)", flush=True)
+        if decode_path and _decode_path_ok(eng):
+            r = evaluate_decode_perplexity(eng, ids, segment=max_len)
+            entry["decode"] = {
+                "ppl": round(r["ppl"], 4),
+                "tokens_scored": r["tokens_scored"],
+                "segment": r["segment"],
+                "elapsed_s": round(r["elapsed_s"], 1),
+            }
+            print(f"[quality] {mode:14s} decode-path: "
+                  f"ppl={r['ppl']:.4f} ({r['tokens_scored']} tok, "
+                  f"{r['elapsed_s']:.0f}s)", flush=True)
         rows[mode] = entry
         del eng
 
-    # deltas + verdicts
+    # deltas + verdicts (worst over prefill shapes AND the decode path)
     for mode, entry in rows.items():
         base_mode, tol = THRESHOLDS.get(mode, ("bf16", 0.02))
         if base_mode is None or base_mode not in rows:
@@ -317,6 +383,11 @@ def run_matrix(
             base_ppl = rows[base_mode]["shapes"][shp]["ppl"]
             d = r["ppl"] / base_ppl - 1.0
             r["delta_vs_" + base_mode] = round(d, 5)
+            deltas.append(d)
+        if "decode" in entry and "decode" in rows[base_mode]:
+            d = (entry["decode"]["ppl"]
+                 / rows[base_mode]["decode"]["ppl"] - 1.0)
+            entry["decode"]["delta_vs_" + base_mode] = round(d, 5)
             deltas.append(d)
         worst = max(deltas)
         entry["base"] = base_mode
@@ -334,6 +405,19 @@ def run_matrix(
     if spec_checks:
         out["spec"] = run_spec_exactness(ckpt, group_size)
     return out
+
+
+def _decode_path_ok(engine) -> bool:
+    """Offloaded engines route MoE through host callbacks inside the
+    decode graph; on backends without callback support (the axon relay)
+    the forced-decode fn can't run — the offload decode path is instead
+    bit-pinned against the resident path in tests/test_offload.py
+    (segmented-decode parity)."""
+    if engine.offload is None:
+        return True
+    from .runtime.offload_engine import callbacks_supported
+
+    return callbacks_supported()
 
 
 def run_spec_exactness(ckpt: str, group_size: int = 128,
@@ -402,11 +486,17 @@ def write_markdown(res: Dict, path: str) -> None:
         "ADVANCED.md:30-47).", "",
     ]
     shapes = list(next(iter(res["modes"].values()))["shapes"])
-    hdr = "| mode | " + " | ".join(f"PPL {s}" for s in shapes) + \
-          " | vs | worst Δ | tol | verdict |"
-    lines += [hdr, "|" + "---|" * (len(shapes) + 5)]
+    have_decode = any("decode" in e for e in res["modes"].values())
+    cols = [f"PPL {s}" for s in shapes]
+    if have_decode:
+        cols.append("PPL decode-path")
+    hdr = "| mode | " + " | ".join(cols) + " | vs | worst Δ | tol | verdict |"
+    lines += [hdr, "|" + "---|" * (len(cols) + 5)]
     for mode, e in res["modes"].items():
         cells = [f"{e['shapes'][s]['ppl']:.4f}" for s in shapes]
+        if have_decode:
+            cells.append(f"{e['decode']['ppl']:.4f}" if "decode" in e
+                         else "(parity-tested)")
         if e.get("verdict") == "baseline":
             lines.append(f"| {mode} | " + " | ".join(cells)
                          + " | — | — | — | baseline |")
@@ -415,6 +505,18 @@ def write_markdown(res: Dict, path: str) -> None:
                 f"| {mode} | " + " | ".join(cells)
                 + f" | {e['base']} | {e['worst_delta']:+.3%} "
                 f"| {e['tolerance']:.1%} | **{e['verdict']}** |")
+    if have_decode:
+        lines += [
+            "",
+            "`PPL decode-path` runs the teacher-forced SERVING DECODE "
+            "graph (models/model.make_forced_decode_fn) — the only way "
+            "to measure decode-only precision choices (W4A8 expert "
+            "activations); context resets every segment, so compare "
+            "deltas, not absolute values, against the prefill columns. "
+            "The offload row's decode path is bit-pinned against the "
+            "resident engine in tests/test_offload.py instead "
+            "(host-callback-free backends can't run the forced fn).",
+        ]
     if "spec" in res:
         lines += ["", "## Speculative decoding exactness", ""]
         for name, r in res["spec"].items():

@@ -40,6 +40,42 @@ def encode_q4_0(x: np.ndarray) -> bytes:
     return out
 
 
+def encode_q4_k(x: np.ndarray) -> bytes:
+    """Scalar Q4_K encoder: a VALID encoding (per-sub-block affine
+    q*sc*d - m*dmin, 6-bit sc/m against superblock d/dmin) — not
+    llama.cpp's error-minimizing search, but decodes through the same
+    layout, which is what the decoder tests need. Inverse of
+    utils/gguf.dequant_q4_k / _kquant_scale_min."""
+    out = b""
+    for sb in x.reshape(-1, 256).astype(np.float32):
+        subs = sb.reshape(8, 32)
+        mins = np.maximum(0.0, -subs.min(1))
+        scales = np.maximum((subs.max(1) + mins) / 15.0, 0.0)
+        d16 = np.float16(scales.max() / 63.0 if scales.max() > 0 else 1.0)
+        dm16 = np.float16(mins.max() / 63.0 if mins.max() > 0 else 1.0)
+        df, dmf = np.float32(d16), np.float32(dm16)
+        sc6 = np.clip(np.round(scales / df), 0, 63).astype(np.uint8)
+        m6 = np.clip(np.round(mins / dmf), 0, 63).astype(np.uint8)
+        tbl = bytearray(12)
+        for j in range(4):
+            tbl[j] = (sc6[j] & 63) | ((sc6[j + 4] >> 4) << 6)
+            tbl[j + 4] = (m6[j] & 63) | ((m6[j + 4] >> 4) << 6)
+            tbl[j + 8] = (sc6[j + 4] & 0xF) | ((m6[j + 4] & 0xF) << 4)
+        scf = df * sc6.astype(np.float32)
+        mf = dmf * m6.astype(np.float32)
+        q = np.zeros((8, 32), np.uint8)
+        for s in range(8):
+            denom = scf[s] if scf[s] > 0 else 1.0
+            q[s] = np.clip(np.round((subs[s] + mf[s]) / denom), 0, 15)
+        qs = bytearray(128)
+        for j in range(4):
+            lo, hi = q[2 * j], q[2 * j + 1]
+            for i in range(32):
+                qs[j * 32 + i] = int(lo[i]) | (int(hi[i]) << 4)
+        out += d16.tobytes() + dm16.tobytes() + bytes(tbl) + bytes(qs)
+    return out
+
+
 def _gguf_string(s: str) -> bytes:
     b = s.encode()
     return struct.pack("<Q", len(b)) + b
@@ -93,6 +129,22 @@ def test_q4_0_roundtrip():
     raw = np.frombuffer(encode_q4_0(x), np.uint8)
     got = dequant_q4_0(raw).reshape(2, 64)
     np.testing.assert_allclose(got, x, atol=np.abs(x).max() / 6)
+
+
+def test_q4_k_encode_roundtrip():
+    """The scalar encoder round-trips through the production dequant
+    within Q4_K's representable error (affine 4-bit per 32-elem
+    sub-block + 6-bit quantized scales)."""
+    rng = np.random.default_rng(7)
+    x = rng.standard_normal(1024).astype(np.float32)
+    raw = encode_q4_k(x)
+    assert len(raw) == (1024 // 256) * 144
+    got = dequant_q4_k(np.frombuffer(raw, np.uint8))
+    subs = x.reshape(-1, 32)
+    step = (subs.max(1) - np.minimum(subs.min(1), 0)) / 15.0
+    err = np.abs(got - x).reshape(-1, 32)
+    # half-step rounding + 6-bit scale/min quantization slack
+    assert (err.max(1) <= 0.75 * step + 0.05).all(), err.max()
 
 
 def test_q4_k_structure():

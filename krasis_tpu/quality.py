@@ -194,22 +194,25 @@ def build_quality_checkpoint(
 
     t0 = time.time()
     losses: List[float] = []
-    for step in range(steps):
-        starts = rng.integers(0, len(ids) - seq - 1, size=batch)
-        x = np.stack([ids[s:s + seq] for s in starts])
-        batch_t = torch.from_numpy(x)
-        # HF causal-LM shifts labels internally: labels == input_ids
-        res = model(input_ids=batch_t, labels=batch_t)
-        opt.zero_grad()
-        res.loss.backward()
-        torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
-        opt.step()
-        sched.step()
-        losses.append(float(res.loss.detach()))
-        if log_every and (step + 1) % log_every == 0:
-            print(f"[quality-train] step {step + 1}/{steps} "
-                  f"loss={np.mean(losses[-log_every:]):.4f} "
-                  f"({time.time() - t0:.0f}s)", flush=True)
+    # explicit: other code in the process (test modules, inference
+    # paths) may have called torch.set_grad_enabled(False) globally
+    with torch.enable_grad():
+        for step in range(steps):
+            starts = rng.integers(0, len(ids) - seq - 1, size=batch)
+            x = np.stack([ids[s:s + seq] for s in starts])
+            batch_t = torch.from_numpy(x)
+            # HF causal-LM shifts labels internally: labels == input_ids
+            res = model(input_ids=batch_t, labels=batch_t)
+            opt.zero_grad()
+            res.loss.backward()
+            torch.nn.utils.clip_grad_norm_(model.parameters(), 1.0)
+            opt.step()
+            sched.step()
+            losses.append(float(res.loss.detach()))
+            if log_every and (step + 1) % log_every == 0:
+                print(f"[quality-train] step {step + 1}/{steps} "
+                      f"loss={np.mean(losses[-log_every:]):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
 
     model.eval()
     # held-out sanity: PPL on eval domains through the torch model

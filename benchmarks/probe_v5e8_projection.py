@@ -165,8 +165,10 @@ def main() -> int:
     w2 = quantize(jax.random.normal(key, (E_FULL // EP, I_EXP, H),
                                     jnp.float32) * 0.05, bits=4)
 
-    def run_moe(x, idx, wts, pv=None):
-        return moe_forward(x, w13, w2, idx, wts, pick_valid=pv)
+    # weights as jit ARGUMENTS (closure constants ship with the remote
+    # compile request → HTTP 413)
+    def run_moe(x, w13_, w2_, idx, wts, pv=None):
+        return moe_forward(x, w13_, w2_, idx, wts, pick_valid=pv)
 
     jrun = jax.jit(run_moe)
     jrun_pv = jax.jit(run_moe)
@@ -182,11 +184,11 @@ def main() -> int:
         idx_full = np.stack([rng.choice(E_FULL // EP, K_TOP, replace=False)
                              for _ in range(T)]).astype(np.int32)
         wts = jnp.full((T, K_TOP), 1.0 / K_TOP, jnp.float32)
-        t_full = timed(jrun, x, jnp.asarray(idx_full), wts)
+        t_full = timed(jrun, x, w13, w2, jnp.asarray(idx_full), wts)
         # shard load: hottest shard's slice of top-10-of-512
         idx_s, valid = sample_shard_picks(hm, hot_layer, shard_of, T, rng)
         wts_s = jnp.where(jnp.asarray(valid), 1.0 / K_TOP, 0.0)
-        t_shard = timed(jrun_pv, x, jnp.asarray(idx_s), wts_s,
+        t_shard = timed(jrun_pv, x, w13, w2, jnp.asarray(idx_s), wts_s,
                         jnp.asarray(valid))
         results_kernel[name] = {
             "layer_ms_full": round(t_full * 1e3, 3),

@@ -1,17 +1,26 @@
-"""Generation stress battery: diverse prompts with output validation.
+"""Generation stress battery: diverse prompts + sampling modes + edge
+cases, each validated for degenerate or contract-violating output.
 
-Parity with the reference's stress test (reference python/krasis/stress_test.py:197):
-a battery of structurally different prompts (short/long, code, repetition
-bait, multilingual, empty-ish) each generated and validated for
-degenerate output (token loops, empty completions, NaN-driven repeats).
-Runs against an Engine directly or a running server.
+Parity with the reference's stress test (reference
+python/krasis/stress_test.py:197 — a 500-LoC diverse battery): this one
+covers (a) structurally diverse prompts (short/long/code/repetition
+bait/multilingual/unicode/control-chars/deep nesting), (b) a sampling-
+mode sweep incl. greedy-determinism (two greedy runs must be identical)
+and presence-penalty, (c) contract edges: stop-token truncation,
+near-max_len prompts, long generations, finite non-positive logprobs,
+(d) optional continuous-batching churn (mixed sampling across slots +
+mid-stream cancel). Runs against an Engine directly (synthetic or real
+checkpoint) — the server path is covered by tests/test_network.py and
+tests/test_serving_soak.py.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
-from typing import Dict, List
+import math
+import sys
+from typing import Dict, List, Optional
 
 PROMPT_KINDS = {
     "short": "Hi",
@@ -22,6 +31,14 @@ PROMPT_KINDS = {
     "repetition_bait": "Repeat the word 'test' exactly three times.",
     "multilingual": "Translate 'good morning' into French, German and Japanese.",
     "numeric": "Count from 1 to 10, separated by commas.",
+    "unicode": "Explain this: éèê 中文 \U0001f600 "
+               "مرحبا ßøå",
+    "control_chars": "Echo safely: a\tb\r\nc\x0bd  e",
+    "deep_nesting": "Evaluate: " + "(" * 40 + "1+1" + ")" * 40,
+    "json_shape": 'Return JSON: {"name": "x", "tags": ["a", "b"], '
+                  '"nested": {"k": [1, 2, {"deep": true}]}}',
+    "one_giant_word": "Define " + "antidisestablishmentarian" * 30,
+    "whitespace_bait": "   \n\n  \t  What comes after Tuesday?",
 }
 
 
@@ -41,18 +58,21 @@ def validate_tokens(tokens: List[int], max_run: int = 12) -> Dict:
     return {"ok": not issues, "issues": issues, "n": len(tokens)}
 
 
+def _encode(engine, tokenizer, prompt: str) -> List[int]:
+    if tokenizer is not None:
+        return tokenizer.apply_chat_template(
+            [{"role": "user", "content": prompt}])
+    vocab = engine.cfg.vocab_size
+    return [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in prompt[:1024]]
+
+
 def run_stress(engine, tokenizer=None, max_new_tokens: int = 64) -> Dict:
+    """Prompt battery (sampled decoding) — the original core battery."""
     from .ops.sampling import SamplingParams
 
     results = {}
     for name, prompt in PROMPT_KINDS.items():
-        if tokenizer is not None:
-            ids = tokenizer.apply_chat_template(
-                [{"role": "user", "content": prompt}]
-            )
-        else:
-            vocab = engine.cfg.vocab_size
-            ids = [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in prompt[:1024]]
+        ids = _encode(engine, tokenizer, prompt)
         res = engine.generate(
             ids, max_new_tokens=max_new_tokens,
             sampling=SamplingParams(temperature=0.6, top_k=20, top_p=0.95),
@@ -69,11 +89,153 @@ def run_stress(engine, tokenizer=None, max_new_tokens: int = 64) -> Dict:
     return results
 
 
+def run_sampling_sweep(engine, tokenizer=None, n_tokens: int = 48) -> Dict:
+    """Every sampling mode produces valid output; greedy is bit-
+    deterministic across runs; presence penalty suppresses repeats."""
+    from .ops.sampling import SamplingParams
+
+    ids = _encode(engine, tokenizer, PROMPT_KINDS["question"])
+    modes = {
+        "greedy": SamplingParams(temperature=0.0),
+        "top_k_1": SamplingParams(temperature=1.0, top_k=1),
+        "high_temp": SamplingParams(temperature=1.4, top_k=50, top_p=0.99),
+        "nucleus": SamplingParams(temperature=0.8, top_p=0.9),
+        "presence": SamplingParams(temperature=0.7, top_k=40,
+                                   presence_penalty=1.2),
+    }
+    out: Dict = {}
+    for name, sp in modes.items():
+        res = engine.generate(ids, max_new_tokens=n_tokens, sampling=sp,
+                              seed=11, stop_ids={-1})
+        v = validate_tokens(res.tokens, max_run=20)
+        lps = res.logprobs or []
+        if any(not math.isfinite(lp) or lp > 1e-6 for lp in lps):
+            v["ok"] = False
+            v["issues"].append("bad_logprob")
+        out[name] = v
+    # greedy determinism (two fresh runs)
+    a = engine.generate(ids, max_new_tokens=n_tokens,
+                        sampling=modes["greedy"], stop_ids={-1}).tokens
+    b = engine.generate(ids, max_new_tokens=n_tokens,
+                        sampling=modes["greedy"], stop_ids={-1}).tokens
+    out["greedy_deterministic"] = {"ok": a == b, "issues":
+                                   [] if a == b else ["nondeterministic"]}
+    # greedy == top_k=1 at temperature>0 is NOT required (ties may
+    # resolve differently); determinism of each mode with a fixed seed is
+    c = engine.generate(ids, max_new_tokens=n_tokens,
+                        sampling=modes["high_temp"], seed=5,
+                        stop_ids={-1}).tokens
+    d = engine.generate(ids, max_new_tokens=n_tokens,
+                        sampling=modes["high_temp"], seed=5,
+                        stop_ids={-1}).tokens
+    out["seeded_sampling_deterministic"] = {
+        "ok": c == d, "issues": [] if c == d else ["seed_nondeterministic"]}
+    return out
+
+
+def run_contract_edges(engine, tokenizer=None) -> Dict:
+    """Stop-token truncation, near-max_len prompts, long generation."""
+    from .ops.sampling import SamplingParams
+
+    greedy = SamplingParams(temperature=0.0)
+    ids = _encode(engine, tokenizer, PROMPT_KINDS["code"])
+    out: Dict = {}
+
+    # stop-token: rerun greedy with the 6th emitted token as a stop id —
+    # the stream must end at or before that token, and include it
+    base = engine.generate(ids, max_new_tokens=24, sampling=greedy,
+                           stop_ids={-1}).tokens
+    if len(base) >= 8:
+        stop_tok = base[5]
+        res = engine.generate(ids, max_new_tokens=24, sampling=greedy,
+                              stop_ids={stop_tok}).tokens
+        first = base.index(stop_tok)
+        ok = res == base[: first + 1]
+        out["stop_token"] = {"ok": ok,
+                             "issues": [] if ok else ["stop_ignored"]}
+
+    # near-max_len prompt: must emit ≥1 token and never exceed room
+    room_prompt = list(range(1, min(engine.max_len
+                                    - engine.decode_block - 8,
+                                    engine.max_len - 16)))
+    res = engine.generate(room_prompt, max_new_tokens=64, sampling=greedy,
+                          stop_ids={-1}).tokens
+    ok = 1 <= len(res) <= 64
+    out["near_max_len"] = {"ok": ok, "n": len(res),
+                           "issues": [] if ok else ["room_violation"]}
+
+    # long generation stays non-degenerate
+    res = engine.generate(ids, max_new_tokens=min(256, engine.max_len // 2),
+                          sampling=SamplingParams(temperature=0.7, top_k=40),
+                          seed=3, stop_ids={-1}).tokens
+    out["long_generation"] = validate_tokens(res, max_run=24)
+    return out
+
+
+def run_scheduler_churn(cfg, quant, params, num_slots: int = 4,
+                        n_requests: int = 8) -> Dict:
+    """Continuous-batching churn: mixed sampling across slots, one
+    mid-stream cancel, all streams must terminate and validate."""
+    from .ops.sampling import SamplingParams
+    from .runtime.scheduler import BatchScheduler
+
+    sched = BatchScheduler(cfg, quant, params, max_len=512,
+                           num_slots=num_slots, decode_block=4)
+    out: Dict = {}
+    try:
+        reqs = []
+        for i in range(n_requests):
+            sp = (SamplingParams(temperature=0.0) if i % 2 == 0
+                  else SamplingParams(temperature=0.9, top_k=30, top_p=0.95))
+            reqs.append(sched.submit([5 + i, 9 + i, 13 + i, 2 + i],
+                                     max_new_tokens=32, sampling=sp,
+                                     stop_ids={-1}))
+        reqs[1].cancelled.set()
+        for i, r in enumerate(reqs):
+            toks = []
+            while True:
+                t = r.out_queue.get(timeout=900)
+                if t is None:
+                    break
+                toks.append(t)
+            v = validate_tokens(toks, max_run=20) if i != 1 else {
+                "ok": len(toks) < 32, "issues": [], "n": len(toks)}
+            out[f"req{i}" + ("_cancelled" if i == 1 else "")] = v
+    finally:
+        sched.shutdown()
+    return out
+
+
+def run_all(engine, tokenizer=None, max_new_tokens: int = 64,
+            scheduler_cfg=None) -> Dict:
+    report = {
+        "prompts": run_stress(engine, tokenizer, max_new_tokens),
+        "sampling": run_sampling_sweep(engine, tokenizer),
+        "contracts": run_contract_edges(engine, tokenizer),
+    }
+    if scheduler_cfg is not None:
+        cfg, quant, params = scheduler_cfg
+        report["scheduler"] = run_scheduler_churn(cfg, quant, params)
+    flat = []
+    for section, cases in report.items():
+        for name, v in cases.items():
+            if isinstance(v, dict) and "ok" in v:
+                flat.append((f"{section}.{name}", v["ok"]))
+    report["_summary"] = {
+        "passed": sum(ok for _, ok in flat),
+        "total": len(flat),
+        "failed": [n for n, ok in flat if not ok],
+    }
+    return report
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model")
     ap.add_argument("--synthetic", default="tiny")
     ap.add_argument("--max-new-tokens", type=int, default=64)
+    ap.add_argument("--slots", type=int, default=0,
+                    help="also churn the batching scheduler at N slots")
     args = ap.parse_args()
 
     from .config import ModelConfig, QuantConfig
@@ -85,17 +247,23 @@ def main():
 
         cfg = ModelConfig.from_model_path(args.model)
         quant = QuantConfig()
-        engine = Engine(cfg, quant, load_params(cfg, quant))
+        params = load_params(cfg, quant)
+        engine = Engine(cfg, quant, params)
         tok = Tokenizer(args.model)
     else:
         from .models.synthetic import build_synthetic_engine, tiny_config
 
-        engine = build_synthetic_engine(
-            tiny_config("qwen3-moe"), QuantConfig(expert_bits=4, group_size=32)
-        )
-        tok = None
-    print(json.dumps(run_stress(engine, tok, args.max_new_tokens), indent=2))
+        cfg = tiny_config("qwen3-moe")
+        quant = QuantConfig(expert_bits=4, group_size=32)
+        engine = build_synthetic_engine(cfg, quant)
+        params, tok = engine.params, None
+
+    sched_cfg = (cfg, quant, params) if args.slots > 0 else None
+    report = run_all(engine, tok, args.max_new_tokens,
+                     scheduler_cfg=sched_cfg)
+    print(json.dumps(report, indent=2))
+    return 1 if report["_summary"]["failed"] else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

@@ -58,12 +58,19 @@ def validate_tokens(tokens: List[int], max_run: int = 12) -> Dict:
     return {"ok": not issues, "issues": issues, "n": len(tokens)}
 
 
-def _encode(engine, tokenizer, prompt: str) -> List[int]:
+def _encode(engine, tokenizer, prompt: str,
+            reserve: int = 72) -> List[int]:
+    """Tokenize, capped so `reserve` generation room always remains
+    within the engine's max_len (the battery must stress content, not
+    trip the prompt-too-long guard)."""
+    cap = max(8, engine.max_len - engine.decode_block - reserve)
     if tokenizer is not None:
-        return tokenizer.apply_chat_template(
+        ids = tokenizer.apply_chat_template(
             [{"role": "user", "content": prompt}])
+        return ids[:cap]
     vocab = engine.cfg.vocab_size
-    return [(7 + 31 * ord(c)) % (vocab - 2) + 1 for c in prompt[:1024]]
+    return [(7 + 31 * ord(c)) % (vocab - 2) + 1
+            for c in prompt[:min(1024, cap)]]
 
 
 def run_stress(engine, tokenizer=None, max_new_tokens: int = 64) -> Dict:
@@ -155,9 +162,9 @@ def run_contract_edges(engine, tokenizer=None) -> Dict:
                              "issues": [] if ok else ["stop_ignored"]}
 
     # near-max_len prompt: must emit ≥1 token and never exceed room
-    room_prompt = list(range(1, min(engine.max_len
-                                    - engine.decode_block - 8,
-                                    engine.max_len - 16)))
+    n_room = max(8, engine.max_len - engine.decode_block - 4)
+    room_prompt = [1 + (i % (engine.cfg.vocab_size - 2))
+                   for i in range(n_room)]
     res = engine.generate(room_prompt, max_new_tokens=64, sampling=greedy,
                           stop_ids={-1}).tokens
     ok = 1 <= len(res) <= 64

@@ -1,0 +1,132 @@
+#!/usr/bin/env python
+"""Decode step breakdown by ENGINE ABLATION (V2-Lite Q4, one chip).
+
+probe_decode_profile.py showed isolated-kernel timings through the
+relay measure the tunnel's per-op floor (~1.7 ms), not kernel time —
+so the per-sublayer table is built the only way that works through a
+relay: difference the full fused decode block across architecture
+ablations, all at block=128 where dispatch amortizes to <0.6 ms/tok:
+
+    baseline        V2-Lite Q4 (bf16 attention)
+    topk1           num_experts_per_tok 6 → 1   (Δ = 5 routed picks)
+    vocab8k         vocab 102400 → 8192         (Δ ≈ lm_head + sampling)
+    noshared        n_shared_experts 2 → 0      (Δ = shared expert)
+    attnint4        attention int4              (Δ = attn projection HBM)
+
+Each Δ is per-token milliseconds attributable to that sublayer group;
+baseline − Σexplained = norms + MLA cache math + scan/sampling overhead.
+
+Run: python benchmarks/probe_decode_ablate.py [--out benchmarks/decode_ablation.json]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+
+BLOCK = 128
+N_TOK = 256
+HBM_GBS = 700e9
+
+
+def measure(eng, prompt, runs):
+    from krasis_tpu.ops.sampling import SamplingParams
+
+    greedy = SamplingParams(temperature=0.0)
+    eng.decode_block = BLOCK
+    eng.generate(prompt, max_new_tokens=N_TOK, sampling=greedy,
+                 stop_ids={-1})
+    xs = []
+    for _ in range(runs):
+        r = eng.generate(prompt, max_new_tokens=N_TOK, sampling=greedy,
+                         stop_ids={-1})
+        xs.append(r.decode_s / (len(r.tokens) - 1))
+    med = float(np.median(xs))
+    iqr = float(np.percentile(xs, 75) - np.percentile(xs, 25))
+    return med, iqr
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="benchmarks/decode_ablation.json")
+    ap.add_argument("--runs", type=int, default=5)
+    args = ap.parse_args()
+
+    import jax
+
+    assert jax.default_backend() == "tpu", jax.default_backend()
+
+    from krasis_tpu.config import QuantConfig, preset_config
+    from krasis_tpu.models.synthetic import build_synthetic_engine
+
+    rng = np.random.default_rng(0)
+
+    variants = {
+        "baseline": (dict(), dict()),
+        "topk1": (dict(num_experts_per_tok=1), dict()),
+        "vocab8k": (dict(vocab_size=8192), dict()),
+        "noshared": (dict(n_shared_experts=0,
+                          shared_expert_intermediate_size=0), dict()),
+        "attnint4": (dict(), dict(attention="int4")),
+    }
+    ms = {}
+    for name, (cfg_over, q_over) in variants.items():
+        cfg = preset_config("deepseek-v2-lite", **cfg_over)
+        quant = QuantConfig(expert_bits=4, group_size=128,
+                            kv_cache_dtype="bf16", **q_over)
+        t0 = time.time()
+        eng = build_synthetic_engine(cfg, quant, max_len=4096)
+        prompt = rng.integers(100, cfg.vocab_size - 100, size=2048).tolist()
+        med, iqr = measure(eng, prompt, args.runs)
+        ms[name] = {"ms_per_tok": round(med * 1e3, 3),
+                    "iqr_ms": round(iqr * 1e3, 3)}
+        print(f"[{name}] {med * 1e3:.3f} ms/tok (iqr {iqr * 1e3:.3f}, "
+              f"build {time.time() - t0:.0f}s)", flush=True)
+        del eng
+
+    base = ms["baseline"]["ms_per_tok"]
+    # per-token attributions
+    d_moe5 = base - ms["topk1"]["ms_per_tok"]          # 5 of 6 picks
+    moe = d_moe5 * 6 / 5
+    head = base - ms["vocab8k"]["ms_per_tok"]          # ~94% of lm_head
+    shared = base - ms["noshared"]["ms_per_tok"]
+    attn_gain4 = base - ms["attnint4"]["ms_per_tok"]   # 3/4 of attn-proj HBM
+    attn_proj = attn_gain4 * 4 / 3
+    residual = base - moe - head - shared - attn_proj
+    table = {
+        "routed_moe_ms": round(moe, 3),
+        "lm_head_sampling_ms": round(head, 3),
+        "shared_expert_ms": round(shared, 3),
+        "attn_projections_ms_inferred": round(attn_proj, 3),
+        "residual_norms_cache_scan_ms": round(residual, 3),
+        "baseline_ms": base,
+        "note": "attn_projections inferred from the int4 ablation "
+                "(int4 removes ~3/4 of projection bytes); residual = "
+                "MLA cache math + norms + routing + scan overhead",
+    }
+    # byte-model roofline for comparison
+    roof = {
+        "moe_bytes_mb": round(26 * 6 * 4.34, 1),
+        "shared_bytes_mb": round(26 * 17.3, 1),
+        "attn_bf16_bytes_mb": round(27 * 27.4, 1),
+        "lm_head_mb": 210.0,
+        "roofline_total_ms_at_700GBs": round(
+            (26 * 6 * 4.34 + 26 * 17.3 + 27 * 27.4 + 210 + 67)
+            / 1e3 / (HBM_GBS / 1e9) * 1e3, 2),
+    }
+    out = {"variants": ms, "attribution_ms_per_tok": table,
+           "hbm_roofline": roof, "block": BLOCK, "runs": args.runs}
+    print(json.dumps(out, indent=2))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", args.out)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

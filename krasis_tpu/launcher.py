@@ -178,6 +178,8 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--models-dir", action="append", default=[])
     ap.add_argument("--non-interactive", action="store_true")
+    ap.add_argument("--plain", action="store_true",
+                    help="stdin prompts instead of the curses TUI")
     ap.add_argument("--port", type=int, default=8399)
     args = ap.parse_args()
 
@@ -193,7 +195,44 @@ def main() -> int:
             print("no saved config; run interactively first")
             return 1
         cfg = dict(saved)
+    elif not args.plain and sys.stdin.isatty() and sys.stdout.isatty():
+        # 4-screen curses TUI (launcher_tui.py); falls back to the plain
+        # prompts below on any terminal trouble
+        try:
+            from .launcher_tui import run_tui
+
+            model, values, action = run_tui(scan_models(roots), saved)
+        except Exception as e:  # noqa: BLE001 — degraded terminal
+            print(f"(curses TUI unavailable: {e}; using plain prompts)")
+            return main_plain(roots, saved)
+        if action is None:
+            print("aborted")
+            return 1
+        cfg = dict(saved)
+        cfg.update(values)
+        cfg["model"] = model
+        save_config(cfg)
+        if action != "launch":
+            print(f"saved config to {CONFIG_PATH}")
+            return 0
+        cmd = [sys.executable, "-m", "krasis_tpu.server", "--model", model]
+        for key, _, default, flag in SETTINGS:
+            cmd += [flag, cfg.get(key, default)]
+        print("launching:", " ".join(cmd))
+        return subprocess.call(cmd)
     else:
+        return main_plain(roots, saved)
+
+    cmd = [sys.executable, "-m", "krasis_tpu.server", "--model", model]
+    for key, _, default, flag in SETTINGS:
+        cmd += [flag, cfg.get(key, default)]
+    print("launching:", " ".join(cmd))
+    return subprocess.call(cmd)
+
+
+def main_plain(roots: List[str], saved: Dict[str, str]) -> int:
+    """The original stdin-prompt flow (zero-dependency fallback)."""
+    if True:  # keep the historical indentation of the flow below
         print_hardware(detect_hardware())
         models = scan_models(roots)
         if models:

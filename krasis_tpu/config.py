@@ -63,6 +63,14 @@ class QuantConfig:
     shared_expert: str = "int8"     # "bf16" | "int8"
     dense_mlp: str = "int8"         # "bf16" | "int8"
     group_size: int = 128           # quantization group size along K
+    # Fold shared experts into the decode MoE stack as always-picked
+    # virtual experts (models/params.fold_shared_experts): one gathered
+    # kernel reads routed+shared weights per layer — measured 2.07 ms of
+    # a 7.3 ms V2-Lite decode step spent in the standalone shared-expert
+    # matvecs (benchmarks/decode_ablation.json). Applied by Engine /
+    # BatchScheduler on the unsharded path only; quality-certified in
+    # benchmarks/quality/QUALITY.md (the matrix runs folded engines).
+    fold_shared_decode: bool = True
     # "auto" resolves per engine (runtime/kv_cache.resolve_kv_quant):
     # bf16 when the full cache fits the HBM budget — on v5e the fp8
     # cache decodes ~2.5x SLOWER than bf16 (the VPU fp8->bf16 upcast

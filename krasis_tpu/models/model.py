@@ -33,7 +33,8 @@ from ..ops.deltanet import (
     gated_delta_rule_chunked,
     gated_delta_rule_recurrent,
 )
-from ..ops.moe import mlp_forward, moe_forward
+from ..ops.moe import mlp_forward, moe_forward, use_grouped_path
+from ..quant import QTensor
 from ..ops.norm import gated_rms_norm, rms_norm
 from ..ops.qmm import linear
 from ..ops.routing import compute_routing
@@ -468,6 +469,39 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
         out = hot_out + _offload_moe(offload, x2d, idx, wts,
                                      lp["_abs_layer"])
         return _mlp_shared(lp, x2d, cfg, gpt_oss, out)
+    # Folded shared experts (models/params.fold_shared_experts): the
+    # stack carries n_virt extra always-picked virtual experts beyond
+    # cfg.n_routed_experts — detected STATICALLY from the stack shape.
+    # Taken only in the gathered (decode) regime on the unsharded path;
+    # prefill and mesh paths keep the dense shared matmul below.
+    w13_stack = lp.get("w13")
+    E_stack = (w13_stack.q.shape[-3] if isinstance(w13_stack, QTensor)
+               else (w13_stack.shape[-3] if w13_stack is not None else 0))
+    n_virt = E_stack - cfg.n_routed_experts if w13_stack is not None else 0
+    if (n_virt > 0 and mesh is None and ep_axis is None and not gpt_oss
+            and not use_grouped_path(
+                x2d.shape[0],
+                routing.topk_idx.shape[-1] + n_virt, E_stack)):
+        T = x2d.shape[0]
+        sh_idx = jnp.broadcast_to(
+            jnp.arange(cfg.n_routed_experts, E_stack, dtype=jnp.int32),
+            (T, n_virt))
+        if "shared_gate_w" in lp:
+            sg = jax.nn.sigmoid(
+                linear(x2d, lp["shared_gate_w"]).astype(jnp.float32))
+            sh_wts = jnp.broadcast_to(sg, (T, n_virt))
+        else:
+            sh_wts = jnp.ones((T, n_virt), routing.topk_weights.dtype)
+        idx = jnp.concatenate([routing.topk_idx, sh_idx], axis=1)
+        wts = jnp.concatenate(
+            [routing.topk_weights, sh_wts.astype(routing.topk_weights.dtype)],
+            axis=1)
+        return moe_forward(
+            x2d, lp["w13"], lp["w2"], idx, wts,
+            swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+            layer_idx=lp.get("_layer_idx"), activation=activation,
+        )
+
     from ..parallel.ep import (
         ep_supported, moe_forward_ep, moe_forward_ep_local,
     )

@@ -311,6 +311,100 @@ def init_synthetic_params(
     return params
 
 
+def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
+                        quant: QuantConfig) -> Dict[str, Any]:
+    """Append the shared expert(s) to each MoE stack as always-picked
+    VIRTUAL routed experts (decode fast path).
+
+    Why: at decode the shared expert is a T=1 int8 matvec through its
+    own kernel launches — measured 2.07 ms/step of V2-Lite's 7.3 ms
+    (benchmarks/decode_ablation.json), at ~half the effective bandwidth
+    of the gathered MoE kernel. SwiGLU factors exactly over I-sized
+    column blocks: with Is = n_virt·I,
+        swiglu(x·W13)·W2 = Σ_j swiglu(x·W13_j)·W2_j ,
+    so the shared computation IS n_virt routed-expert computations with
+    weight 1.0 (or the per-token sigmoid shared gate). Folding them into
+    the stack lets ONE gathered kernel read routed+shared weights per
+    layer — including the W4A8 int8×int8 path.
+
+    The dense `shared_w13`/`shared_w2` leaves are KEPT: prefill (large
+    T) computes shared as one MXU matmul, which is faster there; only
+    the gathered decode regime uses the virtual experts
+    (models/model._mlp picks by stack shape vs cfg.n_routed_experts).
+    Cost: one extra expert-bits copy of the shared weights in HBM
+    (V2-Lite: +225 MB). Quantization: shared is re-quantized from its
+    serving form at expert_bits — certified in the quality matrix
+    (benchmarks/quality/QUALITY.md covers the folded engine).
+
+    No-ops (returns params unchanged leaves) for layers with per-expert
+    biases (GPT-OSS), Is not a multiple of I, or missing stacks
+    (offload tier). Do NOT apply to mesh-sharded params: E+n_virt
+    breaks the ep-axis divisibility (Engine/BatchScheduler only fold
+    when mesh is None).
+    """
+    from ..quant import dequantize
+
+    if cfg.n_shared_experts <= 0:
+        return params
+    I = cfg.moe_intermediate_size
+
+    def as_f32(w):
+        if isinstance(w, QTensor):
+            return dequantize(w, dtype=jnp.float32)
+        return jnp.asarray(w, jnp.float32)
+
+    def fold_layer(lp):
+        if ("w13" not in lp or "shared_w13" not in lp
+                or "w13_bias" in lp):
+            return lp
+        w13, w2 = lp["w13"], lp["w2"]
+        if isinstance(w13, QTensor) and w13.bits not in (4, 8):
+            # synthetic bits-16 layout: no exact requant form to append
+            return lp
+        E_cur = w13.q.shape[-3] if isinstance(w13, QTensor) else w13.shape[-3]
+        if E_cur != cfg.n_routed_experts:
+            return lp  # already folded (idempotent re-entry)
+        s13 = as_f32(lp["shared_w13"])          # [..., H, 2*Is]
+        s2 = as_f32(lp["shared_w2"])            # [..., Is, H]
+        Is = s13.shape[-1] // 2
+        if Is % I or Is == 0:
+            return lp
+        n_virt = Is // I
+        lead = s13.shape[:-2]
+        H = s13.shape[-2]
+        gate = s13[..., :, :Is].reshape(*lead, H, n_virt, I)
+        up = s13[..., :, Is:].reshape(*lead, H, n_virt, I)
+        v13 = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1), -2, -3)
+        v2 = s2.reshape(*lead, n_virt, I, H)
+
+        out = dict(lp)
+        if isinstance(w13, QTensor):
+            q13 = quantize(v13, bits=w13.bits, group_size=w13.group_size)
+            q2 = quantize(v2, bits=w2.bits, group_size=w2.group_size)
+            out["w13"] = QTensor(
+                jnp.concatenate([w13.q, q13.q], axis=-3),
+                jnp.concatenate([w13.scales, q13.scales], axis=-3),
+                w13.bits, w13.group_size)
+            out["w2"] = QTensor(
+                jnp.concatenate([w2.q, q2.q], axis=-3),
+                jnp.concatenate([w2.scales, q2.scales], axis=-3),
+                w2.bits, w2.group_size)
+        else:
+            dt = w13.dtype
+            out["w13"] = jnp.concatenate([w13, v13.astype(dt)], axis=-3)
+            out["w2"] = jnp.concatenate([w2, v2.astype(dt)], axis=-3)
+        return out
+
+    new = dict(params)
+    new["prefix_layers"] = [fold_layer(lp) for lp in params["prefix_layers"]]
+    new["pattern"] = [fold_layer(lp) for lp in params["pattern"]]
+    if "mtp" in params:
+        mtp = dict(params["mtp"])
+        mtp["layer"] = fold_layer(params["mtp"]["layer"])
+        new["mtp"] = mtp
+    return new
+
+
 def stack_layer_list(layers: List[Dict[str, Any]], cfg: ModelConfig):
     """Stack a list of same-structure per-layer dicts into pattern layout
     (used by the checkpoint loader; host-side, placement happens later)."""

@@ -122,6 +122,12 @@ class Engine:
         # Resolve "auto" kv dtype ONCE at the engine's full size so every
         # history bucket / request cache shares one storage dtype.
         self.quant = quant = resolve_kv_quant(cfg, quant, batch_size, max_len)
+        if quant.fold_shared_decode and mesh is None and offload is None:
+            # shared experts as virtual routed experts on the decode path
+            # (idempotent: detected by stack shape, no-op when folded)
+            from ..models.params import fold_shared_experts
+
+            params = fold_shared_experts(params, cfg, quant)
         self.params = params
         self.max_len = max_len
         self.batch_size = batch_size

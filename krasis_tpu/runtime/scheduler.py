@@ -122,6 +122,10 @@ class BatchScheduler:
     ):
         self.cfg = cfg
         self.quant = quant = resolve_kv_quant(cfg, quant, num_slots, max_len)
+        if quant.fold_shared_decode and mesh is None and offload is None:
+            from ..models.params import fold_shared_experts
+
+            params = fold_shared_experts(params, cfg, quant)
         self.params = params
         self.max_len = max_len
         self.num_slots = num_slots

@@ -348,11 +348,6 @@ def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
         return params
     I = cfg.moe_intermediate_size
 
-    def as_f32(w):
-        if isinstance(w, QTensor):
-            return dequantize(w, dtype=jnp.float32)
-        return jnp.asarray(w, jnp.float32)
-
     def fold_layer(lp):
         if ("w13" not in lp or "shared_w13" not in lp
                 or "w13_bias" in lp):
@@ -364,35 +359,74 @@ def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
         E_cur = w13.q.shape[-3] if isinstance(w13, QTensor) else w13.shape[-3]
         if E_cur != cfg.n_routed_experts:
             return lp  # already folded (idempotent re-entry)
-        s13 = as_f32(lp["shared_w13"])          # [..., H, 2*Is]
-        s2 = as_f32(lp["shared_w2"])            # [..., Is, H]
-        Is = s13.shape[-1] // 2
+        sw13, sw2 = lp["shared_w13"], lp["shared_w2"]
+        sh13_shape = sw13.shape if not isinstance(sw13, QTensor) else (
+            sw13.scales.shape[:-2] + (
+                sw13.q.shape[-2] * (2 if sw13.bits == 4 else 1),
+                sw13.q.shape[-1]))
+        Is = sh13_shape[-1] // 2
         if Is % I or Is == 0:
             return lp
         n_virt = Is // I
-        lead = s13.shape[:-2]
-        H = s13.shape[-2]
-        gate = s13[..., :, :Is].reshape(*lead, H, n_virt, I)
-        up = s13[..., :, Is:].reshape(*lead, H, n_virt, I)
-        v13 = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1), -2, -3)
-        v2 = s2.reshape(*lead, n_virt, I, H)
+        lead = sh13_shape[:-2]
+        H = sh13_shape[-2]
+
+        def rep_f32(w, r):
+            """One rep of a (possibly stacked, possibly quantized)
+            shared leaf as f32 [K, N] — bounds the dequant transient."""
+            if isinstance(w, QTensor):
+                wr = QTensor(w.q[r] if lead else w.q,
+                             w.scales[r] if lead else w.scales,
+                             w.bits, w.group_size)
+                return dequantize(wr, dtype=jnp.float32)
+            return jnp.asarray(w[r] if lead else w, jnp.float32)
+
+        # per-rep slicing: a full-size stacked shared leaf dequantized to
+        # f32 at once is a multi-GB transient (OOMed a 16 GB chip at
+        # init); one rep is a few tens of MB
+        def virt_slices(s13_r, s2_r):
+            gate = s13_r[:, :Is].reshape(H, n_virt, I)
+            up = s13_r[:, Is:].reshape(H, n_virt, I)
+            v13_r = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1),
+                                 -2, -3)                # [n_virt, H, 2I]
+            v2_r = s2_r.reshape(n_virt, I, H)
+            return v13_r, v2_r
+
+        reps = lead[0] if lead else 1
+        v13_parts, v2_parts = [], []
+        for r in range(reps):
+            s13_r = rep_f32(sw13, r)
+            s2_r = rep_f32(sw2, r)
+            v13_r, v2_r = virt_slices(s13_r, s2_r)
+            if isinstance(w13, QTensor):
+                v13_parts.append(quantize(v13_r, bits=w13.bits,
+                                          group_size=w13.group_size))
+                v2_parts.append(quantize(v2_r, bits=w2.bits,
+                                         group_size=w2.group_size))
+            else:
+                v13_parts.append(v13_r.astype(w13.dtype))
+                v2_parts.append(v2_r.astype(w2.dtype))
 
         out = dict(lp)
         if isinstance(w13, QTensor):
-            q13 = quantize(v13, bits=w13.bits, group_size=w13.group_size)
-            q2 = quantize(v2, bits=w2.bits, group_size=w2.group_size)
-            out["w13"] = QTensor(
-                jnp.concatenate([w13.q, q13.q], axis=-3),
-                jnp.concatenate([w13.scales, q13.scales], axis=-3),
-                w13.bits, w13.group_size)
-            out["w2"] = QTensor(
-                jnp.concatenate([w2.q, q2.q], axis=-3),
-                jnp.concatenate([w2.scales, q2.scales], axis=-3),
-                w2.bits, w2.group_size)
+            def cat(base_q, base_s, parts, bits, gs):
+                q = jnp.stack([p.q for p in parts])
+                s = jnp.stack([p.scales for p in parts])
+                if not lead:
+                    q, s = q[0], s[0]
+                return QTensor(jnp.concatenate([base_q, q], axis=-3),
+                               jnp.concatenate([base_s, s], axis=-3),
+                               bits, gs)
+
+            out["w13"] = cat(w13.q, w13.scales, v13_parts,
+                             w13.bits, w13.group_size)
+            out["w2"] = cat(w2.q, w2.scales, v2_parts,
+                            w2.bits, w2.group_size)
         else:
-            dt = w13.dtype
-            out["w13"] = jnp.concatenate([w13, v13.astype(dt)], axis=-3)
-            out["w2"] = jnp.concatenate([w2, v2.astype(dt)], axis=-3)
+            v13_all = jnp.stack(v13_parts) if lead else v13_parts[0]
+            v2_all = jnp.stack(v2_parts) if lead else v2_parts[0]
+            out["w13"] = jnp.concatenate([w13, v13_all], axis=-3)
+            out["w2"] = jnp.concatenate([w2, v2_all], axis=-3)
         return out
 
     new = dict(params)

@@ -33,7 +33,7 @@ from ..ops.deltanet import (
     gated_delta_rule_chunked,
     gated_delta_rule_recurrent,
 )
-from ..ops.moe import mlp_forward, moe_forward, use_grouped_path
+from ..ops.moe import mlp_forward, moe_forward
 from ..quant import QTensor
 from ..ops.norm import gated_rms_norm, rms_norm
 from ..ops.qmm import linear
@@ -414,7 +414,7 @@ def _offload_moe(offload, x2d: jax.Array, topk_idx: jax.Array,
 
 def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
          activation: str = "bf16", sp_axis=None, ep_axis=None,
-         offload=None) -> jax.Array:
+         offload=None, prefill: bool = True) -> jax.Array:
     gpt_oss = cfg.model_type == "gpt_oss"
 
     if sp_axis is not None:
@@ -430,7 +430,7 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
                                                rows // n)
             out_loc = _mlp(lp, loc, cfg, spec, mesh=None,
                            activation=activation, sp_axis=None,
-                           ep_axis=ep_axis)
+                           ep_axis=ep_axis, prefill=prefill)
             return jax.lax.all_gather(out_loc, sp_axis, axis=0, tiled=True)
         # fall through: tiny chunks that don't split run replicated
 
@@ -472,16 +472,21 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
     # Folded shared experts (models/params.fold_shared_experts): the
     # stack carries n_virt extra always-picked virtual experts beyond
     # cfg.n_routed_experts — detected STATICALLY from the stack shape.
-    # Taken only in the gathered (decode) regime on the unsharded path;
-    # prefill and mesh paths keep the dense shared matmul below.
+    # Taken in EVERY decode graph on the unsharded path (the decision
+    # keys on `prefill`, which is static per compiled graph, NOT on T:
+    # a T-dependent rule made the spec verify step — T=k+1 — and the
+    # vanilla step — T=1 — compute shared with different kernels, which
+    # broke greedy spec exactness on near-tie logits). moe_forward still
+    # picks grouped vs gathered for the extended picks by T; both
+    # kernels read the same virtual-expert bytes. Prefill and mesh
+    # paths keep the dense shared matmul below — computing from the
+    # SAME quantized values the virtual experts are sliced from.
     w13_stack = lp.get("w13")
     E_stack = (w13_stack.q.shape[-3] if isinstance(w13_stack, QTensor)
                else (w13_stack.shape[-3] if w13_stack is not None else 0))
     n_virt = E_stack - cfg.n_routed_experts if w13_stack is not None else 0
-    if (n_virt > 0 and mesh is None and ep_axis is None and not gpt_oss
-            and not use_grouped_path(
-                x2d.shape[0],
-                routing.topk_idx.shape[-1] + n_virt, E_stack)):
+    if (n_virt > 0 and not prefill and mesh is None and ep_axis is None
+            and not gpt_oss):
         T = x2d.shape[0]
         sh_idx = jnp.broadcast_to(
             jnp.arange(cfg.n_routed_experts, E_stack, dtype=jnp.int32),
@@ -670,7 +675,7 @@ def make_layer_step(
         B, S = x.shape[:2]
         mlp_out = _mlp(lp, normed.reshape(B * S, -1), cfg, spec, mesh=mesh,
                        activation=activation, sp_axis=sp_axis,
-                       ep_axis=ep_axis, offload=offload)
+                       ep_axis=ep_axis, offload=offload, prefill=prefill)
         return x + mlp_out.reshape(B, S, -1), new_lc
 
     return layer_step

@@ -222,27 +222,56 @@ def _init_layer(
             lp["gate_bias"] = jnp.zeros(lead + (E,), jnp.float32)
         if cfg.model_type == "gpt_oss":
             lp["gate_logit_bias"] = jnp.zeros(lead + (E,), jnp.float32)
-        if not skip_experts:
-            k13, k2 = jax.random.split(next(keys))
-            lp["w13"] = random_qtensor(
-                k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
-            lp["w2"] = random_qtensor(
-                k2, lead + (E, I, H), quant.expert_bits, gs)
-            if cfg.model_type == "gpt_oss":
-                lp["w13_bias"] = jnp.zeros(lead + (E, 2 * I), jnp.float32)
-                lp["w2_bias"] = jnp.zeros(lead + (E, H), jnp.float32)
+        shared_src = None
+        Is = 0
         if cfg.n_shared_experts > 0:
             Is = cfg.shared_expert_intermediate_size or (
                 cfg.moe_intermediate_size * cfg.n_shared_experts
             )
+            shared_src = (rnd((H, 2 * Is), dt=jnp.float32),
+                          rnd((Is, H), dt=jnp.float32))
             lp["shared_w13"] = _maybe_quant(
-                rnd((H, 2 * Is), dt=jnp.float32), quant.shared_expert, gs
-            )
+                shared_src[0], quant.shared_expert, gs)
             lp["shared_w2"] = _maybe_quant(
-                rnd((Is, H), dt=jnp.float32), quant.shared_expert, gs
-            )
+                shared_src[1], quant.shared_expert, gs)
             if cfg.model_type in ("qwen3_next", "qwen3_5_moe_text"):
                 lp["shared_gate_w"] = rnd((H, 1))
+        # Creation-time shared-expert fold (see fold_shared_experts):
+        # generate the stack at E+n_virt and write the virtual experts
+        # via a donated in-place set — the post-hoc concat path doubles
+        # a multi-GB stack transiently, which OOMs full-size models.
+        n_virt = 0
+        if (shared_src is not None and quant.fold_shared_decode
+                and not skip_experts and cfg.model_type != "gpt_oss"
+                and quant.expert_bits in (4, 8) and Is % I == 0 and Is
+                and not (quant.expert_bits == 4 and I % 2)):
+            n_virt = Is // I
+        if not skip_experts:
+            k13, k2 = jax.random.split(next(keys))
+            lp["w13"] = random_qtensor(
+                k13, lead + (E + n_virt, H, 2 * I), quant.expert_bits, gs)
+            lp["w2"] = random_qtensor(
+                k2, lead + (E + n_virt, I, H), quant.expert_bits, gs)
+            if n_virt and I % lp["w2"].group_size == 0:
+                # ONE quantization of the shared source at expert bits
+                # with the stack's group sizes; the dense prefill leaves
+                # and the virtual experts slice the SAME arrays
+                sh13 = quantize(shared_src[0], quant.expert_bits, gs)
+                sh2 = quantize(shared_src[1], quant.expert_bits,
+                               group_size=lp["w2"].group_size)
+                lp["shared_w13"], lp["shared_w2"] = sh13, sh2
+                v13, v2 = virtual_expert_slices(sh13, sh2, I)
+                lp["w13"] = _write_virtual_experts(lp["w13"], v13, E)
+                lp["w2"] = _write_virtual_experts(lp["w2"], v2, E)
+            elif n_virt:
+                # alignment impossible: drop back to the unfolded stack
+                lp["w13"] = random_qtensor(
+                    k13, lead + (E, H, 2 * I), quant.expert_bits, gs)
+                lp["w2"] = random_qtensor(
+                    k2, lead + (E, I, H), quant.expert_bits, gs)
+            if cfg.model_type == "gpt_oss":
+                lp["w13_bias"] = jnp.zeros(lead + (E, 2 * I), jnp.float32)
+                lp["w2_bias"] = jnp.zeros(lead + (E, H), jnp.float32)
     else:
         I = cfg.intermediate_size
         lp["mlp_w13"] = _maybe_quant(rnd((H, 2 * I), dt=jnp.float32), quant.dense_mlp, gs)
@@ -311,6 +340,45 @@ def init_synthetic_params(
     return params
 
 
+def virtual_expert_slices(sh13: QTensor, sh2: QTensor, I: int):
+    """Shared-expert QTensors → virtual-expert stacks [..., n_virt, ...]
+    as BIT-EXACT slices (quant.slice_n / slice_k): the folded decode
+    path and the dense prefill path must compute from identical values
+    (see fold_shared_experts)."""
+    from ..quant import slice_k, slice_n
+
+    Is = sh2.scales.shape[-2] * sh2.group_size
+    n_virt = Is // I
+    v13p, v2p = [], []
+    for j in range(n_virt):
+        g = slice_n(sh13, j * I, I)
+        u = slice_n(sh13, Is + j * I, I)
+        v13p.append(QTensor(
+            jnp.concatenate([g.q, u.q], axis=-1),
+            jnp.concatenate([g.scales, u.scales], axis=-1),
+            sh13.bits, sh13.group_size))
+        v2p.append(slice_k(sh2, j * I, I))
+
+    def st(parts):
+        return QTensor(
+            jnp.stack([p.q for p in parts], axis=-3),
+            jnp.stack([p.scales for p in parts], axis=-3),
+            parts[0].bits, parts[0].group_size)
+
+    return st(v13p), st(v2p)
+
+
+def _write_virtual_experts(stack: QTensor, virt: QTensor, E: int) -> QTensor:
+    """Write virtual experts into stack rows [E:] via a DONATED in-place
+    set — a post-hoc concat would transiently double a multi-GB stack."""
+    def setter(a, b):
+        return a.at[..., E:, :, :].set(b)
+
+    jset = jax.jit(setter, donate_argnums=(0,))
+    return QTensor(jset(stack.q, virt.q), jset(stack.scales, virt.scales),
+                   stack.bits, stack.group_size)
+
+
 def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
                         quant: QuantConfig) -> Dict[str, Any]:
     """Append the shared expert(s) to each MoE stack as always-picked
@@ -327,20 +395,25 @@ def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
     the stack lets ONE gathered kernel read routed+shared weights per
     layer — including the W4A8 int8×int8 path.
 
-    The dense `shared_w13`/`shared_w2` leaves are KEPT: prefill (large
-    T) computes shared as one MXU matmul, which is faster there; only
-    the gathered decode regime uses the virtual experts
-    (models/model._mlp picks by stack shape vs cfg.n_routed_experts).
-    Cost: one extra expert-bits copy of the shared weights in HBM
-    (V2-Lite: +225 MB). Quantization: shared is re-quantized from its
-    serving form at expert_bits — certified in the quality matrix
-    (benchmarks/quality/QUALITY.md covers the folded engine).
+    The dense `shared_w13`/`shared_w2` leaves are KEPT for prefill
+    (large T computes shared as one MXU matmul) — and, crucially, they
+    are REPLACED with the SAME expert-bits quantization the virtual
+    experts are sliced from: both paths compute from bit-identical
+    values, so spec-decode exactness (grouped verify vs gathered
+    vanilla) and prefill/decode consistency survive the fold. The
+    slices themselves are bit-exact relayouts (quant.slice_n /
+    slice_k — per-column scales make column slices trivially exact;
+    packed-int4 K-slices re-pair nibbles). Quality: shared moves from
+    its int8 default to expert_bits — certified in the quality matrix
+    (benchmarks/quality/QUALITY.md runs folded engines).
 
     No-ops (returns params unchanged leaves) for layers with per-expert
-    biases (GPT-OSS), Is not a multiple of I, or missing stacks
-    (offload tier). Do NOT apply to mesh-sharded params: E+n_virt
-    breaks the ep-axis divisibility (Engine/BatchScheduler only fold
-    when mesh is None).
+    biases (GPT-OSS), Is not a multiple of I, non-4/8-bit stacks, or
+    missing stacks (offload tier). Do NOT apply to mesh-sharded params:
+    E+n_virt breaks the ep-axis divisibility (Engine/BatchScheduler
+    only fold when mesh is None). init_synthetic_params folds at
+    CREATION time instead (this post-hoc concat doubles a multi-GB
+    stack transiently).
     """
     from ..quant import dequantize
 
@@ -365,68 +438,65 @@ def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
                 sw13.q.shape[-2] * (2 if sw13.bits == 4 else 1),
                 sw13.q.shape[-1]))
         Is = sh13_shape[-1] // 2
-        if Is % I or Is == 0:
+        if Is % I or Is == 0 or (I % 2 and isinstance(w13, QTensor)
+                                 and w13.bits == 4):
             return lp
-        n_virt = Is // I
         lead = sh13_shape[:-2]
-        H = sh13_shape[-2]
-
-        def rep_f32(w, r):
-            """One rep of a (possibly stacked, possibly quantized)
-            shared leaf as f32 [K, N] — bounds the dequant transient."""
-            if isinstance(w, QTensor):
-                wr = QTensor(w.q[r] if lead else w.q,
-                             w.scales[r] if lead else w.scales,
-                             w.bits, w.group_size)
-                return dequantize(wr, dtype=jnp.float32)
-            return jnp.asarray(w[r] if lead else w, jnp.float32)
-
-        # per-rep slicing: a full-size stacked shared leaf dequantized to
-        # f32 at once is a multi-GB transient (OOMed a 16 GB chip at
-        # init); one rep is a few tens of MB
-        def virt_slices(s13_r, s2_r):
-            gate = s13_r[:, :Is].reshape(H, n_virt, I)
-            up = s13_r[:, Is:].reshape(H, n_virt, I)
-            v13_r = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1),
-                                 -2, -3)                # [n_virt, H, 2I]
-            v2_r = s2_r.reshape(n_virt, I, H)
-            return v13_r, v2_r
-
-        reps = lead[0] if lead else 1
-        v13_parts, v2_parts = [], []
-        for r in range(reps):
-            s13_r = rep_f32(sw13, r)
-            s2_r = rep_f32(sw2, r)
-            v13_r, v2_r = virt_slices(s13_r, s2_r)
-            if isinstance(w13, QTensor):
-                v13_parts.append(quantize(v13_r, bits=w13.bits,
-                                          group_size=w13.group_size))
-                v2_parts.append(quantize(v2_r, bits=w2.bits,
-                                         group_size=w2.group_size))
-            else:
-                v13_parts.append(v13_r.astype(w13.dtype))
-                v2_parts.append(v2_r.astype(w2.dtype))
-
         out = dict(lp)
-        if isinstance(w13, QTensor):
-            def cat(base_q, base_s, parts, bits, gs):
-                q = jnp.stack([p.q for p in parts])
-                s = jnp.stack([p.scales for p in parts])
-                if not lead:
-                    q, s = q[0], s[0]
-                return QTensor(jnp.concatenate([base_q, q], axis=-3),
-                               jnp.concatenate([base_s, s], axis=-3),
-                               bits, gs)
 
-            out["w13"] = cat(w13.q, w13.scales, v13_parts,
-                             w13.bits, w13.group_size)
-            out["w2"] = cat(w2.q, w2.scales, v2_parts,
-                            w2.bits, w2.group_size)
+        if isinstance(w13, QTensor):
+            def rep_f32(w, r):
+                if isinstance(w, QTensor):
+                    wr = QTensor(w.q[r] if lead else w.q,
+                                 w.scales[r] if lead else w.scales,
+                                 w.bits, w.group_size)
+                    return dequantize(wr, dtype=jnp.float32)
+                return jnp.asarray(w[r] if lead else w, jnp.float32)
+
+            def requant(w, gs_target):
+                """Shared leaf at expert bits + stack group size (the
+                ONE quantization both paths will share). Per-rep to
+                bound the f32 dequant transient."""
+                if (isinstance(w, QTensor) and w.bits == w13.bits
+                        and w.group_size == gs_target):
+                    return w
+                reps = lead[0] if lead else 1
+                parts = [quantize(rep_f32(w, r), bits=w13.bits,
+                                  group_size=gs_target)
+                         for r in range(reps)]
+                if lead:
+                    return QTensor(
+                        jnp.stack([p.q for p in parts]),
+                        jnp.stack([p.scales for p in parts]),
+                        w13.bits, parts[0].group_size)
+                return parts[0]
+
+            if I % w2.group_size:
+                return lp          # K-slice/group alignment impossible
+            sh13 = requant(sw13, w13.group_size)
+            sh2 = requant(sw2, w2.group_size)
+            out["shared_w13"], out["shared_w2"] = sh13, sh2
+            v13, v2 = virtual_expert_slices(sh13, sh2, I)
+            out["w13"] = QTensor(
+                jnp.concatenate([w13.q, v13.q], axis=-3),
+                jnp.concatenate([w13.scales, v13.scales], axis=-3),
+                w13.bits, w13.group_size)
+            out["w2"] = QTensor(
+                jnp.concatenate([w2.q, v2.q], axis=-3),
+                jnp.concatenate([w2.scales, v2.scales], axis=-3),
+                w2.bits, w2.group_size)
         else:
-            v13_all = jnp.stack(v13_parts) if lead else v13_parts[0]
-            v2_all = jnp.stack(v2_parts) if lead else v2_parts[0]
-            out["w13"] = jnp.concatenate([w13, v13_all], axis=-3)
-            out["w2"] = jnp.concatenate([w2, v2_all], axis=-3)
+            # full-precision array stacks: slices are exact by nature
+            n_virt = Is // I
+            H = sh13_shape[-2]
+            s13 = jnp.asarray(sw13, w13.dtype)
+            s2 = jnp.asarray(sw2, w13.dtype)
+            gate = s13[..., :, :Is].reshape(*lead, H, n_virt, I)
+            up = s13[..., :, Is:].reshape(*lead, H, n_virt, I)
+            v13 = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1), -2, -3)
+            v2 = s2.reshape(*lead, n_virt, I, s2.shape[-1])
+            out["w13"] = jnp.concatenate([w13, v13], axis=-3)
+            out["w2"] = jnp.concatenate([w2, v2], axis=-3)
         return out
 
     new = dict(params)

@@ -23,6 +23,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -128,6 +129,26 @@ def _shard_layer(
 
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     tp_ok = shard_attention and hq % mp == 0 and hkv % mp == 0
+
+    # Folded shared experts (models/params.fold_shared_experts) are a
+    # single-chip decode optimization: the mesh path computes shared
+    # densely and E+n_virt breaks ep divisibility — strip the virtual
+    # rows before sharding.
+    E_r = cfg.n_routed_experts
+
+    def strip_virtual(w):
+        if isinstance(w, QTensor) and w.q.shape[-3] > E_r:
+            return QTensor(
+                jnp.take(w.q, jnp.arange(E_r), axis=-3),
+                jnp.take(w.scales, jnp.arange(E_r), axis=-3),
+                w.bits, w.group_size)
+        if (not isinstance(w, QTensor) and hasattr(w, "shape")
+                and w.ndim >= 3 and w.shape[-3] > E_r):
+            return jnp.take(w, jnp.arange(E_r), axis=-3)
+        return w
+
+    lp = {name: (strip_virtual(w) if name in EXPERT_KEYS else w)
+          for name, w in lp.items()}
 
     out = {}
     for name, w in lp.items():

@@ -202,6 +202,50 @@ def quantize(w: jax.Array, bits: int, group_size: int = 128) -> QTensor:
     return QTensor(q=q, scales=scales, bits=bits, group_size=group_size)
 
 
+def slice_n(qt: QTensor, start: int, size: int) -> QTensor:
+    """Bit-exact column (N) slice of a QTensor: quantization groups run
+    along K with per-column scales, so a column slice carries exactly
+    the bytes/scales the full tensor holds for those columns."""
+    return QTensor(qt.q[..., :, start:start + size],
+                   qt.scales[..., :, start:start + size],
+                   qt.bits, qt.group_size)
+
+
+def slice_k(qt: QTensor, start: int, size: int) -> QTensor:
+    """Bit-exact K (row) slice of a QTensor over element rows
+    [start, start+size).
+
+    Requires group alignment (start and size multiples of group_size) so
+    the sliced scales are exactly the original group scales. INT8 is a
+    plain row slice; packed INT4 needs nibble re-pairing: byte row r of
+    a K-tall packed tensor holds element rows (r, r+K/2), so the slice's
+    packed bytes are recomposed from the source nibbles — values remain
+    BIT-IDENTICAL (the property the shared-expert fold depends on:
+    dense and folded paths must compute from the same numbers)."""
+    gs = qt.group_size
+    assert start % gs == 0 and size % gs == 0, (start, size, gs)
+    scales = qt.scales[..., start // gs:(start + size) // gs, :]
+    if qt.bits != 4:
+        return QTensor(qt.q[..., start:start + size, :], scales,
+                       qt.bits, qt.group_size)
+    assert size % 2 == 0
+    K2 = qt.q.shape[-2]                      # source K/2
+    half = size // 2
+
+    def nibble(e_rows):
+        """element rows [half] → (nibble values [..., half, N] uint8)"""
+        is_lo = e_rows < K2
+        rows = jnp.where(is_lo, e_rows, e_rows - K2)
+        b = jnp.take(qt.q, rows, axis=-2).astype(jnp.uint8)
+        sel = is_lo.reshape((half, 1))
+        return jnp.where(sel, b & 0xF, b >> 4)
+
+    lo = nibble(start + jnp.arange(half))
+    hi = nibble(start + half + jnp.arange(half))
+    packed = (lo | (hi << 4)).astype(jnp.int8)
+    return QTensor(packed, scales, qt.bits, qt.group_size)
+
+
 def random_qtensor(
     key: jax.Array,
     shape: Tuple[int, ...],

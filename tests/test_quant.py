@@ -114,3 +114,34 @@ def test_mxfp4_matches_transformers():
         torch.tensor(blocks), torch.tensor(scales), dtype=torch.float32
     ).transpose(1, 2).reshape(2, 3, -1)
     np.testing.assert_allclose(got, want.detach().cpu().numpy(), rtol=1e-6)
+
+
+def test_slice_n_and_slice_k_bit_exact():
+    """Bit-exactness contract of the QTensor slicing helpers (the
+    shared-expert fold depends on it): a sliced QTensor must dequantize
+    to exactly the corresponding rows/columns of the full tensor, for
+    int8 and packed int4, with and without leading stack dims."""
+    import jax
+    import jax.numpy as jnp
+
+    from krasis_tpu.quant import dequantize, quantize, slice_k, slice_n
+
+    key = jax.random.PRNGKey(0)
+    for bits in (4, 8):
+        for lead in ((), (3,)):
+            w = jax.random.normal(key, (*lead, 128, 96), jnp.float32)
+            qt = quantize(w, bits=bits, group_size=32)
+            full = np.asarray(dequantize(qt, jnp.float32))
+            # column slice
+            s = slice_n(qt, 16, 48)
+            np.testing.assert_array_equal(
+                np.asarray(dequantize(s, jnp.float32)),
+                full[..., :, 16:64])
+            # K (row) slice at group boundaries — including slices that
+            # straddle the int4 packing half (rows 64..96 pair with
+            # both halves of the byte rows)
+            for start, size in ((0, 32), (32, 64), (64, 64)):
+                sk = slice_k(qt, start, size)
+                np.testing.assert_array_equal(
+                    np.asarray(dequantize(sk, jnp.float32)),
+                    full[..., start:start + size, :])

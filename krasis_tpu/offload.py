@@ -258,15 +258,24 @@ def store_from_params(
     store = HostExpertStore(cfg, quant)
     info = pattern_info(cfg)
 
-    def qnp(x):
-        return np.asarray(x)
+    E_r = cfg.n_routed_experts
+
+    def qnp(x, routed_only=False):
+        a = np.asarray(x)
+        if routed_only and a.ndim >= 3 and a.shape[-3] != E_r:
+            # folded stacks carry shared experts as virtual rows beyond
+            # E (models/params.fold_shared_experts); the host store owns
+            # ROUTED experts only — shared stays on device
+            a = a[..., :E_r, :, :]
+        return a
 
     def strip(lp: Dict, add):
         if "w13" not in lp:
             return lp
         w13, w2 = lp["w13"], lp["w2"]
         add(
-            qnp(w13.q), qnp(w13.scales), qnp(w2.q), qnp(w2.scales),
+            qnp(w13.q, True), qnp(w13.scales, True),
+            qnp(w2.q, True), qnp(w2.scales, True),
             None if "w13_bias" not in lp else qnp(lp["w13_bias"]),
             None if "w2_bias" not in lp else qnp(lp["w2_bias"]),
         )

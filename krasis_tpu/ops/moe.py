@@ -235,13 +235,29 @@ def moe_forward(
     from . import moe_pallas  # deferred: keeps CPU-only paths pallas-free
 
     if w13_bias is None and w2_bias is None and moe_pallas.available():
-        if activation == "int8" and moe_pallas.w4a8_supported(x, w13, w2):
-            return moe_pallas.moe_gathered_w4a8_pallas(
-                x, w13, w2, topk_idx, topk_weights,
-                swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
-                layer_idx=layer_idx,
-                interpret=moe_pallas.interpret_mode(),
-            )
+        if activation == "int8":
+            if moe_pallas.w4a8_supported(x, w13, w2):
+                return moe_pallas.moe_gathered_w4a8_pallas(
+                    x, w13, w2, topk_idx, topk_weights,
+                    swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                    layer_idx=layer_idx,
+                    interpret=moe_pallas.interpret_mode(),
+                )
+            if (
+                isinstance(w13, QTensor) and isinstance(w2, QTensor)
+                and moe_pallas.gathered_qmm_a8_supported(w13)
+                and moe_pallas.gathered_qmm_a8_supported(w2)
+            ):
+                # experts too big for the fused single-pick kernel
+                # (e.g. V2-Lite 4.3 MB/pick): W4A8 through the N-tiled
+                # kernels instead
+                return moe_pallas.moe_gathered_tiled(
+                    x, w13, w2, topk_idx, topk_weights,
+                    swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
+                    layer_idx=layer_idx, pick_valid=pick_valid,
+                    interpret=moe_pallas.interpret_mode(),
+                    activation="int8",
+                )
         if moe_pallas.supported(x, w13, w2):
             return moe_pallas.moe_gathered_pallas(
                 x, w13, w2, topk_idx, topk_weights,

@@ -492,6 +492,93 @@ def gathered_qmm_pallas(
       q4, s4)
 
 
+def _gq_kernel_a8(l_ref, e_ref, v_ref, xq_ref, sx_ref, q_ref, s_ref, o_ref,
+                  *, bits, gs, tn):
+    """N-tiled gathered matmul with INT8 activations: unpack int4→int8
+    (half the unpack work of →bf16) and per-K-group int8×int8 MXU dots
+    with f32 scale accumulation — the W4A8 formulation of _gq_kernel."""
+    p = pl.program_id(0)
+    j = pl.program_id(1)
+
+    @pl.when((p == 0) & (j == 0))
+    def _init():
+        o_ref[:] = jnp.zeros_like(o_ref)
+
+    @pl.when(v_ref[p] == 1)
+    def _compute():
+        w_i8 = _unpack_int8(q_ref[0, 0], bits)           # [K, tn] i8
+        full = _grouped_dot_i8(xq_ref[:], sx_ref[:], w_i8,
+                               s_ref[0, 0], gs)          # [P, tn] f32
+        rows = jax.lax.broadcasted_iota(jnp.int32, full.shape, 0)
+        col = pl.multiple_of(j * tn, 128)
+        o_ref[:, pl.ds(col, tn)] += jnp.where(rows == p, full, 0.0)
+
+
+def gathered_qmm_a8_supported(w: QTensor) -> bool:
+    """The int8-activation tiled kernel additionally needs K aligned to
+    the quantization group (activation groups run along K)."""
+    return (gathered_qmm_supported(w) and w.k_dim % w.group_size == 0
+            and w.bits in (4, 8))
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gathered_qmm_a8_pallas(
+    xq: jax.Array,           # [P, K] int8 (per-row per-K-group quantized)
+    sx: jax.Array,           # [P, K//gs] f32 activation scales
+    w: QTensor,              # [(L,) E, K(/2), N] + scales
+    expert_ids: jax.Array,   # [P] int32
+    layer_idx=None,
+    pick_valid: Optional[jax.Array] = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """gathered_qmm_pallas with int8 activations (W4A8/W8A8)."""
+    P, K = xq.shape
+    N = w.n_dim
+    gs = w.group_size
+    q4, s4 = (w.q, w.scales) if w.q.ndim == 4 else (w.q[None], w.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+    rows = q4.shape[-2]
+    TN = pick_tile(N)
+    nn = N // TN
+    if pick_valid is None:
+        pick_valid = jnp.ones((P,), jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(P, nn),
+        in_specs=[
+            pl.BlockSpec((P, K), lambda p, j, l, e, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, K // gs), lambda p, j, l, e, v: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, TN),
+                         lambda p, j, l, e, v: (
+                             l[0], e[p], 0, jnp.where(v[p] == 1, j, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K // gs, TN),
+                         lambda p, j, l, e, v: (
+                             l[0], e[p], 0, jnp.where(v[p] == 1, j, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((P, N), lambda p, j, l, e, v: (0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gq_kernel_a8, bits=w.bits, gs=gs, tn=TN),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((P, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * K * N,
+            bytes_accessed=P * (rows * N + (K // gs) * N * 2) + P * K,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_arr, expert_ids.astype(jnp.int32),
+      pick_valid.astype(jnp.int32), xq, sx.astype(jnp.float32), q4, s4)
+
+
 def moe_gathered_tiled(
     x: jax.Array,            # [T, H]
     w13: QTensor,
@@ -503,8 +590,14 @@ def moe_gathered_tiled(
     layer_idx=None,
     pick_valid: Optional[jax.Array] = None,  # [T, k] bool
     interpret: bool = False,
+    activation: str = "bf16",
 ) -> jax.Array:
-    """Decode MoE via two gathered matmul kernels + fused activation."""
+    """Decode MoE via two gathered matmul kernels + fused activation.
+
+    activation="int8" (and group-aligned shapes): the W4A8 variant —
+    activations quantized per K-group, int8×int8 MXU dots in-kernel.
+    This covers experts too large for the single-pick fused W4A8 kernel
+    (V2-Lite's 4.3 MB/pick exceeds its VMEM budget)."""
     from .activations import swiglu
 
     T, H = x.shape
@@ -512,12 +605,27 @@ def moe_gathered_tiled(
     eids = topk_idx.reshape(-1)
     pv = None if pick_valid is None else (
         pick_valid.reshape(-1).astype(jnp.int32))
-    x_rep = jnp.repeat(x, k, axis=0)                     # [P, H]
-    h = gathered_qmm_pallas(x_rep, w13, eids, layer_idx=layer_idx,
-                            pick_valid=pv, interpret=interpret)
-    a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
-               gpt_oss=gpt_oss)
-    o = gathered_qmm_pallas(a, w2, eids, layer_idx=layer_idx,
-                            pick_valid=pv, interpret=interpret)
+    use_a8 = (activation == "int8"
+              and gathered_qmm_a8_supported(w13)
+              and gathered_qmm_a8_supported(w2))
+    if use_a8:
+        xq, sx = quantize_activations(x.astype(jnp.bfloat16),
+                                      w13.group_size)
+        h = gathered_qmm_a8_pallas(
+            jnp.repeat(xq, k, axis=0), jnp.repeat(sx, k, axis=0),
+            w13, eids, layer_idx=layer_idx, pick_valid=pv,
+            interpret=interpret)
+        a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
+        aq, sa = quantize_activations(a, w2.group_size)
+        o = gathered_qmm_a8_pallas(aq, sa, w2, eids, layer_idx=layer_idx,
+                                   pick_valid=pv, interpret=interpret)
+    else:
+        x_rep = jnp.repeat(x, k, axis=0)                 # [P, H]
+        h = gathered_qmm_pallas(x_rep, w13, eids, layer_idx=layer_idx,
+                                pick_valid=pv, interpret=interpret)
+        a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
+                   gpt_oss=gpt_oss)
+        o = gathered_qmm_pallas(a, w2, eids, layer_idx=layer_idx,
+                                pick_valid=pv, interpret=interpret)
     o = o.reshape(T, k, H) * topk_weights[..., None]
     return o.sum(axis=1).astype(x.dtype)

@@ -22,7 +22,9 @@ def main() -> int:
     ap.add_argument("--preset", default="v2-lite",
                     choices=["v2-lite", "tiny", "qcn-1chip"])
     ap.add_argument("--prefill-tokens", type=int, default=2048)
-    ap.add_argument("--decode-tokens", type=int, default=64)
+    # multiple of decode_block: a partial final block pays full block
+    # time for fewer emitted tokens, understating the rate
+    ap.add_argument("--decode-tokens", type=int, default=256)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--runs", type=int, default=5,
                     help="timed repeats; median is the headline, IQR is "
@@ -58,7 +60,9 @@ def main() -> int:
 
     t0 = time.time()
     eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
-    eng.decode_block = 32  # amortize per-call tunnel latency over 32 tokens
+    # amortize per-call tunnel latency (~28-78 ms/call on the relay):
+    # measured sweep benchmarks/decode_profile.json — 128 is past the knee
+    eng.decode_block = 128
     print(f"[bench] params built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)

@@ -53,11 +53,13 @@ class QuantConfig:
 
     expert_bits: int = 4            # 4 or 8 — routed expert weights
     # "int8" = W4A8 decode MoE: activations quantized per (row, K-group)
-    # to int8, int8×int8 MXU grouped dots (the only formulation that beat
-    # the W4A16 kernel's pipeline floor in the round-2 roofline study).
-    # Opt-in: adds activation rounding noise the reference's INT16-
-    # activation CPU path doesn't have.
-    expert_activation: str = "bf16"  # "bf16" | "int8"
+    # to int8, int8×int8 MXU grouped dots, through the fused single-pick
+    # kernel (small experts) or the N-tiled kernels (V2-Lite-scale).
+    # DEFAULT since round 4: quality-certified at +0.013% decode-path
+    # PPL (benchmarks/quality/QUALITY.md) and measured +5% V2-Lite
+    # single-stream decode (tiled) / +17% (fused, round-2). The grouped
+    # (prefill / many-slot) regime ignores it — bf16 is faster there.
+    expert_activation: str = "int8"  # "bf16" | "int8"
     lm_head: str = "int8"           # "bf16" | "int8"
     attention: str = "bf16"         # "bf16" | "int8" | "int4" (projections)
     shared_expert: str = "int8"     # "bf16" | "int8"

@@ -98,6 +98,16 @@ def run_engine_benchmark(
         make_prompt(warm_n, corpus.WARMUP_DOMAIN),
         max_new_tokens=decode_tokens, sampling=greedy, stop_ids={-1})
 
+    # warm EVERY timed length: the tail-chunk program is specialized on
+    # the prompt remainder, so warming only the largest length leaves
+    # one compile inside the first timed prefill (observed: a 20K row
+    # at 613 tok/s / 32.6 s TTFT against 4,267 tok/s once warm)
+    for n in prefill_lengths:
+        if n != warm_n and n + decode_tokens + 8 <= engine.max_len:
+            engine.generate(make_prompt(n, corpus.WARMUP_DOMAIN),
+                            max_new_tokens=2, sampling=greedy,
+                            stop_ids={-1})
+
     results: Dict = {"prefill": {}, "decode": {}}
     for i, n in enumerate(prefill_lengths):
         if n + decode_tokens + 8 > engine.max_len:

@@ -78,7 +78,11 @@ THRESHOLDS: Dict[str, Tuple[Optional[str], float]] = {
 def _quant_for(mode: str, group_size: int):
     from .config import QuantConfig
 
-    base = dict(group_size=group_size, kv_cache_dtype="bf16")
+    # expert_activation pinned per mode: the matrix must isolate each
+    # lever even as serving defaults move (W4A8 became the default in
+    # round 4 — without the pin the q4 and q4-w4a8 rows collapse)
+    base = dict(group_size=group_size, kv_cache_dtype="bf16",
+                expert_activation="bf16")
     if mode == "bf16":
         return QuantConfig(expert_bits=16, lm_head="bf16", attention="bf16",
                            shared_expert="bf16", dense_mlp="bf16", **base)
@@ -87,7 +91,8 @@ def _quant_for(mode: str, group_size: int):
     if mode in ("q4", "q4-offload"):
         return QuantConfig(expert_bits=4, **base)
     if mode == "q4-w4a8":
-        return QuantConfig(expert_bits=4, expert_activation="int8", **base)
+        base["expert_activation"] = "int8"
+        return QuantConfig(expert_bits=4, **base)
     if mode == "q4-attn-int8":
         return QuantConfig(expert_bits=4, attention="int8", **base)
     if mode == "q4-attn-int4":

@@ -73,6 +73,9 @@ def main() -> int:
         "noshared": (dict(n_shared_experts=0,
                           shared_expert_intermediate_size=0), dict()),
         "attnint4": (dict(), dict(attention="int4")),
+        # layer scaling splits the residual into per-layer vs per-step
+        # fixed cost: t(L) = fixed + L*per_layer
+        "layers14": (dict(num_hidden_layers=14), dict()),
     }
     ms = {}
     for name, (cfg_over, q_over) in variants.items():
@@ -90,6 +93,9 @@ def main() -> int:
         del eng
 
     base = ms["baseline"]["ms_per_tok"]
+    # per-layer vs fixed split (27 vs 14 layers)
+    per_layer = (base - ms["layers14"]["ms_per_tok"]) / (27 - 14)
+    fixed = base - 27 * per_layer
     # per-token attributions
     d_moe5 = base - ms["topk1"]["ms_per_tok"]          # 5 of 6 picks
     moe = d_moe5 * 6 / 5
@@ -104,6 +110,8 @@ def main() -> int:
         "shared_expert_ms": round(shared, 3),
         "attn_projections_ms_inferred": round(attn_proj, 3),
         "residual_norms_cache_scan_ms": round(residual, 3),
+        "per_layer_ms": round(per_layer, 4),
+        "per_step_fixed_ms": round(fixed, 3),
         "baseline_ms": base,
         "note": "attn_projections inferred from the int4 ablation "
                 "(int4 removes ~3/4 of projection bytes); residual = "

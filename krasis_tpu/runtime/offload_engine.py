@@ -25,6 +25,8 @@ later ones.
 
 from __future__ import annotations
 
+import logging
+import time
 from typing import Any, Dict, List, Optional
 
 import jax
@@ -46,6 +48,8 @@ from ..ops.qmm import linear
 from ..ops.routing import compute_routing
 from ..quant import QTensor
 from .engine import Engine, pick_history_bucket, _is_oom
+
+log = logging.getLogger("krasis_tpu.offload")
 
 _CALLBACKS_OK: Optional[bool] = None
 
@@ -556,7 +560,18 @@ class OffloadEngine(Engine):
         # (async dispatch overlaps transfer with compute).
         pat_caches = self.cache["pattern"]
         pattern_ne = self.params["pattern"]
-        nxt = jax.device_put(self._rep_host_tree(0))
+        t_h2d0 = time.perf_counter()
+        first = self._rep_host_tree(0)
+        rep_bytes = sum(
+            a.size * a.dtype.itemsize
+            for a in jax.tree_util.tree_leaves(first))
+        nxt = jax.device_put(first)
+        # pure H2D rate of ONE rep, measured to completion before any
+        # compute is issued — the number a real-PCIe/DMA host validates
+        # in one run (every other figure below includes compute overlap)
+        jax.block_until_ready(nxt)
+        h2d_first_s = time.perf_counter() - t_h2d0
+        t_phase2 = time.perf_counter()
         for r in range(info.reps):
             cur = nxt
             if r + 1 < info.reps:
@@ -568,6 +583,19 @@ class OffloadEngine(Engine):
                     len_chunks[c], pat_caches,
                 )
             del cur
+        jax.block_until_ready(x_all[-1])
+        phase2_s = time.perf_counter() - t_phase2
+        total_bytes = rep_bytes * info.reps
+        self.last_stream_stats = {
+            "rep_bytes": int(rep_bytes),
+            "streamed_bytes": int(total_bytes),
+            "h2d_first_rep_s": round(h2d_first_s, 4),
+            "h2d_gbps_measured": round(rep_bytes / h2d_first_s / 1e9, 3),
+            "phase2_s": round(phase2_s, 3),
+            "effective_gbps_with_overlap": round(
+                total_bytes / max(phase2_s, 1e-9) / 1e9, 3),
+        }
+        log.info("offload stream: %s", self.last_stream_stats)
 
         kv_len = jnp.zeros((B,), jnp.int32).at[0].set(n)
         self.cache = {

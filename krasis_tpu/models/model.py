@@ -903,6 +903,21 @@ def chosen_logprob(logits: jax.Array, tok: jax.Array) -> jax.Array:
                                axis=-1)[:, 0]
 
 
+def static_max_top_k(sampling, V: int) -> int:
+    """Static truncation bound for the fused decode+sample block.
+
+    temperature == 0 is STATIC greedy: the sampled branch's result is
+    discarded by the final `where`, so bounding it at 1 removes a
+    full-vocab `lax.top_k` (a 102K-element sort on V2-Lite) from EVERY
+    decode step — it measured as part of the 1.05 ms fixed per-step
+    cost (benchmarks/decode_ablation.json). top_k <= 0 with a real
+    temperature means un-truncated nucleus sampling and genuinely needs
+    the full vocab."""
+    if sampling.temperature <= 0.0:
+        return 1
+    return V if sampling.top_k <= 0 else min(sampling.top_k, V)
+
+
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
                          sampling, steps: int, mesh=None,
                          top_logprobs: int = 0, offload=None):
@@ -911,8 +926,7 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
     to the scan/cache threading cannot drift between engine and
     scheduler). `max_top_k` is bound to the request's static top_k so
     truncation is exact for any k."""
-    V = cfg.vocab_size
-    mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
+    mtk = static_max_top_k(sampling, cfg.vocab_size)
     inner = make_multi_decode_batched_fn(cfg, quant, steps, mesh=mesh,
                                          max_top_k=mtk,
                                          top_logprobs=top_logprobs,

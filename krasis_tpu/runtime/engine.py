@@ -369,8 +369,9 @@ class Engine:
 
         t2 = time.perf_counter()
         steps_total = accepted_total = 0
-        V = self.cfg.vocab_size
-        mtk = V if sampling.top_k <= 0 else min(sampling.top_k, V)
+        from ..models.model import static_max_top_k
+
+        mtk = static_max_top_k(sampling, self.cfg.vocab_size)
         temp = jnp.full((B,), jnp.float32(sampling.temperature))
         topp = jnp.full((B,), jnp.float32(sampling.top_p))
         pres = jnp.full((B,), jnp.float32(sampling.presence_penalty))

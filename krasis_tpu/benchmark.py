@@ -291,6 +291,11 @@ def main():
     ap.add_argument("--network", action="store_true",
                     help="also re-measure through a temp HTTP server and "
                          "report the engine→network overhead")
+    ap.add_argument("--offload", default="none",
+                    choices=("none", "experts"),
+                    help="host-RAM expert tier (models whose experts "
+                         "exceed HBM — e.g. GPT-OSS-20B resident-OOMs "
+                         "one 16 GiB chip in every quant config)")
     ap.add_argument("--slots-bench", type=int, nargs="*", default=None,
                     help="measure continuous-batching aggregate decode "
                          "throughput at these slot counts (skips the "
@@ -307,7 +312,8 @@ def main():
         from .models.synthetic import build_synthetic_engine
 
         cfg = preset_config(args.synthetic)
-        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len)
+        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
+                                        offload=args.offload == "experts")
         model_name = f"synthetic/{args.synthetic}"
     else:
         from .models.loader import load_params

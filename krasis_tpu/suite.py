@@ -45,6 +45,8 @@ def run_combo(combo: Dict, suite_cfg: Dict, log_dir: str) -> Dict:
         cmd += ["--prefill-lengths"] + [str(x) for x in pl]
     if combo.get("max_len"):
         cmd += ["--max-len", str(combo["max_len"])]
+    if combo.get("offload"):
+        cmd += ["--offload", combo["offload"]]
 
     log_path = os.path.join(log_dir, f"{name}.log")
     t0 = time.time()

@@ -312,8 +312,9 @@ def main():
         from .models.synthetic import build_synthetic_engine
 
         cfg = preset_config(args.synthetic)
-        engine = build_synthetic_engine(cfg, quant, max_len=args.max_len,
-                                        offload=args.offload == "experts")
+        engine = build_synthetic_engine(
+            cfg, quant, max_len=args.max_len,
+            offload_engine=args.offload == "experts")
         model_name = f"synthetic/{args.synthetic}"
     else:
         from .models.loader import load_params

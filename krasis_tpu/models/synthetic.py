@@ -38,12 +38,30 @@ def build_synthetic_engine(
     seed: int = 0,
     mesh=None,
     offload: bool = False,
+    offload_engine: bool = False,
 ) -> Engine:
     """`offload=True` builds the host-RAM expert tier (krasis_tpu/offload):
     the SAME synthetic weights, with routed experts moved to host memory
     and stripped from the device tree — so offloaded == resident is
-    testable bit-for-bit."""
+    testable bit-for-bit.
+
+    `offload_engine=True` builds the PRODUCTION OffloadEngine instead
+    (streamed-weight prefill + segmented decode — works on backends
+    without host callbacks, e.g. the axon relay) with a host-side
+    synthetic store: expert weights never touch HBM at build time, so
+    models whose experts exceed HBM outright (GPT-OSS-20B on 16 GiB)
+    are constructible. Weights differ from the offload=True path (store
+    is generated host-side), so use it for serving/perf, not parity."""
     quant = quant or QuantConfig()
+    if offload_engine:
+        from ..offload import build_synthetic_store
+        from ..runtime.offload_engine import OffloadEngine
+
+        store = build_synthetic_store(cfg, quant, seed=seed)
+        params = init_synthetic_params(
+            cfg, quant, jax.random.PRNGKey(seed), skip_experts=True)
+        return OffloadEngine(cfg, quant, params, store, max_len=max_len,
+                             batch_size=batch_size)
     params = init_synthetic_params(cfg, quant, jax.random.PRNGKey(seed))
     store = None
     if offload:

@@ -7,10 +7,12 @@ Three measurements:
   A. decode-block sweep — per-token wall time vs tokens-per-device-call
      (the ~28 ms relay dispatch amortizes as 1/block; the flat part of
      the curve is the on-chip step time);
-  B. per-sublayer kernel table — the HBM-heavy decode kernels timed in
-     isolation at V2-Lite shapes (queued-dispatch protocol), scaled by
-     layer counts, vs the measured step: the residual is
-     attention+norms+scan overhead;
+  B. per-sublayer kernel table — KNOWN-BAD through the relay: queued
+     dispatches drain at the tunnel's ~1-2 ms per-op floor, so these
+     isolated numbers measure dispatch, not kernels (the 26-layer table
+     summed to 121 ms against a 7.3 ms real step). Kept as the negative
+     result; the usable attribution is probe_decode_ablate.py's engine
+     ablation;
   C. attention-quant A/B — the same engine at attention=int8: the bf16
      attention projections are the single largest decode HBM term
      (~27 MB x 27 layers), so the delta bounds that term empirically.

@@ -433,7 +433,10 @@ def build_synthetic_store(
     def qbytes(shape):
         if fill == "fast":
             return np.empty(shape, np.int8)
-        return rng.integers(-128, 128, shape, dtype=np.int16).astype(np.int8)
+        # rng.bytes is ~10× rng.integers for multi-GB stores (GPT-OSS'
+        # host store is ~10 GB; the integers path took tens of minutes)
+        n = int(np.prod(shape))
+        return np.frombuffer(rng.bytes(n), np.int8).reshape(shape).copy()
 
     for layer in range(cfg.num_hidden_layers):
         if not cfg.layer_is_moe(layer):

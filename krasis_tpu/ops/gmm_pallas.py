@@ -36,7 +36,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QTensor
-from .moe_pallas import _unpack_scale, available, pick_tile  # shared helpers
+from .moe_pallas import (  # shared helpers
+    _grouped_dot_i8,
+    _unpack_int8,
+    _unpack_scale,
+    available,
+    pick_tile,
+    quantize_activations,
+)
 
 TM = 128      # token-tile rows
 TN = 512      # output-tile lanes
@@ -119,6 +126,91 @@ def gmm(
       x_tiles.astype(jnp.bfloat16), q4, s4)
 
 
+def _gmm_kernel_a8(l_ref, tile_e_ref, tv_ref, xq_ref, sx_ref, q_ref, s_ref,
+                   o_ref, *, bits, gs):
+    """INT8-activation tile: unpack int4→int8 (half the VPU work of
+    →bf16) and per-K-group int8×int8 MXU dots — int8 MXU throughput is
+    2× bf16 on v5e, so the prefill GEMM gets both a cheaper unpack and
+    a faster systolic array (W4A8, quality-certified in
+    benchmarks/quality/QUALITY.md)."""
+    t = pl.program_id(0)
+
+    @pl.when(tv_ref[t] == 1)
+    def _compute():
+        w_i8 = _unpack_int8(q_ref[0, 0], bits)                # [K, tn] i8
+        o_ref[:] = _grouped_dot_i8(xq_ref[:], sx_ref[:], w_i8,
+                                   s_ref[0, 0], gs)
+
+
+def gmm_a8_supported(w: QTensor) -> bool:
+    """int8 activations group along K, so K must be group-aligned."""
+    return (isinstance(w, QTensor) and w.bits in (4, 8)
+            and w.k_dim % w.group_size == 0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def gmm_a8(
+    xq_tiles: jax.Array,      # [Mp, K] int8 (per-row per-K-group quantized)
+    sx_tiles: jax.Array,      # [Mp, K // gs] f32 activation scales
+    w: QTensor,               # [(L,) E, K(/2), N]
+    tile_experts: jax.Array,  # [Mp // TM] int32
+    tile_valid: jax.Array,    # [Mp // TM] int32
+    layer_idx=None,
+    interpret: bool = False,
+) -> jax.Array:
+    """gmm with int8 activations (same tile plan / skip semantics)."""
+    Mp, K = xq_tiles.shape
+    N = w.n_dim
+    gs = w.group_size
+    q4, s4 = (w.q, w.scales) if w.q.ndim == 4 else (w.q[None], w.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,)
+    )
+    rows = q4.shape[-2]
+    tn = pick_tile(N, TN)
+    n_tiles = Mp // TM
+    grid = (n_tiles, N // tn)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TM, K),
+                         lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((TM, K // gs),
+                         lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, rows, tn),
+                         lambda t, j, l, e, v: (
+                             l[0], e[t], 0, jnp.where(v[t] == 1, j, 0)),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, K // gs, tn),
+                         lambda t, j, l, e, v: (
+                             l[0], e[t], 0, jnp.where(v[t] == 1, j, 0)),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (TM, tn),
+            lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, n_tiles),
+                                   jnp.where(v[t] == 1, j, 0)),
+            memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm_kernel_a8, bits=w.bits, gs=gs),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp + TM, N), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=(Mp // TM) * (rows * N + (K // gs) * N * 2)
+            + Mp * K + Mp * N * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_arr, tile_experts.astype(jnp.int32), tile_valid.astype(jnp.int32),
+      xq_tiles, sx_tiles.astype(jnp.float32), q4, s4)
+
+
 def _plan_tiles(
     topk_idx: jax.Array, T: int, k: int, E: int,
     pick_valid: Optional[jax.Array] = None,
@@ -176,6 +268,7 @@ def moe_prefill_pallas(
     layer_idx=None,
     pick_valid: Optional[jax.Array] = None,  # [T, k] bool (EP shard-local)
     interpret: bool = False,
+    activation: str = "bf16",
 ) -> jax.Array:
     from .activations import swiglu
 
@@ -195,12 +288,24 @@ def moe_prefill_pallas(
         x_sorted, mode="drop"
     )
 
-    h = gmm(x_tiles, w13, tile_experts, tile_valid, layer_idx=layer_idx,
-            interpret=interpret)[:Mp]
-    a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
-               gpt_oss=gpt_oss)
-    o = gmm(a, w2, tile_experts, tile_valid, layer_idx=layer_idx,
-            interpret=interpret)                           # [Mp + TM, H]
+    use_a8 = (activation == "int8"
+              and gmm_a8_supported(w13) and gmm_a8_supported(w2))
+    if use_a8:
+        xq, sx = quantize_activations(
+            x_tiles.astype(jnp.bfloat16), w13.group_size)
+        h = gmm_a8(xq, sx, w13, tile_experts, tile_valid,
+                   layer_idx=layer_idx, interpret=interpret)[:Mp]
+        a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
+        aq, sa = quantize_activations(a, w2.group_size)
+        o = gmm_a8(aq, sa, w2, tile_experts, tile_valid,
+                   layer_idx=layer_idx, interpret=interpret)
+    else:
+        h = gmm(x_tiles, w13, tile_experts, tile_valid, layer_idx=layer_idx,
+                interpret=interpret)[:Mp]
+        a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
+                   gpt_oss=gpt_oss)
+        o = gmm(a, w2, tile_experts, tile_valid, layer_idx=layer_idx,
+                interpret=interpret)                       # [Mp + TM, H]
 
     o_sorted = jnp.take(o, dest, axis=0, mode="fill", fill_value=0)  # [M, H]
     o_rep = jnp.zeros_like(o_sorted).at[order].set(o_sorted)

@@ -142,7 +142,6 @@ def _slice_layer(w, layer_idx):
     return w
 
 
-_W4A8_GROUPED_WARNED = False
 
 
 def use_grouped_path(T: int, k: int, E: int) -> bool:
@@ -199,23 +198,6 @@ def moe_forward(
     if use_grouped_path(T, k, E):
         from . import gmm_pallas, moe_pallas as mp
 
-        if activation == "int8":
-            # W4A8 exists only for the gathered kernel; in the grouped
-            # regime (T·k ≥ 0.75·E — e.g. ≥8 decode slots on V2-Lite) the
-            # one-pass-over-experts bf16 kernel is faster than gathered
-            # W4A8 anyway (477 vs ~365 tok/s measured), so fall through —
-            # but say so once instead of silently ignoring the opt-in.
-            global _W4A8_GROUPED_WARNED
-            if not _W4A8_GROUPED_WARNED:
-                _W4A8_GROUPED_WARNED = True
-                import sys
-
-                print(
-                    "krasis-tpu: expert_activation=int8 has no effect in "
-                    f"the grouped-dispatch regime (T={T} k={k} E={E}); "
-                    "the grouped bf16 kernel is faster there",
-                    file=sys.stderr,
-                )
         if (
             w13_bias is None and w2_bias is None
             and gmm_pallas.available()
@@ -223,11 +205,15 @@ def moe_forward(
             and mp.gathered_qmm_supported(w13)
             and mp.gathered_qmm_supported(w2)
         ):
+            # activation="int8" runs the W4A8 grouped kernel (int8 MXU =
+            # 2× bf16 peak + half the unpack work) when shapes allow;
+            # gmm_pallas falls back to the bf16 kernel otherwise
             return gmm_pallas.moe_prefill_pallas(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
                 layer_idx=layer_idx, pick_valid=pick_valid,
                 interpret=mp.interpret_mode(),
+                activation=activation,
             )
         return moe_forward_ragged(
             x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),

@@ -136,6 +136,48 @@ def test_moe_gathered_tiled_a8_matches_ref(bits):
     assert np.abs(got_m - want_m).max() / scale < 0.03
 
 
+@pytest.mark.parametrize("bits", [4, 8])
+def test_gmm_a8_prefill_matches_ref(bits):
+    """W4A8 through the GROUPED prefill kernel (gmm_pallas.gmm_a8):
+    int8 activations + per-K-group int8×int8 tile dots, same tile
+    plan/skip semantics as the bf16 gmm — vs the XLA reference within
+    activation-rounding tolerance. Also pins EP pick_valid skipping."""
+    from krasis_tpu.ops.gmm_pallas import gmm_a8_supported, moe_prefill_pallas
+
+    E, H, I, T, k = 8, 256, 128, 48, 3     # T*k > 0.75E: grouped regime
+    key = jax.random.PRNGKey(9)
+    k13, k2, kx, ki, kw = jax.random.split(key, 5)
+    mag = 0.03 if bits == 4 else 0.002
+    w13 = random_qtensor(k13, (E, H, 2 * I), bits, group_size=128, scale_mag=mag)
+    w2 = random_qtensor(k2, (E, I, H), bits, group_size=128, scale_mag=mag)
+    assert gmm_a8_supported(w13) and gmm_a8_supported(w2)
+    x = jax.random.normal(kx, (T, H), jnp.float32) * 0.5
+    idx = jax.random.randint(ki, (T, k), 0, E, dtype=jnp.int32)
+    wts = jax.random.uniform(kw, (T, k), jnp.float32, 0.1, 1.0)
+
+    want = np.asarray(moe_forward_gathered(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts, precision=HI
+    ), np.float32)
+    got = np.asarray(moe_prefill_pallas(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts, interpret=True,
+        activation="int8",
+    ), np.float32)
+    scale = np.abs(want).max() + 1e-9
+    assert np.abs(got - want).max() / scale < 0.03
+    assert np.corrcoef(got.ravel(), want.ravel())[0, 1] > 0.995
+
+    pv = jnp.ones((T, k), bool).at[2, 1].set(False)
+    wts0 = wts.at[2, 1].set(0.0)
+    want_m = np.asarray(moe_forward_gathered(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts0, precision=HI
+    ), np.float32)
+    got_m = np.asarray(moe_prefill_pallas(
+        x.astype(jnp.bfloat16), w13, w2, idx, wts0, interpret=True,
+        activation="int8", pick_valid=pv,
+    ), np.float32)
+    assert np.abs(got_m - want_m).max() / scale < 0.03
+
+
 def test_w4a8_through_model_forward():
     """expert_activation='int8' threads from QuantConfig through the
     decode forward (kernel choice + numerics sanity vs bf16 run)."""

@@ -597,6 +597,13 @@ def forward(
     layer_step = make_layer_step(
         cfg, prefill=prefill, history=history, mesh=mesh,
         positions=positions, valid=valid, kv_len=kv_len,
+        # prefill stays bf16: the grouped W4A8 kernel (gmm_pallas.gmm_a8)
+        # MEASURED SLOWER there — 6,280 vs 8,930 tok/s V2-Lite@2048 —
+        # because the per-K-group int8 dot decomposition (16× [128,gs]
+        # matmuls per tile) underutilizes the MXU against one full-K
+        # bf16 dot; int8's 2× peak doesn't survive the split. The
+        # gathered decode regime keeps int8 (there the unpack, not the
+        # MXU, is the bottleneck).
         activation=(quant.expert_activation if not prefill else "bf16"),
         sp_axis=sp_axis, ep_axis=ep_axis, spec_la=spec_la, offload=offload,
     )

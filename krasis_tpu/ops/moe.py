@@ -205,15 +205,21 @@ def moe_forward(
             and mp.gathered_qmm_supported(w13)
             and mp.gathered_qmm_supported(w2)
         ):
-            # activation="int8" runs the W4A8 grouped kernel (int8 MXU =
-            # 2× bf16 peak + half the unpack work) when shapes allow;
-            # gmm_pallas falls back to the bf16 kernel otherwise
+            # The grouped regime stays bf16 regardless of
+            # expert_activation: the W4A8 grouped kernel
+            # (gmm_pallas.gmm_a8) MEASURED SLOWER both in prefill
+            # (6,280 vs 8,930 tok/s V2-Lite@2048) and in 16-slot
+            # batched decode (783 vs 820 steady tok/s) — the
+            # per-K-group int8 dot decomposition underutilizes the MXU
+            # against one full-K bf16 dot. int8 pays only in the
+            # gathered regime, where the unpack (not the MXU) binds.
+            # The kernel remains available for A/B via
+            # moe_prefill_pallas(activation="int8").
             return gmm_pallas.moe_prefill_pallas(
                 x, w13, w2, topk_idx, topk_weights,
                 swiglu_limit=swiglu_limit, gpt_oss=gpt_oss,
                 layer_idx=layer_idx, pick_valid=pick_valid,
                 interpret=mp.interpret_mode(),
-                activation=activation,
             )
         return moe_forward_ragged(
             x, _slice_layer(w13, layer_idx), _slice_layer(w2, layer_idx),

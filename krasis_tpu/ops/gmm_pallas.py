@@ -61,18 +61,23 @@ def _gmm_kernel(l_ref, tile_e_ref, tv_ref, x_ref, q_ref, s_ref, o_ref,
         )
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
 def gmm(
-    x_tiles: jax.Array,       # [Mp, K] bf16 — tile-aligned (Mp % TM == 0)
+    x_tiles: jax.Array,       # [Mp, K] bf16 — tile-aligned (Mp % tm == 0)
     w: QTensor,               # [(L,) E, K(/2), N]
-    tile_experts: jax.Array,  # [Mp // TM] int32 expert id per tile
-    tile_valid: jax.Array,    # [Mp // TM] int32 1 = compute, 0 = skip
+    tile_experts: jax.Array,  # [Mp // tm] int32 expert id per tile
+    tile_valid: jax.Array,    # [Mp // tm] int32 1 = compute, 0 = skip
     layer_idx=None,           # traced scalar into the stacked L dim
     interpret: bool = False,
+    tm: int = TM,
 ) -> jax.Array:
-    """Returns [Mp + TM, N]: one spare trailing tile absorbs the writes of
+    """Returns [Mp + tm, N]: one spare trailing tile absorbs the writes of
     skipped grid steps (their out index maps point there) so real tiles
-    are never garbage-flushed. Callers slice [:Mp]."""
+    are never garbage-flushed. Callers slice [:Mp].
+
+    `tm` is the token-tile height: 128 for prefill (MXU-shaped); the
+    batched-decode grouped regime uses a small tm — at B=16 slots only
+    ~2 picks hit each expert, so 128-row tiles are ~98% padding FLOPs."""
     Mp, K = x_tiles.shape
     N = w.n_dim
     gs = w.group_size
@@ -82,7 +87,7 @@ def gmm(
     )
     rows = q4.shape[-2]
     tn = pick_tile(N, TN)
-    n_tiles = Mp // TM
+    n_tiles = Mp // tm
     grid = (n_tiles, N // tn)
 
     # Skipped tiles redirect every DMA to a constant block: x to tile 0,
@@ -93,7 +98,7 @@ def gmm(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, K),
+            pl.BlockSpec((tm, K),
                          lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, tn),
@@ -106,7 +111,7 @@ def gmm(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TM, tn),
+            (tm, tn),
             lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, n_tiles),
                                    jnp.where(v[t] == 1, j, 0)),
             memory_space=pltpu.VMEM),
@@ -114,10 +119,10 @@ def gmm(
     return pl.pallas_call(
         functools.partial(_gmm_kernel, bits=w.bits, gs=gs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp + TM, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp + tm, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
-            bytes_accessed=(Mp // TM) * (rows * N + (K // gs) * N * 2)
+            bytes_accessed=(Mp // tm) * (rows * N + (K // gs) * N * 2)
             + Mp * K * 2 + Mp * N * 4,
             transcendentals=0,
         ),
@@ -148,15 +153,16 @@ def gmm_a8_supported(w: QTensor) -> bool:
             and w.k_dim % w.group_size == 0)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
 def gmm_a8(
     xq_tiles: jax.Array,      # [Mp, K] int8 (per-row per-K-group quantized)
     sx_tiles: jax.Array,      # [Mp, K // gs] f32 activation scales
     w: QTensor,               # [(L,) E, K(/2), N]
-    tile_experts: jax.Array,  # [Mp // TM] int32
-    tile_valid: jax.Array,    # [Mp // TM] int32
+    tile_experts: jax.Array,  # [Mp // tm] int32
+    tile_valid: jax.Array,    # [Mp // tm] int32
     layer_idx=None,
     interpret: bool = False,
+    tm: int = TM,
 ) -> jax.Array:
     """gmm with int8 activations (same tile plan / skip semantics)."""
     Mp, K = xq_tiles.shape
@@ -168,17 +174,17 @@ def gmm_a8(
     )
     rows = q4.shape[-2]
     tn = pick_tile(N, TN)
-    n_tiles = Mp // TM
+    n_tiles = Mp // tm
     grid = (n_tiles, N // tn)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TM, K),
+            pl.BlockSpec((tm, K),
                          lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TM, K // gs),
+            pl.BlockSpec((tm, K // gs),
                          lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, rows, tn),
@@ -191,7 +197,7 @@ def gmm_a8(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (TM, tn),
+            (tm, tn),
             lambda t, j, l, e, v: (jnp.where(v[t] == 1, t, n_tiles),
                                    jnp.where(v[t] == 1, j, 0)),
             memory_space=pltpu.VMEM),
@@ -199,10 +205,10 @@ def gmm_a8(
     return pl.pallas_call(
         functools.partial(_gmm_kernel_a8, bits=w.bits, gs=gs),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((Mp + TM, N), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((Mp + tm, N), jnp.float32),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
-            bytes_accessed=(Mp // TM) * (rows * N + (K // gs) * N * 2)
+            bytes_accessed=(Mp // tm) * (rows * N + (K // gs) * N * 2)
             + Mp * K + Mp * N * 4,
             transcendentals=0,
         ),
@@ -214,6 +220,7 @@ def gmm_a8(
 def _plan_tiles(
     topk_idx: jax.Array, T: int, k: int, E: int,
     pick_valid: Optional[jax.Array] = None,
+    tm: int = TM,
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, int]:
     """Sort (token, expert) pairs and compute the tile-aligned scatter plan.
 
@@ -232,24 +239,24 @@ def _plan_tiles(
     sorted_e = jnp.take(flat_e, order)
 
     group_sizes = jnp.bincount(flat_e, length=E)               # [E], no trash
-    padded = ((group_sizes + TM - 1) // TM) * TM
+    padded = ((group_sizes + tm - 1) // tm) * tm
     pad_off = jnp.concatenate([jnp.zeros((1,), padded.dtype),
                                jnp.cumsum(padded)[:-1]])       # [E]
     raw_off = jnp.concatenate([jnp.zeros((1,), group_sizes.dtype),
                                jnp.cumsum(group_sizes)[:-1]])
 
-    n_tiles = M // TM + E + 1                                  # static bound
-    Mp = n_tiles * TM
+    n_tiles = M // tm + E + 1                                  # static bound
+    Mp = n_tiles * tm
 
     # dest position of sorted token i (rank within its expert + pad offset);
     # trash picks go past even the spare output tile (gather-with-fill → 0)
     se = jnp.minimum(sorted_e, E - 1)
     ranks = jnp.arange(M) - jnp.take(raw_off, se)
     dest = jnp.take(pad_off, se) + ranks                       # [M]
-    dest = jnp.where(sorted_e < E, dest, Mp + TM)
+    dest = jnp.where(sorted_e < E, dest, Mp + tm)
 
     total_real = jnp.sum(padded)
-    tile_starts = jnp.arange(n_tiles) * TM
+    tile_starts = jnp.arange(n_tiles) * tm
     cum_padded = jnp.cumsum(padded)
     tile_experts = jnp.searchsorted(cum_padded, tile_starts, side="right")
     tile_experts = jnp.minimum(tile_experts, E - 1)
@@ -269,6 +276,7 @@ def moe_prefill_pallas(
     pick_valid: Optional[jax.Array] = None,  # [T, k] bool (EP shard-local)
     interpret: bool = False,
     activation: str = "bf16",
+    tile_rows: Optional[int] = None,
 ) -> jax.Array:
     from .activations import swiglu
 
@@ -277,10 +285,17 @@ def moe_prefill_pallas(
     E = w13.q.shape[-3]
     M = T * k
 
+    # tile height stays 128 in every regime: tm=32 was MEASURED neutral
+    # at 16 slots (802 vs 772-820 band) and WORSE at 48 (1,389 vs 1,516
+    # steady tok/s) — the grouped step is bound by the per-(expert,
+    # n-tile) weight unpack, which tm does not change, while smaller
+    # tiles re-unpack hot experts' tiles more often. `tile_rows` remains
+    # an explicit A/B knob.
+    tm = tile_rows or TM
     dest, tile_experts, tile_valid, order, n_tiles = _plan_tiles(
-        topk_idx, T, k, E, pick_valid=pick_valid
+        topk_idx, T, k, E, pick_valid=pick_valid, tm=tm
     )
-    Mp = n_tiles * TM
+    Mp = n_tiles * tm
 
     x_rep = jnp.repeat(x, k, axis=0)                       # [M, H]
     x_sorted = jnp.take(x_rep, order, axis=0)
@@ -294,18 +309,18 @@ def moe_prefill_pallas(
         xq, sx = quantize_activations(
             x_tiles.astype(jnp.bfloat16), w13.group_size)
         h = gmm_a8(xq, sx, w13, tile_experts, tile_valid,
-                   layer_idx=layer_idx, interpret=interpret)[:Mp]
+                   layer_idx=layer_idx, interpret=interpret, tm=tm)[:Mp]
         a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
         aq, sa = quantize_activations(a, w2.group_size)
         o = gmm_a8(aq, sa, w2, tile_experts, tile_valid,
-                   layer_idx=layer_idx, interpret=interpret)
+                   layer_idx=layer_idx, interpret=interpret, tm=tm)
     else:
         h = gmm(x_tiles, w13, tile_experts, tile_valid, layer_idx=layer_idx,
-                interpret=interpret)[:Mp]
+                interpret=interpret, tm=tm)[:Mp]
         a = swiglu(h.astype(jnp.bfloat16), swiglu_limit=swiglu_limit,
                    gpt_oss=gpt_oss)
         o = gmm(a, w2, tile_experts, tile_valid, layer_idx=layer_idx,
-                interpret=interpret)                       # [Mp + TM, H]
+                interpret=interpret, tm=tm)                # [Mp + tm, H]
 
     o_sorted = jnp.take(o, dest, axis=0, mode="fill", fill_value=0)  # [M, H]
     o_rep = jnp.zeros_like(o_sorted).at[order].set(o_sorted)

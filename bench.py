@@ -74,7 +74,8 @@ def main() -> int:
     # shape leaves a compile inside the first timed run
     t0 = time.time()
     eng.generate(prompt, max_new_tokens=args.decode_tokens,
-                 sampling=SamplingParams(temperature=0.0), stop_ids={-1})
+                 sampling=SamplingParams(temperature=0.0), stop_ids={-1},
+                 want_logprobs=False)
     print(f"[bench] warmup (compile) in {time.time() - t0:.1f}s", file=sys.stderr)
 
     # variance-controlled protocol: the warmup above compiled every
@@ -84,9 +85,12 @@ def main() -> int:
     # tell a regression from tunnel jitter.
     decode_runs, prefill_runs = [], []
     for _ in range(max(1, args.runs)):
+        # want_logprobs=False = the serving default (OpenAI logprobs
+        # are per-request opt-in; measured ≈free either way)
         res = eng.generate(
             prompt, max_new_tokens=args.decode_tokens,
             sampling=SamplingParams(temperature=0.0), stop_ids={-1},
+            want_logprobs=False,
         )
         decode_runs.append(res.decode_tok_s)
         prefill_runs.append(res.prefill_tok_s)

@@ -822,13 +822,22 @@ def make_chunk_prefill_fn(cfg: ModelConfig, quant: QuantConfig, history: int,
 
 def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
                                  steps: int, mesh=None, max_top_k: int = 64,
-                                 top_logprobs: int = 0, offload=None):
+                                 top_logprobs: int = 0, offload=None,
+                                 need_logprobs: bool = True):
     """Fused decode+sample block with PER-SLOT sampling params. One
     device call advances every slot by `steps` tokens (per-token
     dispatch costs a host↔device round trip per step — ~28 ms through a
     relay tunnel, which would cap throughput at ~35 tok/s/slot no matter
     the model; the analog of the reference's whole-decode-loop-in-one-
-    Rust-call, decode.rs:3525 generate_batch)."""
+    Rust-call, decode.rs:3525 generate_batch).
+
+    need_logprobs=False drops the per-step chosen-logprob math and
+    returns zeros in the lps slot. Measured ≈free on V2-Lite (XLA fuses
+    the log_softmax into the lm_head epilogue; an argmax-only probe's
+    0.5 ms/tok delta traces to the whole sampling machinery, not this
+    term) — kept because it is the OpenAI semantic: logprobs are
+    per-request opt-in, and the scheduler flips to the full variant
+    whenever an active request asked."""
     from ..ops.sampling import sample_batched
 
     def fn(params, tok, cache, key, seen, temp, top_p, pres, top_k):
@@ -844,11 +853,15 @@ def make_multi_decode_batched_fn(cfg: ModelConfig, quant: QuantConfig,
             key, sk = jax.random.split(key)
             nxt = sample_batched(sk, logits, temp, top_p, pres, seen, top_k,
                                  max_top_k=max_top_k)
-            # logprob of the chosen token under the RAW model distribution
-            # (pre-temperature/penalty — the OpenAI `logprobs` quantity)
-            lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-            lp = jnp.take_along_axis(
-                lsm, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            if need_logprobs or top_logprobs > 0:
+                # logprob of the chosen token under the RAW model
+                # distribution (pre-temperature/penalty — the OpenAI
+                # `logprobs` quantity)
+                lsm = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+                lp = jnp.take_along_axis(
+                    lsm, nxt[:, None].astype(jnp.int32), axis=-1)[:, 0]
+            else:
+                lp = jnp.zeros((B,), jnp.float32)
             if top_logprobs > 0:
                 tv, ti = jax.lax.top_k(lsm, top_logprobs)   # [B, N]
             else:  # placeholder so the scan output structure is static
@@ -927,7 +940,8 @@ def static_max_top_k(sampling, V: int) -> int:
 
 def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
                          sampling, steps: int, mesh=None,
-                         top_logprobs: int = 0, offload=None):
+                         top_logprobs: int = 0, offload=None,
+                         need_logprobs: bool = True):
     """Single-request fused decode+sample loop: the batched block fn
     with `sampling` broadcast to per-row arrays (one code path — a fix
     to the scan/cache threading cannot drift between engine and
@@ -937,7 +951,8 @@ def make_multi_decode_fn(cfg: ModelConfig, quant: QuantConfig,
     inner = make_multi_decode_batched_fn(cfg, quant, steps, mesh=mesh,
                                          max_top_k=mtk,
                                          top_logprobs=top_logprobs,
-                                         offload=offload)
+                                         offload=offload,
+                                         need_logprobs=need_logprobs)
 
     def fn(params, tok, cache, key, seen):
         B = tok.shape[0]

@@ -187,16 +187,17 @@ class Engine:
         return self._sample_fns[sampling]
 
     def _multi_decode_fn(self, sampling: SamplingParams, steps: int,
-                         top_logprobs: int = 0):
+                         top_logprobs: int = 0, need_logprobs: bool = True):
         from ..models.model import make_multi_decode_fn
 
-        key = (sampling, steps, top_logprobs)
+        key = (sampling, steps, top_logprobs, need_logprobs)
         if key not in self._multi_decode_fns:
             self._multi_decode_fns[key] = jax.jit(
                 make_multi_decode_fn(self.cfg, self.quant, sampling, steps,
                                      mesh=self.mesh,
                                      top_logprobs=top_logprobs,
-                                     offload=self.offload),
+                                     offload=self.offload,
+                                     need_logprobs=need_logprobs),
                 donate_argnums=(2,),
             )
         return self._multi_decode_fns[key]
@@ -494,12 +495,19 @@ class Engine:
         on_token=None,
         on_token_lp=None,
         top_logprobs: int = 0,
+        want_logprobs: bool = True,
     ) -> GenerationResult:
         """Single-sequence generation (batch slot 0). `top_logprobs=N`
         additionally returns the top-N (token, logprob) alternatives per
         step from the raw model distribution. `on_token_lp(tok, logprob)`
         is the streaming-logprobs variant of `on_token(tok)`; both may be
-        set (each fires per token, on_token first)."""
+        set (each fires per token, on_token first).
+
+        `want_logprobs=False` skips the per-step chosen-logprob math
+        (measured ≈free — XLA fuses it — but semantically the OpenAI
+        default: logprobs are per-request opt-in) and returns zeros in
+        `result.logprobs`; `top_logprobs>0` forces it on. The server
+        passes the request's logprobs flag here."""
         sampling = sampling or SamplingParams(temperature=0.0)
         stop_ids = stop_ids or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids}
         if self.spec_available and top_logprobs == 0:
@@ -577,7 +585,13 @@ class Engine:
         # decode in fused blocks (one device call per `decode_block` tokens)
         t2 = time.perf_counter()
         block = self.decode_block
-        fn = self._multi_decode_fn(sampling, block, top_logprobs)
+        # on_token_lp alone does NOT force the logprob math: the server
+        # streams through it unconditionally and ignores the lp when the
+        # request didn't ask — with want_logprobs=False the callback
+        # (and result.logprobs) receives zeros
+        need_lp = want_logprobs or top_logprobs > 0
+        fn = self._multi_decode_fn(sampling, block, top_logprobs,
+                                   need_logprobs=need_lp)
         while not stopped and len(out_tokens) < max_new_tokens:
             toks, lps, (tvs, tis), self.cache, key, seen = fn(
                 self.params, next_tok, self.cache, key, seen

@@ -97,6 +97,10 @@ class Request:
     stop_ids: set
     out_queue: "queue.Queue[Optional[int]]" = field(default_factory=queue.Queue)
     cancelled: threading.Event = field(default_factory=threading.Event)
+    # per-request OpenAI logprobs opt-in; when False the emitted
+    # logprobs are zeros UNLESS another active slot requested them in
+    # the same block (the block computes for all slots or none)
+    want_logprobs: bool = False
     # log P(token) under the raw model distribution, index-aligned with
     # emitted tokens; appended BEFORE the token lands in out_queue, so a
     # consumer reading token i may read logprobs[i]
@@ -155,10 +159,22 @@ class BatchScheduler:
 
         # one fused decode+sample BLOCK for ALL slots: `decode_block`
         # tokens per device call (per-token dispatch costs a host round
-        # trip per step); per-slot sampling params stay vectorized
+        # trip per step); per-slot sampling params stay vectorized.
+        # Two variants: the default skips the per-step chosen-logprob
+        # math (measured ≈free — XLA fuses it — but it is the OpenAI
+        # semantic: logprobs are per-request opt-in), and the loop flips
+        # to the full variant whenever an active request asked
+        # (Request.want_logprobs).
         self._decode_sample = jax.jit(
             make_multi_decode_batched_fn(cfg, quant, self.decode_block,
-                                         mesh=mesh, offload=offload),
+                                         mesh=mesh, offload=offload,
+                                         need_logprobs=False),
+            donate_argnums=(2,),
+        )
+        self._decode_sample_lp = jax.jit(
+            make_multi_decode_batched_fn(cfg, quant, self.decode_block,
+                                         mesh=mesh, offload=offload,
+                                         need_logprobs=True),
             donate_argnums=(2,),
         )
         self._chunk_fns = {}
@@ -258,6 +274,7 @@ class BatchScheduler:
         max_new_tokens: int = 512,
         sampling: Optional[SamplingParams] = None,
         stop_ids: Optional[set] = None,
+        want_logprobs: bool = False,
     ) -> Request:
         req = Request(
             prompt_ids=list(prompt_ids),
@@ -265,6 +282,7 @@ class BatchScheduler:
             sampling=sampling or SamplingParams(),
             stop_ids=stop_ids
             or {self.cfg.eos_token_id, *self.cfg.extra_stop_token_ids},
+            want_logprobs=want_logprobs,
         )
         self._in_queue.put(req)
         return req
@@ -523,8 +541,12 @@ class BatchScheduler:
             if self.spec_mode is not None:
                 self._spec_decode_block()
                 continue
+            decode_fn = (self._decode_sample_lp
+                         if any(r is not None and r.want_logprobs
+                                for r in self._active)
+                         else self._decode_sample)
             toks, lps, _top, self.decode_cache, self._key, self._seen = (
-                self._decode_sample(
+                decode_fn(
                     self.params, jnp.asarray(self._tokens), self.decode_cache,
                     self._key, self._seen,
                     jnp.asarray(self._temp), jnp.asarray(self._top_p),

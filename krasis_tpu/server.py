@@ -260,9 +260,12 @@ def _stream_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
             raise StopIteration  # stop string hit → cancel decode
 
     try:
+        # on_token_lp drives streaming; when the request didn't ask for
+        # logprobs the lp values are unused, so skip their computation
         state.engine.generate(
             prompt_ids, max_new_tokens=max_tokens,
             sampling=sampling, on_token_lp=on_token_lp, seed=seed,
+            want_logprobs=want_logprobs,
         )
     except StopIteration:
         pass
@@ -316,6 +319,7 @@ def _full_single(state, w, rid, created, prompt_ids, max_tokens, sampling,
         prompt_ids, max_new_tokens=max_tokens, sampling=sampling,
         on_token=on_token, seed=seed,
         top_logprobs=(top_logprobs if want_logprobs else 0),
+        want_logprobs=want_logprobs,
     )
     if stops:
         pieces.append(sm.flush())
@@ -362,7 +366,8 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
     pending_lp: list = []
 
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
-                                 sampling=sampling)
+                                 sampling=sampling,
+                                 want_logprobs=want_logprobs)
     client_gone = False
     while True:
         tok = req.out_queue.get()
@@ -413,7 +418,8 @@ def _stream_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
 def _full_batched(state, w, rid, created, prompt_ids, max_tokens, sampling,
                   stops=(), want_logprobs=False):
     req = state.scheduler.submit(prompt_ids, max_new_tokens=max_tokens,
-                                 sampling=sampling)
+                                 sampling=sampling,
+                                 want_logprobs=want_logprobs)
     sm = StopMatcher(stops)
     dec = _make_decoder(state) if stops else None
     toks, pieces = [], []

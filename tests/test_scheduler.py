@@ -289,3 +289,33 @@ def test_slots_benchmark_mode(setup):
     assert res["2"]["total_tok"] == 16
     for v in res.values():
         assert v["agg_tok_s"] > 0 and v["wall_s"] > 0
+
+
+def test_logprobs_opt_in_same_tokens(setup):
+    """Logprobs are per-request opt-in (OpenAI semantics): the fast
+    no-logprob block must emit the SAME greedy tokens, with zero
+    logprobs; a want_logprobs request gets real (<0) values."""
+    cfg, quant, params = setup
+    greedy = SamplingParams(temperature=0.0)
+    sched = BatchScheduler(cfg, quant, params, max_len=256, num_slots=2)
+    try:
+        r0 = sched.submit([4, 5, 6], max_new_tokens=6, sampling=greedy,
+                          stop_ids={-1})
+        t0 = _drain(r0)
+        assert all(lp == 0.0 for lp in r0.logprobs[1:])  # fast variant
+        r1 = sched.submit([4, 5, 6], max_new_tokens=6, sampling=greedy,
+                          stop_ids={-1}, want_logprobs=True)
+        t1 = _drain(r1)
+        assert t0 == t1
+        assert any(lp < 0.0 for lp in r1.logprobs)
+    finally:
+        sched.shutdown()
+
+    eng = Engine(cfg, quant, params, max_len=256)
+    a = eng.generate([4, 5, 6], max_new_tokens=6, sampling=greedy,
+                     stop_ids={-1})
+    b = eng.generate([4, 5, 6], max_new_tokens=6, sampling=greedy,
+                     stop_ids={-1}, want_logprobs=False)
+    assert a.tokens == b.tokens == t0
+    assert any(lp < 0.0 for lp in a.logprobs)
+    assert all(lp == 0.0 for lp in b.logprobs[1:])

@@ -427,9 +427,14 @@ class OffloadEngine(Engine):
         }
         return logits, new_cache
 
-    def _multi_decode_fn(self, sampling, steps: int, top_logprobs: int = 0):
+    def _multi_decode_fn(self, sampling, steps: int, top_logprobs: int = 0,
+                         need_logprobs: bool = True):
+        # need_logprobs is a fast-path hint for the fused block; the
+        # segmented driver's per-step logprob is negligible next to its
+        # per-layer host hops, so it always computes them
         if not self.segmented:
-            return super()._multi_decode_fn(sampling, steps, top_logprobs)
+            return super()._multi_decode_fn(sampling, steps, top_logprobs,
+                                            need_logprobs=need_logprobs)
         sample_fn = self._sample_fn(sampling)
 
         def driver(params, tok, cache, key, seen):

@@ -156,7 +156,19 @@ def run_engine_benchmark(
     # transfer + overlap-effective) so a real-PCIe/DMA host can validate
     # the transport in one run — through the relay tunnel this measures
     # the tunnel (~25 MB/s observed), which is exactly the point of
-    # recording it instead of modeling it
+    # recording it instead of modeling it. The pure-rate measurement
+    # serializes one transfer against the pipeline, so it is gated on
+    # KRASIS_TPU_STREAM_STATS; run one extra untimed prefill with it on
+    # to capture the number without perturbing the timed rows above.
+    if hasattr(engine, "last_stream_stats"):
+        import os as _os
+
+        _os.environ["KRASIS_TPU_STREAM_STATS"] = "1"
+        try:
+            engine.generate(make_prompt(min(512, n_ctx), corpus.WARMUP_DOMAIN),
+                            max_new_tokens=2, sampling=greedy, stop_ids={-1})
+        finally:
+            _os.environ.pop("KRASIS_TPU_STREAM_STATS", None)
     stream = getattr(engine, "last_stream_stats", None)
     if stream:
         results["offload_stream"] = stream

@@ -634,10 +634,24 @@ def load_params(
 ) -> Dict[str, Any]:
     """Load (and quantize) a checkpoint into device memory, going through
     the versioned mmap weight cache when possible. Concurrent starts
-    serialize on a build lock (losers wait for the winner's cache)."""
-    return place_params(
-        _host_pytree(cfg, quant, dtype=dtype, use_cache=use_cache),
-        cfg, mesh)
+    serialize on a build lock (losers wait for the winner's cache).
+
+    The shared-expert fold (params.fold_shared_experts) is applied HERE,
+    host-side on the CPU backend, before any leaf lands in HBM: the
+    post-hoc device fold concatenates a second copy of every expert
+    stack, transiently doubling multi-GB stacks — fine for tiny synthetic
+    params, an OOM risk for full-size checkpoints. Engine's own fold call
+    then no-ops (idempotent by stack shape)."""
+    host = _host_pytree(cfg, quant, dtype=dtype, use_cache=use_cache)
+    if quant.fold_shared_decode and mesh is None and cfg.n_shared_experts > 0:
+        from .params import fold_shared_experts
+
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            host = fold_shared_experts(host, cfg, quant)
+        # back to numpy so place_params controls device placement
+        host = jax.tree_util.tree_map(np.asarray, host)
+    return place_params(host, cfg, mesh)
 
 
 def load_params_offload(cfg: ModelConfig, quant: QuantConfig,

@@ -486,11 +486,19 @@ def fold_shared_experts(params: Dict[str, Any], cfg: ModelConfig,
                 jnp.concatenate([w2.scales, v2.scales], axis=-3),
                 w2.bits, w2.group_size)
         else:
-            # full-precision array stacks: slices are exact by nature
+            # full-precision array stacks: slices are exact by nature.
+            # The shared leaves may still be QTensors (shared_expert
+            # defaults to int8 even when expert_bits=16) — dequantize
+            # them first; appending f32 values to an f32 stack keeps the
+            # fold exact for the stack while the dense prefill leaves
+            # keep their own quantization (both paths were already at
+            # different precisions in this configuration).
             n_virt = Is // I
             H = sh13_shape[-2]
-            s13 = jnp.asarray(sw13, w13.dtype)
-            s2 = jnp.asarray(sw2, w13.dtype)
+            s13 = (dequantize(sw13, dtype=w13.dtype)
+                   if isinstance(sw13, QTensor) else jnp.asarray(sw13, w13.dtype))
+            s2 = (dequantize(sw2, dtype=w13.dtype)
+                  if isinstance(sw2, QTensor) else jnp.asarray(sw2, w13.dtype))
             gate = s13[..., :, :Is].reshape(*lead, H, n_virt, I)
             up = s13[..., :, Is:].reshape(*lead, H, n_virt, I)
             v13 = jnp.moveaxis(jnp.concatenate([gate, up], axis=-1), -2, -3)

@@ -124,7 +124,11 @@ class Engine:
         self.quant = quant = resolve_kv_quant(cfg, quant, batch_size, max_len)
         if quant.fold_shared_decode and mesh is None and offload is None:
             # shared experts as virtual routed experts on the decode path
-            # (idempotent: detected by stack shape, no-op when folded)
+            # (idempotent: detected by stack shape, no-op when folded).
+            # Full-size checkpoints arrive ALREADY folded — loader.
+            # load_params folds host-side before placement, so this
+            # device-side concat (which transiently doubles each expert
+            # stack) only ever runs on small synthetic/test params.
             from ..models.params import fold_shared_experts
 
             params = fold_shared_experts(params, cfg, quant)

@@ -152,6 +152,69 @@ def test_fold_close_at_q4_and_internally_consistent():
     np.testing.assert_allclose(a.logprobs[:4], b.logprobs[:4], atol=0.4)
 
 
+def test_fold_array_stack_with_quantized_shared():
+    """Full-precision array expert stacks + quantized (default int8)
+    shared leaves: the loader's expert_bits=16 form. Regression: the
+    array branch used to jnp.asarray a QTensor and crash at Engine
+    construction. The fold must apply (shared dequantized exactly into
+    the stack) and match the unfolded engine closely."""
+    cfg = _cfg()
+    # shared_expert left at its 'int8' default — the crashing combo
+    off, on = _pair(cfg, dict(expert_bits=16), dequant=True)
+    E = cfg.n_routed_experts
+    for lp in on.params["pattern"]:
+        if "w13" in lp:
+            assert lp["w13"].shape[-3] == E + 2   # fold applied
+    prompt = [3, 9, 27, 4, 11]
+    a = off.generate(prompt, max_new_tokens=8, sampling=GREEDY,
+                     stop_ids={-1})
+    b = on.generate(prompt, max_new_tokens=8, sampling=GREEDY,
+                    stop_ids={-1})
+    assert a.tokens == b.tokens
+    np.testing.assert_allclose(a.logprobs, b.logprobs, atol=5e-2)
+
+
+def test_loader_folds_host_side(tmp_path, monkeypatch):
+    """load_params applies the shared-expert fold HOST-side before
+    placement (the OOM-safe path): returned stacks already have E+n_virt
+    experts, and Engine's post-hoc fold no-ops on them."""
+    from transformers import DeepseekV2Config, DeepseekV2ForCausalLM
+
+    from krasis_tpu.config import ModelConfig
+    from krasis_tpu.models import loader as L
+
+    hf = DeepseekV2Config(
+        vocab_size=256, hidden_size=64, intermediate_size=128,
+        moe_intermediate_size=32, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=4,
+        kv_lora_rank=32, q_lora_rank=None, qk_nope_head_dim=16,
+        qk_rope_head_dim=8, v_head_dim=16,
+        n_routed_experts=8, num_experts_per_tok=2, n_shared_experts=2,
+        first_k_dense_replace=1, moe_layer_freq=1,
+        topk_method="greedy", scoring_func="softmax",
+        routed_scaling_factor=1.0, norm_topk_prob=False,
+        aux_loss_alpha=0.0, seq_aux=False,
+        tie_word_embeddings=False, rope_theta=10000.0,
+        max_position_embeddings=512, attention_bias=False,
+    )
+    model = DeepseekV2ForCausalLM(hf).eval()
+    ckpt = str(tmp_path / "ckpt")
+    model.save_pretrained(ckpt, safe_serialization=True)
+
+    mcfg = ModelConfig.from_model_path(ckpt)
+    monkeypatch.setenv("KRASIS_TPU_HOME", str(tmp_path / "home"))
+    quant = QuantConfig(expert_bits=4, group_size=32,
+                        fold_shared_decode=True)
+    params = L.load_params(mcfg, quant, use_cache=False)
+    E = mcfg.n_routed_experts
+    saw_moe = False
+    for lp in params["pattern"] + params["prefix_layers"]:
+        if "w13" in lp:
+            saw_moe = True
+            assert lp["w13"].q.shape[-3] == E + 2
+    assert saw_moe
+
+
 def test_scheduler_folds_consistently_with_engine():
     """Engine and BatchScheduler fold independently from the same raw
     params; their greedy streams must agree."""

@@ -31,15 +31,7 @@ T, H, I, E, K = 2048, cfg.hidden_size, cfg.moe_intermediate_size, \
 key = jax.random.PRNGKey(0)
 
 
-def timeit(fn, *args, n=20, warm=3):
-    for _ in range(warm):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        r = fn(*args)
-    jax.block_until_ready(r)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+from _timing import timeit_ms as timeit  # noqa: E402
 
 
 # --- MoE grouped GEMM (both stages + glue) at one layer's shapes ------
@@ -49,8 +41,10 @@ x = jax.random.normal(jax.random.fold_in(key, 3), (T, H), jnp.bfloat16) * 0.1
 idx = jax.random.randint(jax.random.fold_in(key, 4), (T, K), 0, E)
 wts = jax.nn.softmax(jax.random.normal(jax.random.fold_in(key, 5), (T, K)))
 
-moe_fn = jax.jit(lambda x, i, w: moe_prefill_pallas(x, w13, w2, i, w))
-ms_moe = timeit(moe_fn, x, idx, wts)
+# weights as ARGUMENTS, not closure constants (413 from remote compile)
+moe_fn = jax.jit(
+    lambda x, i, w, w13, w2: moe_prefill_pallas(x, w13, w2, i, w))
+ms_moe = timeit(moe_fn, x, idx, wts, w13, w2)
 flops = 2 * T * K * (H * 2 * I + I * H)
 print(f"MoE layer (grouped, T={T} k={K}): {ms_moe:.2f} ms "
       f"({flops/ms_moe/1e9:.0f} GF/s)", flush=True)
@@ -59,8 +53,9 @@ print(f"MoE layer (grouped, T={T} k={K}): {ms_moe:.2f} ms "
 w13t = random_qtensor(jax.random.fold_in(key, 6), (E, 256, 256), 4, 128)
 w2t = random_qtensor(jax.random.fold_in(key, 7), (E, 128, 256), 4, 128)
 xt = x[:, :256]
-glue_fn = jax.jit(lambda x, i, w: moe_prefill_pallas(x, w13t, w2t, i, w))
-ms_glue = timeit(glue_fn, xt, idx, wts)
+glue_fn = jax.jit(
+    lambda x, i, w, w13t, w2t: moe_prefill_pallas(x, w13t, w2t, i, w))
+ms_glue = timeit(glue_fn, xt, idx, wts, w13t, w2t)
 print(f"MoE glue floor (tiny weights):    {ms_glue:.2f} ms", flush=True)
 
 # --- MLA flash attention at 2048 --------------------------------------
@@ -92,9 +87,9 @@ wo = jax.random.normal(jax.random.fold_in(key, 12), (hq * 128, H),
 xo = jax.random.normal(jax.random.fold_in(key, 13), (1, T, hq * 128),
                        jnp.bfloat16) * 0.1
 x3 = x[None]
-proj_fn = jax.jit(lambda x3, xo: (
+proj_fn = jax.jit(lambda x3, xo, wq, wkv, wo: (
     linear(x3, wq), linear(x3, wkv), linear(xo, wo)))
-ms_proj = timeit(proj_fn, x3, xo)
+ms_proj = timeit(proj_fn, x3, xo, wq, wkv, wo)
 print(f"attention projections:            {ms_proj:.2f} ms", flush=True)
 
 # --- whole-model reference: one prefill chunk / layers ----------------

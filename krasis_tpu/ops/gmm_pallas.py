@@ -217,6 +217,212 @@ def gmm_a8(
       xq_tiles, sx_tiles.astype(jnp.float32), q4, s4)
 
 
+# --------------------------------------------------------------------------
+# Fused full-N kernels (round-5 redesign)
+# --------------------------------------------------------------------------
+#
+# probe_gmm_terms measured the per-(token-tile, n-tile) kernel near its
+# PIPELINE floor: at V2-Lite w13 shapes the empty-compute variant costs
+# 1.26 ms of the full kernel's 1.74 ms — 1,771 grid steps each re-DMA
+# weight blocks (the t-major walk re-reads every expert's weights once
+# per token tile, ~2.5×) and pay per-step overhead; the int4→bf16
+# unpack ALU cost that round 4 blamed is the small residual (cheaper
+# unpack sequences measured NO change, probe_unpack_variants).
+#
+# Redesign: ONE grid step per token tile covering the FULL output width,
+# with a static inner loop over ≤TS-wide subtiles (unpack + MXU dot per
+# subtile keeps the bf16 transient ≤ ~2 MB of VMEM). Consecutive tiles
+# of the same expert hit the SAME weight-block index, so the revolving
+# buffer fetches each expert's weights exactly once per kernel — HBM
+# weight traffic drops from ~2.5× to 1× the stack — and grid overhead
+# amortizes across the whole row. The w13 kernel additionally fuses
+# SwiGLU (both halves are resident at step end), writing the [tm, I]
+# bf16 activations directly — the [Mp, 2I] f32 h tensor never touches
+# HBM (the reference fuses the same way in fused_marlin_moe, reference
+# python/krasis/gpu_prefill.py:318-565).
+
+TS = 512          # max subtile width for the inner unpack+dot loop
+_MAX_FUSED_BLOCK = 4 * 1024 * 1024   # per-expert packed block cap (bytes)
+
+
+def _sub_width(N: int) -> int:
+    for ts in (TS, 384, 256, 128):
+        if N % ts == 0:
+            return ts
+    return 0
+
+
+def gmm_fused_supported(w13: QTensor, w2: QTensor) -> bool:
+    """Fused full-N grouped path: lane-aligned widths, packed per-expert
+    blocks that fit VMEM double-buffered."""
+    if not (isinstance(w13, QTensor) and isinstance(w2, QTensor)):
+        return False
+    if w13.bits not in (4, 8) or w2.bits not in (4, 8):
+        return False
+    N13, H = w13.n_dim, w2.n_dim
+    I = w2.k_dim
+    if N13 != 2 * I:
+        return False
+    if _sub_width(N13) == 0 or _sub_width(H) == 0 or I % 128:
+        return False
+    if w13.q.shape[-2] * N13 > _MAX_FUSED_BLOCK:
+        return False
+    if w2.q.shape[-2] * H > _MAX_FUSED_BLOCK:
+        return False
+    return True
+
+
+def _gmm13_fused_kernel(l_ref, tile_e_ref, tv_ref, x_ref, q_ref, s_ref,
+                        o_ref, *, bits, gs, I, ts, swiglu_limit, gpt_oss):
+    t = pl.program_id(0)
+
+    @pl.when(tv_ref[t] == 1)
+    def _compute():
+        N13 = 2 * I
+        parts = []
+        for j in range(N13 // ts):
+            w = _unpack_scale(q_ref[0, 0, :, j * ts:(j + 1) * ts],
+                              s_ref[0, 0, :, j * ts:(j + 1) * ts], bits, gs)
+            parts.append(jnp.dot(x_ref[:], w,
+                                 preferred_element_type=jnp.float32))
+        h = jnp.concatenate(parts, axis=-1).astype(jnp.bfloat16)
+        # swiglu at the exact production numerics (ops/activations.swiglu
+        # applied to the bf16-cast h): f32 math, bf16 out
+        g = h[:, :I].astype(jnp.float32)
+        u = h[:, I:].astype(jnp.float32)
+        if gpt_oss:
+            g = jnp.minimum(g, swiglu_limit)
+            u = jnp.clip(u, -swiglu_limit, swiglu_limit)
+            a = g * jax.nn.sigmoid(1.702 * g) * (u + 1.0)
+        else:
+            a = g * jax.nn.sigmoid(g) * u
+        o_ref[:] = a.astype(jnp.bfloat16)
+
+
+def _gmm2_fused_kernel(l_ref, tile_e_ref, tv_ref, a_ref, q_ref, s_ref,
+                       o_ref, *, bits, gs, ts):
+    t = pl.program_id(0)
+
+    @pl.when(tv_ref[t] == 1)
+    def _compute():
+        H = o_ref.shape[-1]
+        for j in range(H // ts):
+            w = _unpack_scale(q_ref[0, 0, :, j * ts:(j + 1) * ts],
+                              s_ref[0, 0, :, j * ts:(j + 1) * ts], bits, gs)
+            o_ref[:, j * ts:(j + 1) * ts] = jnp.dot(
+                a_ref[:], w, preferred_element_type=jnp.float32)
+
+
+def _fused_specs(tm, K, rows, N, gs, n_tiles):
+    return [
+        pl.BlockSpec((tm, K),
+                     lambda t, l, e, v: (jnp.where(v[t] == 1, t, 0), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, rows, N),
+                     lambda t, l, e, v: (l[0], e[t], 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, K // gs, N),
+                     lambda t, l, e, v: (l[0], e[t], 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "swiglu_limit", "gpt_oss", "interpret", "tm"))
+def gmm13_fused(
+    x_tiles: jax.Array,       # [Mp, H] bf16
+    w13: QTensor,             # [(L,) E, H(/2), 2I]
+    tile_experts: jax.Array,
+    tile_valid: jax.Array,
+    layer_idx=None,
+    swiglu_limit: float = 0.0,
+    gpt_oss: bool = False,
+    interpret: bool = False,
+    tm: int = TM,
+) -> jax.Array:
+    """Fused w13-GEMM + SwiGLU over expert-sorted token tiles.
+    Returns [Mp + tm, I] bf16 activations (spare tile absorbs skips)."""
+    Mp, K = x_tiles.shape
+    N13 = w13.n_dim
+    I = N13 // 2
+    gs = w13.group_size
+    q4, s4 = (w13.q, w13.scales) if w13.q.ndim == 4 else (
+        w13.q[None], w13.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,))
+    rows = q4.shape[-2]
+    ts = _sub_width(N13)
+    n_tiles = Mp // tm
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=_fused_specs(tm, K, rows, N13, gs, n_tiles),
+        out_specs=pl.BlockSpec(
+            (tm, I),
+            lambda t, l, e, v: (jnp.where(v[t] == 1, t, n_tiles), 0),
+            memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm13_fused_kernel, bits=w13.bits, gs=gs, I=I,
+                          ts=ts, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp + tm, I), jnp.bfloat16),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N13,
+            bytes_accessed=rows * N13 * (Mp // tm) // 2 + Mp * K * 2
+            + Mp * I * 2,
+            transcendentals=Mp * I,
+        ),
+        interpret=interpret,
+    )(layer_arr, tile_experts.astype(jnp.int32), tile_valid.astype(jnp.int32),
+      x_tiles.astype(jnp.bfloat16), q4, s4)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tm"))
+def gmm2_fused(
+    a_tiles: jax.Array,       # [Mp, I] bf16 (gmm13_fused output, sliced)
+    w2: QTensor,              # [(L,) E, I(/2), H]
+    tile_experts: jax.Array,
+    tile_valid: jax.Array,
+    layer_idx=None,
+    interpret: bool = False,
+    tm: int = TM,
+) -> jax.Array:
+    """Full-N w2 GEMM over expert-sorted activation tiles → [Mp+tm, H] f32."""
+    Mp, I = a_tiles.shape
+    H = w2.n_dim
+    gs = w2.group_size
+    q4, s4 = (w2.q, w2.scales) if w2.q.ndim == 4 else (
+        w2.q[None], w2.scales[None])
+    layer_arr = jnp.reshape(
+        jnp.asarray(0 if layer_idx is None else layer_idx, jnp.int32), (1,))
+    rows = q4.shape[-2]
+    ts = _sub_width(H)
+    n_tiles = Mp // tm
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n_tiles,),
+        in_specs=_fused_specs(tm, I, rows, H, gs, n_tiles),
+        out_specs=pl.BlockSpec(
+            (tm, H),
+            lambda t, l, e, v: (jnp.where(v[t] == 1, t, n_tiles), 0),
+            memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        functools.partial(_gmm2_fused_kernel, bits=w2.bits, gs=gs, ts=ts),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp + tm, H), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * I * H,
+            bytes_accessed=rows * H * (Mp // tm) // 2 + Mp * I * 2
+            + Mp * H * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_arr, tile_experts.astype(jnp.int32), tile_valid.astype(jnp.int32),
+      a_tiles.astype(jnp.bfloat16), q4, s4)
+
+
 def _plan_tiles(
     topk_idx: jax.Array, T: int, k: int, E: int,
     pick_valid: Optional[jax.Array] = None,
@@ -297,14 +503,21 @@ def moe_prefill_pallas(
     )
     Mp = n_tiles * tm
 
-    x_rep = jnp.repeat(x, k, axis=0)                       # [M, H]
-    x_sorted = jnp.take(x_rep, order, axis=0)
-    x_tiles = jnp.zeros((Mp, H), x.dtype).at[dest].set(
-        x_sorted, mode="drop"
-    )
+    # ONE gather builds the tile-aligned activations: tile row p takes
+    # token src[p] (= order[p] // k, scattered via dest); padding rows
+    # read out-of-range → fill 0. Fusing repeat→sort-gather→scatter into
+    # a single take removes two full [M, H] materializations from the
+    # glue (measured: glue ≈ 1/3 of the grouped MoE layer).
+    src = jnp.full((Mp,), T, jnp.int32).at[dest].set(
+        (order // k).astype(jnp.int32), mode="drop")
+    x_tiles = jnp.take(x, src, axis=0, mode="fill", fill_value=0)
+
+    import os
 
     use_a8 = (activation == "int8"
               and gmm_a8_supported(w13) and gmm_a8_supported(w2))
+    use_fused = (not use_a8 and gmm_fused_supported(w13, w2)
+                 and os.environ.get("KRASIS_TPU_GMM") != "legacy")
     if use_a8:
         xq, sx = quantize_activations(
             x_tiles.astype(jnp.bfloat16), w13.group_size)
@@ -314,6 +527,12 @@ def moe_prefill_pallas(
         aq, sa = quantize_activations(a, w2.group_size)
         o = gmm_a8(aq, sa, w2, tile_experts, tile_valid,
                    layer_idx=layer_idx, interpret=interpret, tm=tm)
+    elif use_fused:
+        a = gmm13_fused(x_tiles, w13, tile_experts, tile_valid,
+                        layer_idx=layer_idx, swiglu_limit=swiglu_limit,
+                        gpt_oss=gpt_oss, interpret=interpret, tm=tm)[:Mp]
+        o = gmm2_fused(a, w2, tile_experts, tile_valid,
+                       layer_idx=layer_idx, interpret=interpret, tm=tm)
     else:
         h = gmm(x_tiles, w13, tile_experts, tile_valid, layer_idx=layer_idx,
                 interpret=interpret, tm=tm)[:Mp]
@@ -322,7 +541,12 @@ def moe_prefill_pallas(
         o = gmm(a, w2, tile_experts, tile_valid, layer_idx=layer_idx,
                 interpret=interpret, tm=tm)                # [Mp + tm, H]
 
-    o_sorted = jnp.take(o, dest, axis=0, mode="fill", fill_value=0)  # [M, H]
-    o_rep = jnp.zeros_like(o_sorted).at[order].set(o_sorted)
+    # output combine as ONE gather: pick i sits at sorted position
+    # inv[i], tile row dest[inv[i]] (trash picks index past o's rows →
+    # fill 0). Replaces gather + full-[M, H] scatter.
+    M_ids = jnp.arange(M, dtype=jnp.int32)
+    inv = jnp.zeros((M,), jnp.int32).at[order].set(M_ids)
+    o_rep = jnp.take(o, jnp.take(dest, inv), axis=0,
+                     mode="fill", fill_value=0)              # [M, H]
     out = (o_rep.reshape(T, k, H) * topk_weights[..., None]).sum(axis=1)
     return out.astype(x.dtype)

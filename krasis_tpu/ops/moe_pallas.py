@@ -28,7 +28,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from ..quant import QTensor
 
-_MAX_W_BYTES = 4 * 1024 * 1024  # per-expert packed bytes budget (VMEM)
+# Per-expert packed-bytes budget: double-buffered blocks plus the
+# subtiled ≤2 MB unpack transient must fit VMEM (2×4.75 + ~2 + h/x/out
+# ≈ 12 MB of 16). Round 5 raised 4 MB → 4.75 MB once the kernels
+# subtiled their unpack: V2-Lite (4.33 MB/pick) now runs ONE fused
+# pallas call per MoE layer instead of two N-tiled ones — the per-call
+# overhead was the decode MoE term's dominant cost
+# (benchmarks/decode_trace.json).
+_MAX_W_BYTES = int(4.75 * 1024 * 1024)
 
 
 def interpret_mode() -> bool:
@@ -85,6 +92,32 @@ def _unpack_scale(q, s, bits, gs):
     return wf.reshape(K, N).astype(jnp.bfloat16)
 
 
+def _subtiled_mm(x, q_ref, s_ref, bits, gs):
+    """x [T, K] bf16 · dequant(q_ref [1,1,rows,N]) → [T, N] f32, with the
+    unpack and MXU dot over static ≤512-wide column slices."""
+    N = q_ref.shape[-1]
+    ts = pick_tile(N, 512)
+    parts = []
+    for j in range(N // ts):
+        w = _unpack_scale(q_ref[0, 0, :, j * ts:(j + 1) * ts],
+                          s_ref[0, 0, :, j * ts:(j + 1) * ts], bits, gs)
+        parts.append(jnp.dot(x, w, preferred_element_type=jnp.float32))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
+def _subtiled_mm_i8(xq, sx, q_ref, s_ref, bits, gs):
+    """W4A8 form of _subtiled_mm: int8 activations (xq, sx) against
+    ≤512-wide unpacked-int8 weight slices via the grouped int8 dot."""
+    N = q_ref.shape[-1]
+    ts = pick_tile(N, 512)
+    parts = []
+    for j in range(N // ts):
+        w_i8 = _unpack_int8(q_ref[0, 0, :, j * ts:(j + 1) * ts], bits)
+        parts.append(_grouped_dot_i8(
+            xq, sx, w_i8, s_ref[0, 0, :, j * ts:(j + 1) * ts], gs))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1)
+
+
 def _kernel(
     # scalar prefetch
     layer_ref, expert_ref, token_ref, wt_ref,
@@ -105,8 +138,14 @@ def _kernel(
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    w13 = _unpack_scale(q13_ref[0, 0], s13_ref[0, 0], bits, gs)   # [H, 2I]
-    h = jnp.dot(x_ref[:], w13, preferred_element_type=jnp.float32)  # [T, 2I]
+    # Subtiled unpack+dot (≤512-wide slices): bounds the unpacked-weight
+    # transient to ~2 MB so V2-Lite-size experts (4.33 MB/pick packed)
+    # fit the fused kernel — one pallas call per MoE layer instead of
+    # two N-tiled ones (per-call overhead measured as the decode MoE
+    # term's dominant cost, benchmarks/decode_trace.json). Values are
+    # bit-identical to the whole-width dot: each output column's K-sum
+    # is unchanged by slicing N.
+    h = _subtiled_mm(x_ref[:], q13_ref, s13_ref, bits, gs)        # [T, 2I]
     g, u = h[:, :I], h[:, I:]
     if gpt_oss:
         g = jnp.minimum(g, swiglu_limit)
@@ -115,8 +154,7 @@ def _kernel(
     else:
         a = g * jax.nn.sigmoid(g) * u
 
-    w2 = _unpack_scale(q2_ref[0, 0], s2_ref[0, 0], bits, gs)      # [I, H]
-    o = jnp.dot(a.astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32)
+    o = _subtiled_mm(a.astype(jnp.bfloat16), q2_ref, s2_ref, bits, gs)
     rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
     o_ref[:] += jnp.where(rows == t, o * wt_ref[p], 0.0).astype(o_ref.dtype)
 
@@ -265,8 +303,8 @@ def _kernel_w4a8(
     def _init():
         o_ref[:] = jnp.zeros_like(o_ref)
 
-    w13 = _unpack_int8(q13_ref[0, 0], bits)                    # [H, 2I] i8
-    h = _grouped_dot_i8(xq_ref[:], sx_ref[:], w13, s13_ref[0, 0], gs)
+    h = _subtiled_mm_i8(xq_ref[:], sx_ref[:], q13_ref, s13_ref,
+                        bits, gs)                              # [T, 2I] f32
     g, u = h[:, :I], h[:, I:]
     if gpt_oss:
         g = jnp.minimum(g, swiglu_limit)
@@ -282,8 +320,7 @@ def _kernel_w4a8(
     aq = jnp.clip(jnp.round(ag / sa[..., None]), -127, 127
                   ).astype(jnp.int8).reshape(T, I)
 
-    w2 = _unpack_int8(q2_ref[0, 0], bits)                      # [I, H] i8
-    o = _grouped_dot_i8(aq, sa, w2, s2_ref[0, 0], gs)
+    o = _subtiled_mm_i8(aq, sa, q2_ref, s2_ref, bits, gs)
     rows = jax.lax.broadcasted_iota(jnp.int32, o.shape, 0)
     o_ref[:] += jnp.where(rows == t, o * wt_ref[p], 0.0).astype(o_ref.dtype)
 

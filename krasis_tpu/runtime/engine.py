@@ -596,11 +596,18 @@ class Engine:
         need_lp = want_logprobs or top_logprobs > 0
         fn = self._multi_decode_fn(sampling, block, top_logprobs,
                                    need_logprobs=need_lp)
-        while not stopped and len(out_tokens) < max_new_tokens:
-            toks, lps, (tvs, tis), self.cache, key, seen = fn(
-                self.params, next_tok, self.cache, key, seen
-            )
-            next_tok = toks[-1]
+
+        # Block pipelining: block n+1 is DISPATCHED (pure device dataflow
+        # on next_tok/cache/key/seen) before block n's host readbacks, so
+        # the ~28 ms-per-readback tunnel round trips overlap the next
+        # block's compute — measured 0.93 ms/tok of "outside-module" time
+        # in benchmarks/decode_trace.json. Look-ahead is gated so no
+        # block beyond max_new_tokens is ever launched; only a stop-id /
+        # caller-cancel mid-pending discards one in-flight block (its
+        # output is dropped, nothing waits on it).
+        def _commit(p):
+            nonlocal stopped
+            toks, lps, tvs, tis = p
             lps_host = np.asarray(lps[:, 0]).tolist()
             if top_logprobs > 0:
                 tvs_h = np.asarray(tvs[:, 0]).tolist()   # [steps][N]
@@ -619,7 +626,25 @@ class Engine:
                 if tok in stop_ids or len(out_tokens) >= max_new_tokens:
                     stopped = True
                     break
-        jax.block_until_ready(next_tok)
+
+        pending = None
+        while not stopped:
+            committed_ahead = len(out_tokens) + (
+                block if pending is not None else 0)
+            if committed_ahead >= max_new_tokens:
+                break
+            toks, lps, (tvs, tis), self.cache, key, seen = fn(
+                self.params, next_tok, self.cache, key, seen
+            )
+            next_tok = toks[-1]
+            if pending is not None:
+                _commit(pending)
+                if stopped:
+                    pending = None   # drop the in-flight block
+                    break
+            pending = (toks, lps, tvs, tis)
+        if pending is not None and not stopped:
+            _commit(pending)
         t3 = time.perf_counter()
 
         return GenerationResult(

@@ -39,6 +39,22 @@ def available() -> bool:
         return False
 
 
+def _vmem_est(Tp: int, K: int, rows: int, gs: int, tn: int) -> int:
+    # per-step VMEM: x + packed tile (×2 buffers) + unpacked bf16 tile
+    return Tp * K * 2 + rows * tn * 2 + K * tn * 2 + (K // gs) * tn * 2
+
+
+def _pick_tn(Tp: int, K: int, rows: int, gs: int) -> int:
+    """Largest N-tile whose VMEM estimate fits — long-K weights (e.g.
+    V2-Lite's dense w2 [10944, 2048]) drop to tn=128 instead of falling
+    off the kernel entirely (the XLA fallback materializes the f32
+    dequant: a 90 MB broadcast per step, benchmarks/decode_trace.json)."""
+    for tn in (_TN, 128):
+        if _vmem_est(Tp, K, rows, gs, tn) < 10 * 1024 * 1024:
+            return tn
+    return 0
+
+
 def supported(x: jax.Array, qt: QTensor) -> bool:
     if x.ndim != 2 or qt.q.ndim != 2:
         return False
@@ -53,11 +69,9 @@ def supported(x: jax.Array, qt: QTensor) -> bool:
         return False
     if N % 128:
         return False
-    # per-step VMEM: x + packed tile (×2 buffers) + unpacked bf16 tile
     rows = K // 2 if qt.bits == 4 else K
     Tp = max(8, -(-x.shape[0] // 8) * 8)
-    vmem = Tp * K * 2 + rows * _TN * 2 + K * _TN * 2 + (K // qt.group_size) * _TN * 2
-    return vmem < 10 * 1024 * 1024
+    return _pick_tn(Tp, K, rows, qt.group_size) > 0
 
 
 def _kernel_int4(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
@@ -98,17 +112,18 @@ def qmm_pallas(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16,
 
     kern = _kernel_int4 if qt.bits == 4 else _kernel_int8
     rows = K // 2 if qt.bits == 4 else K
-    grid = (pl.cdiv(N, _TN),)
+    tn = _pick_tn(Tp, K, rows, gs) or _TN
+    grid = (pl.cdiv(N, tn),)
 
     out = pl.pallas_call(
         functools.partial(kern, gs=gs, out_dtype=out_dtype),
         grid=grid,
         in_specs=[
             pl.BlockSpec((Tp, K), lambda j: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec((K // gs, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((rows, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // gs, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((Tp, _TN), lambda j: (0, j), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((Tp, tn), lambda j: (0, j), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
         cost_estimate=pl.CostEstimate(
             flops=2 * Tp * K * N,

@@ -24,7 +24,7 @@ def main() -> int:
     ap.add_argument("--prefill-tokens", type=int, default=2048)
     # multiple of decode_block: a partial final block pays full block
     # time for fewer emitted tokens, understating the rate
-    ap.add_argument("--decode-tokens", type=int, default=256)
+    ap.add_argument("--decode-tokens", type=int, default=512)
     ap.add_argument("--max-len", type=int, default=4096)
     ap.add_argument("--runs", type=int, default=5,
                     help="timed repeats; median is the headline, IQR is "
@@ -61,8 +61,10 @@ def main() -> int:
     t0 = time.time()
     eng = build_synthetic_engine(cfg, quant, max_len=args.max_len)
     # amortize per-call tunnel latency (~28-78 ms/call on the relay):
-    # measured sweep benchmarks/decode_profile.json — 128 is past the knee
-    eng.decode_block = 128
+    # round-5 re-sweep after the fused gathered kernel — 256 measured
+    # 226 vs 216 tok/s at 128 (decode_tokens raised to 512 so runs
+    # still span ≥2 blocks and exercise the block pipeline)
+    eng.decode_block = 256
     print(f"[bench] params built in {time.time() - t0:.1f}s", file=sys.stderr)
 
     rng = np.random.default_rng(0)

@@ -57,6 +57,8 @@ def evaluate_perplexity(
     total_scored = 0
     t0 = time.time()
     n_windows = 0
+    window_nlls = []          # per-window (nll_sum, n_scored) — the raw
+    #                           material for paired bootstrap CIs
 
     for start, end, score_start in sliding_windows(n, window, stride):
         ids = token_ids[start:end]
@@ -71,6 +73,7 @@ def evaluate_perplexity(
         scored = nll[score_start:]
         total_nll += float(scored.sum())
         total_scored += len(scored)
+        window_nlls.append((float(scored.sum()), int(len(scored))))
         n_windows += 1
         if log_every and n_windows % log_every == 0:
             ppl = math.exp(total_nll / total_scored)
@@ -83,6 +86,7 @@ def evaluate_perplexity(
         "bits_per_token": bpc,
         "tokens_scored": total_scored,
         "windows": n_windows,
+        "window_nlls": window_nlls,
         "elapsed_s": time.time() - t0,
     }
 

@@ -48,6 +48,11 @@ import numpy as np
 VOCAB = 2048
 TRAIN_DOMAINS = ("code", "docs", "headers", "catalog")
 EVAL_DOMAINS = ("legal", "dialogue")
+# Round-5 statistical upgrade: train on the first TRAIN_FRACTION of each
+# train domain and hold out the tails — same-distribution held-out text
+# gives the low-PPL anchor the cross-domain eval can't (round-4 judge
+# finding: holdout PPL 327 buried the certified deltas in noise).
+TRAIN_FRACTION = 0.85
 
 CHAT_TEMPLATE = (
     "{% for message in messages %}"

@@ -141,7 +141,7 @@ def build_quality_checkpoint(
 
     key = (f"qw3moe-h{hidden}l{layers}e{experts}k{top_k}"
            f"m{moe_intermediate}-v{VOCAB}-s{steps}-b{batch}x{seq}"
-           f"-lr{lr:g}-seed{seed}-v1")
+           f"-lr{lr:g}-seed{seed}-v2")
     out = out_dir or os.path.join(_home(), "quality", key)
     meta_path = os.path.join(out, "meta.json")
     if os.path.exists(meta_path) and not force:
@@ -158,7 +158,11 @@ def build_quality_checkpoint(
 
     from .prompts import load_domain
 
-    train_text = "\n\n".join(load_domain(d) for d in TRAIN_DOMAINS)
+    # v2: hold out the tail of every train domain (same-distribution
+    # eval anchor); the tokenizer trains on the train slices only
+    train_text = "\n\n".join(
+        load_domain(d)[: int(len(load_domain(d)) * TRAIN_FRACTION)]
+        for d in TRAIN_DOMAINS)
 
     raw = RawTok(BPE(unk_token=None))
     raw.pre_tokenizer = ByteLevel(add_prefix_space=False)
@@ -225,15 +229,19 @@ def build_quality_checkpoint(
                       f"({time.time() - t0:.0f}s)", flush=True)
 
     model.eval()
-    # held-out sanity: PPL on eval domains through the torch model
-    with torch.no_grad():
-        ev = np.asarray(
-            tok(load_domain(EVAL_DOMAINS[0])[:40_000])["input_ids"],
-            np.int64)[:2048]
-        t = torch.from_numpy(ev)[None]
-        nll = torch.nn.functional.cross_entropy(
-            model(input_ids=t).logits[0, :-1].float(), t[0, 1:])
-        holdout_ppl = float(torch.exp(nll))
+    # held-out sanity through the torch model: cross-domain PPL AND the
+    # same-distribution tail PPL (the low-noise anchor the matrix uses)
+    def _torch_ppl(text):
+        with torch.no_grad():
+            ev = np.asarray(tok(text)["input_ids"], np.int64)[:2048]
+            t = torch.from_numpy(ev)[None]
+            nll = torch.nn.functional.cross_entropy(
+                model(input_ids=t).logits[0, :-1].float(), t[0, 1:])
+            return float(torch.exp(nll))
+
+    holdout_ppl = _torch_ppl(load_domain(EVAL_DOMAINS[0])[:40_000])
+    tail0 = load_domain(TRAIN_DOMAINS[0])
+    tail_ppl = _torch_ppl(tail0[int(len(tail0) * TRAIN_FRACTION):][:40_000])
 
     # output_router_logits is a TRAINING switch; a served checkpoint
     # must not ask the runtime for router logits
@@ -243,6 +251,8 @@ def build_quality_checkpoint(
         "key": key, "steps": steps, "seed": seed,
         "final_train_loss": float(np.mean(losses[-20:])),
         "holdout_ppl_torch": holdout_ppl,
+        "tail_ppl_torch": tail_ppl,
+        "train_fraction": TRAIN_FRACTION,
         "train_domains": TRAIN_DOMAINS, "eval_domains": EVAL_DOMAINS,
         "train_tokens": int(len(ids)), "elapsed_s": round(time.time() - t0, 1),
     }
@@ -258,12 +268,49 @@ def build_quality_checkpoint(
 # --------------------------------------------------------------------------
 
 def _eval_tokens(ckpt: str, max_tokens: int) -> List[int]:
+    """Held-out token stream: the TAILS of the train domains (same
+    distribution — low PPL, the resolving eval) followed by the
+    cross-domain eval text, capped at max_tokens."""
     from .prompts import load_domain
     from .runtime.tokenizer import Tokenizer
 
     tok = Tokenizer(ckpt)
-    text = "\n\n".join(load_domain(d) for d in EVAL_DOMAINS)
+    tails = [load_domain(d)[int(len(load_domain(d)) * TRAIN_FRACTION):]
+             for d in TRAIN_DOMAINS]
+    text = "\n\n".join(tails + [load_domain(d) for d in EVAL_DOMAINS])
     return tok.encode(text)[:max_tokens]
+
+
+def paired_bootstrap_delta(
+    win_a: Sequence[Tuple[float, int]],
+    win_b: Sequence[Tuple[float, int]],
+    n_boot: int = 2000,
+    seed: int = 0,
+) -> Dict:
+    """CI on the relative PPL delta of mode a vs base b from PAIRED
+    per-window NLL sums (same windows, same tokens — pairing cancels the
+    dominant text-difficulty variance; what remains is the quantization
+    effect plus numerical noise). Returns point delta and a percentile
+    bootstrap CI over windows."""
+    assert len(win_a) == len(win_b) and len(win_a) > 1
+    na = np.asarray([w[0] for w in win_a])
+    nb = np.asarray([w[0] for w in win_b])
+    cnt = np.asarray([w[1] for w in win_a], np.float64)
+    assert all(w[1] == v[1] for w, v in zip(win_a, win_b))
+
+    def delta(idx):
+        return math.exp((na[idx].sum() - nb[idx].sum()) / cnt[idx].sum()) - 1
+
+    point = delta(np.arange(len(na)))
+    rng = np.random.default_rng(seed)
+    n = len(na)
+    ds = np.empty(n_boot)
+    for i in range(n_boot):
+        ds[i] = delta(rng.integers(0, n, n))
+    lo, hi = np.percentile(ds, [2.5, 97.5])
+    return {"delta": round(point, 6),
+            "ci95": [round(float(lo), 6), round(float(hi), 6)],
+            "windows": n}
 
 
 def _build_engine(ckpt: str, mode: str, group_size: int, max_len: int):
@@ -313,6 +360,7 @@ def evaluate_decode_perplexity(engine, token_ids: Sequence[int],
     )
     B = engine.batch_size
     total_nll, total = 0.0, 0
+    window_nlls: List[Tuple[float, int]] = []
     t0 = time.time()
     for s0 in range(0, len(token_ids) - segment + 1, segment):
         seg = token_ids[s0:s0 + segment]
@@ -329,12 +377,15 @@ def evaluate_decode_perplexity(engine, token_ids: Sequence[int],
         toks[0] = seg[1:]
         lps, engine.cache = fn(engine.params, jnp.asarray(toks),
                                engine.cache)
-        total_nll += -float(np.asarray(lps[0], np.float32).sum())
+        seg_nll = -float(np.asarray(lps[0], np.float32).sum())
+        total_nll += seg_nll
         total += steps
+        window_nlls.append((seg_nll, steps))
     return {
         "ppl": math.exp(total_nll / total),
         "tokens_scored": total,
         "segment": segment,
+        "window_nlls": window_nlls,
         "elapsed_s": time.time() - t0,
     }
 
@@ -366,6 +417,7 @@ def run_matrix(
             entry["shapes"][f"{window}/{stride}"] = {
                 "ppl": round(r["ppl"], 4),
                 "tokens_scored": r["tokens_scored"],
+                "window_nlls": r["window_nlls"],
                 "elapsed_s": round(time.time() - t0, 1),
             }
             print(f"[quality] {mode:14s} w{window}/s{stride}: "
@@ -377,6 +429,7 @@ def run_matrix(
                 "ppl": round(r["ppl"], 4),
                 "tokens_scored": r["tokens_scored"],
                 "segment": r["segment"],
+                "window_nlls": r["window_nlls"],
                 "elapsed_s": round(r["elapsed_s"], 1),
             }
             print(f"[quality] {mode:14s} decode-path: "
@@ -385,31 +438,57 @@ def run_matrix(
         rows[mode] = entry
         del eng
 
-    # deltas + verdicts (worst over prefill shapes AND the decode path)
+    # deltas + verdicts: paired-bootstrap CI per surface; accept iff the
+    # CI UPPER bound of the worst surface is within tolerance (round-4
+    # judge finding: point deltas were below the eval's noise floor)
     for mode, entry in rows.items():
         base_mode, tol = THRESHOLDS.get(mode, ("bf16", 0.02))
         if base_mode is None or base_mode not in rows:
             entry["verdict"] = "baseline"
             continue
-        deltas = []
+        worst = None
         for shp, r in entry["shapes"].items():
-            base_ppl = rows[base_mode]["shapes"][shp]["ppl"]
-            d = r["ppl"] / base_ppl - 1.0
-            r["delta_vs_" + base_mode] = round(d, 5)
-            deltas.append(d)
+            b = rows[base_mode]["shapes"][shp]
+            ci = paired_bootstrap_delta(r["window_nlls"], b["window_nlls"])
+            r["delta_vs_" + base_mode] = ci["delta"]
+            r["ci95"] = ci["ci95"]
+            if worst is None or ci["ci95"][1] > worst["ci95"][1]:
+                worst = ci
         if "decode" in entry and "decode" in rows[base_mode]:
-            d = (entry["decode"]["ppl"]
-                 / rows[base_mode]["decode"]["ppl"] - 1.0)
-            entry["decode"]["delta_vs_" + base_mode] = round(d, 5)
-            deltas.append(d)
-        worst = max(deltas)
+            ci = paired_bootstrap_delta(
+                entry["decode"]["window_nlls"],
+                rows[base_mode]["decode"]["window_nlls"])
+            entry["decode"]["delta_vs_" + base_mode] = ci["delta"]
+            entry["decode"]["ci95"] = ci["ci95"]
+            if worst is None or ci["ci95"][1] > worst["ci95"][1]:
+                worst = ci
         entry["base"] = base_mode
         entry["tolerance"] = tol
-        entry["worst_delta"] = round(worst, 5)
-        entry["verdict"] = "accept" if worst <= tol else "REJECT"
+        entry["worst_delta"] = worst["delta"]
+        entry["worst_ci95"] = worst["ci95"]
+        entry["verdict"] = ("accept" if worst["ci95"][1] <= tol
+                            else "REJECT")
+
+    # noise floor: split-half "delta" of the baseline against itself —
+    # even/odd windows of the SAME run; its magnitude bounds what this
+    # eval can resolve without pairing (the paired CIs above are far
+    # tighter, which is the design point)
+    base0 = next(iter(rows))
+    shp0 = next(iter(rows[base0]["shapes"]))
+    wn = rows[base0]["shapes"][shp0]["window_nlls"]
+    ev, od = wn[0::2], wn[1::2]
+    m = min(len(ev), len(od))
+    if m > 1:
+        na = sum(w[0] for w in ev[:m]) / sum(w[1] for w in ev[:m])
+        nb = sum(w[0] for w in od[:m]) / sum(w[1] for w in od[:m])
+        noise_floor = abs(math.exp(na) / math.exp(nb) - 1.0)
+    else:
+        noise_floor = float("nan")
 
     out: Dict = {"checkpoint": ckpt, "eval_tokens": len(ids),
-                 "group_size": group_size, "modes": rows}
+                 "group_size": group_size,
+                 "unpaired_noise_floor": round(noise_floor, 6),
+                 "modes": rows}
     meta_path = os.path.join(ckpt, "meta.json")
     if os.path.exists(meta_path):
         with open(meta_path) as f:
@@ -484,15 +563,31 @@ def run_spec_exactness(ckpt: str, group_size: int = 128,
     return results
 
 
-def write_markdown(res: Dict, path: str) -> None:
-    lines = ["# Quantization quality matrix (PPL deltas)", ""]
+def write_markdown(results: Sequence[Dict], path: str) -> None:
+    """Render one or more per-seed matrices; the cross-seed verdict is
+    accept iff every seed's CI-gated verdict accepts."""
+    res = results[0]
+    lines = ["# Quantization quality matrix (PPL deltas, 95% CIs)", ""]
     meta = res.get("checkpoint_meta", {})
+    seeds = [r.get("checkpoint_meta", {}).get("seed", "?") for r in results]
     lines += [
-        f"Checkpoint: trained tiny Qwen3-MoE ({meta.get('key', '?')}), "
-        f"train loss {meta.get('final_train_loss', float('nan')):.3f}, "
-        f"torch holdout PPL {meta.get('holdout_ppl_torch', float('nan')):.2f}.",
-        f"Eval: {res['eval_tokens']} held-out tokens "
-        f"({', '.join(EVAL_DOMAINS)}), group_size={res['group_size']}.",
+        f"Checkpoints: trained tiny Qwen3-MoE ({meta.get('key', '?')}), "
+        f"seeds {seeds}, "
+        f"{meta.get('steps', '?')} steps; torch tail-holdout PPL "
+        f"{meta.get('tail_ppl_torch', float('nan')):.2f} "
+        f"(cross-domain {meta.get('holdout_ppl_torch', float('nan')):.2f}).",
+        f"Eval: {res['eval_tokens']} HELD-OUT tokens — the unseen tails "
+        f"({1 - TRAIN_FRACTION:.0%}) of the train domains followed by "
+        f"cross-domain text ({', '.join(EVAL_DOMAINS)}); "
+        f"group_size={res['group_size']}.",
+        "",
+        "Deltas carry PAIRED-bootstrap 95% CIs over windows (same "
+        "windows, same tokens for mode and base — pairing cancels "
+        "text-difficulty variance); a mode accepts only if the CI "
+        "UPPER bound of its worst surface is within tolerance, on "
+        "EVERY seed. Unpaired split-half noise floor of this eval: "
+        f"{res.get('unpaired_noise_floor', float('nan')):.4%} — the "
+        "paired CIs below are what make sub-floor deltas decidable.",
         "",
         "Every row runs the PRODUCTION loader/engine/kernels "
         "(reference discipline: perplexity/results/*.json; "
@@ -503,7 +598,8 @@ def write_markdown(res: Dict, path: str) -> None:
     cols = [f"PPL {s}" for s in shapes]
     if have_decode:
         cols.append("PPL decode-path")
-    hdr = "| mode | " + " | ".join(cols) + " | vs | worst Δ | tol | verdict |"
+    hdr = ("| mode | " + " | ".join(cols)
+           + " | vs | worst Δ [95% CI] | tol | verdict |")
     lines += [hdr, "|" + "---|" * (len(cols) + 5)]
     for mode, e in res["modes"].items():
         cells = [f"{e['shapes'][s]['ppl']:.4f}" for s in shapes]
@@ -514,10 +610,32 @@ def write_markdown(res: Dict, path: str) -> None:
             lines.append(f"| {mode} | " + " | ".join(cells)
                          + " | — | — | — | baseline |")
         else:
+            verdicts = [r["modes"][mode].get("verdict") for r in results
+                        if mode in r["modes"]]
+            v = "accept" if all(x == "accept" for x in verdicts) else "REJECT"
+            lo, hi = e["worst_ci95"]
             lines.append(
                 f"| {mode} | " + " | ".join(cells)
                 + f" | {e['base']} | {e['worst_delta']:+.3%} "
-                f"| {e['tolerance']:.1%} | **{e['verdict']}** |")
+                f"[{lo:+.3%}, {hi:+.3%}] "
+                f"| {e['tolerance']:.1%} | **{v}** |")
+    if len(results) > 1:
+        lines += ["", "## Per-seed worst Δ (CI upper bound)", ""]
+        mode_names = [m for m, e in res["modes"].items()
+                      if e.get("verdict") != "baseline"]
+        lines += ["| mode | " + " | ".join(f"seed {s}" for s in seeds)
+                  + " |", "|" + "---|" * (len(seeds) + 1)]
+        for m in mode_names:
+            cells = []
+            for r in results:
+                e = r["modes"].get(m, {})
+                if "worst_ci95" in e:
+                    cells.append(f"{e['worst_ci95'][1]:+.3%}"
+                                 + (" ✗" if e.get("verdict") == "REJECT"
+                                    else ""))
+                else:
+                    cells.append("—")
+            lines.append(f"| {m} | " + " | ".join(cells) + " |")
     if have_decode:
         lines += [
             "",
@@ -544,30 +662,40 @@ def write_markdown(res: Dict, path: str) -> None:
 
 def main():
     ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
-    ap.add_argument("--steps", type=int, default=600)
-    ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--max-tokens", type=int, default=30_000)
+    ap.add_argument("--steps", type=int, default=2500)
+    ap.add_argument("--seeds", type=int, nargs="*", default=[0, 1, 2])
+    ap.add_argument("--max-tokens", type=int, default=120_000)
     ap.add_argument("--modes", nargs="*", default=list(THRESHOLDS))
     ap.add_argument("--group-size", type=int, default=128)
     ap.add_argument("--no-spec", action="store_true")
     ap.add_argument("--force-train", action="store_true")
+    ap.add_argument("--train-only", action="store_true",
+                    help="build the checkpoints (CPU) and exit")
     ap.add_argument("--out", default="benchmarks/quality")
     args = ap.parse_args()
 
-    ckpt = build_quality_checkpoint(steps=args.steps, seed=args.seed,
-                                    force=args.force_train)
-    res = run_matrix(ckpt, modes=args.modes, max_tokens=args.max_tokens,
-                     group_size=args.group_size,
-                     spec_checks=not args.no_spec)
     os.makedirs(args.out, exist_ok=True)
-    stamp = time.strftime("%Y%m%d_%H%M%S")
-    jpath = os.path.join(args.out, f"matrix_{stamp}.json")
-    with open(jpath, "w") as f:
-        json.dump(res, f, indent=2)
-    write_markdown(res, os.path.join(args.out, "QUALITY.md"))
-    print(json.dumps({m: e.get("verdict") for m, e in res["modes"].items()},
-                     indent=2))
-    print("results:", jpath)
+    results = []
+    for seed in args.seeds:
+        ckpt = build_quality_checkpoint(steps=args.steps, seed=seed,
+                                        force=args.force_train)
+        if args.train_only:
+            continue
+        res = run_matrix(ckpt, modes=args.modes, max_tokens=args.max_tokens,
+                         group_size=args.group_size,
+                         spec_checks=not args.no_spec and seed == args.seeds[0])
+        stamp = time.strftime("%Y%m%d_%H%M%S")
+        jpath = os.path.join(args.out, f"matrix_s{seed}_{stamp}.json")
+        with open(jpath, "w") as f:
+            json.dump(res, f, indent=2)
+        results.append(res)
+        print(json.dumps(
+            {m: e.get("verdict") for m, e in res["modes"].items()},
+            indent=2))
+        print(f"seed {seed} results:", jpath, flush=True)
+    if results:
+        write_markdown(results, os.path.join(args.out, "QUALITY.md"))
+        print("wrote", os.path.join(args.out, "QUALITY.md"))
 
 
 if __name__ == "__main__":

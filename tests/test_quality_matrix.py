@@ -87,9 +87,13 @@ def test_matrix_machinery_and_verdicts(tiny_ckpt):
     assert b["shapes"]["128/64"]["ppl"] < 2048
     # q4 on a trained model is close to baseline, not garbage
     assert q["worst_delta"] < 0.30
+    # CI machinery: paired bootstrap bounds present and ordered
+    lo, hi = q["worst_ci95"]
+    assert lo <= q["worst_delta"] <= hi
+    assert "unpaired_noise_floor" in res
     assert res["spec"]["ngram"]["exact"] is True
 
     out = os.path.join(tiny_ckpt, "QUALITY.md")
-    write_markdown(res, out)
+    write_markdown([res], out)
     text = open(out).read()
-    assert "decode-path" in text and "q4" in text
+    assert "decode-path" in text and "q4" in text and "CI" in text

@@ -45,9 +45,17 @@ def main() -> int:
         metric = "tiny_synth_decode"
     elif args.preset == "qcn-1chip":
         # QCN architecture at 1-chip expert count; baseline = reference's
-        # QCN-80B decode (per-token decode work is ~independent of E)
+        # QCN-80B decode (per-token decode work is ~independent of E).
+        # attention=int8: QCN decode is bound by its linear-attention
+        # projection weights (3 GB/token at bf16 — benchmarks/
+        # decode_trace_qcn.json); int8 through qmm_stacked_pallas
+        # measured 91 -> 124 tok/s. Quality-certified opt-in
+        # (benchmarks/quality/QUALITY.md q4-attn-int8; the reference's
+        # own CPU decode quantizes non-expert weights to INT4 by
+        # default, reference python/krasis/decode_setup.py:49).
         cfg = preset_config("qcn-1chip")
-        quant = QuantConfig(expert_bits=4, group_size=128)
+        quant = QuantConfig(expert_bits=4, group_size=128,
+                            attention="int8")
         baseline_decode = 14.93
         prefill_tokens = args.prefill_tokens
         metric = "qcn1chip_q4_synth_decode"

@@ -77,7 +77,7 @@ def _gqa_attention(
     hq, hkv = cfg.num_attention_heads, cfg.num_key_value_heads
     gated = cfg.model_type in ("qwen3_next", "qwen3_5_moe_text")
 
-    q = linear(x, lp["q_proj"])
+    q = linear(x, lp["q_proj"], layer_idx=lp.get("_layer_idx"))
     if "q_bias" in lp:
         q = q + lp["q_bias"].astype(q.dtype)
     if gated:
@@ -87,8 +87,8 @@ def _gqa_attention(
     else:
         q = q.reshape(B, S, hq, d)
         gate = None
-    k = linear(x, lp["k_proj"])
-    v = linear(x, lp["v_proj"])
+    k = linear(x, lp["k_proj"], layer_idx=lp.get("_layer_idx"))
+    v = linear(x, lp["v_proj"], layer_idx=lp.get("_layer_idx"))
     if "k_bias" in lp:
         k = k + lp["k_bias"].astype(k.dtype)
         v = v + lp["v_bias"].astype(v.dtype)
@@ -166,7 +166,7 @@ def _gqa_attention(
     out = out.reshape(B, S, hq * d)
     if gate is not None:
         out = out * jax.nn.sigmoid(gate.astype(jnp.float32)).astype(out.dtype)
-    o = linear(out, lp["o_proj"])
+    o = linear(out, lp["o_proj"], layer_idx=lp.get("_layer_idx"))
     if "o_bias" in lp:
         o = o + lp["o_bias"].astype(o.dtype)
     return o, new_lc
@@ -182,14 +182,14 @@ def _mla_attention(
     L = cfg.kv_lora_rank
 
     if "q_a_proj" in lp:
-        qa = rms_norm(linear(x, lp["q_a_proj"]), lp["q_a_norm"], cfg.rms_norm_eps)
-        q = linear(qa, lp["q_b_proj"])
+        qa = rms_norm(linear(x, lp["q_a_proj"], layer_idx=lp.get("_layer_idx")), lp["q_a_norm"], cfg.rms_norm_eps)
+        q = linear(qa, lp["q_b_proj"], layer_idx=lp.get("_layer_idx"))
     else:
-        q = linear(x, lp["q_proj"])
+        q = linear(x, lp["q_proj"], layer_idx=lp.get("_layer_idx"))
     q = q.reshape(B, S, hq, dn + dr)
     q_nope, q_pe = q[..., :dn], q[..., dn:]
 
-    kv_a = linear(x, lp["kv_a_proj"])               # [B, S, L + dr]
+    kv_a = linear(x, lp["kv_a_proj"], layer_idx=lp.get("_layer_idx"))  # [B, S, L + dr]
     ckv = rms_norm(kv_a[..., :L], lp["kv_a_norm"], cfg.rms_norm_eps)
     kpe = kv_a[..., L:]
 
@@ -260,7 +260,8 @@ def _mla_attention(
         "bshl,hlv->bshv", ctx.astype(jnp.float32),
         lp["w_vc"].astype(jnp.float32),
     ).astype(x.dtype)  # [B, S, hq, dv]
-    return linear(out.reshape(B, S, -1), lp["o_proj"]), new_lc
+    return linear(out.reshape(B, S, -1), lp["o_proj"],
+                  layer_idx=lp.get("_layer_idx")), new_lc
 
 
 def _la_attention(
@@ -285,8 +286,8 @@ def _la_attention(
         cfg.linear_key_head_dim, cfg.linear_value_head_dim,
         cfg.linear_conv_kernel_dim,
     )
-    qkvz = linear(x, lp["qkvz_proj"])
-    ba = linear(x, lp["ba_proj"])
+    qkvz = linear(x, lp["qkvz_proj"], layer_idx=lp.get("_layer_idx"))
+    ba = linear(x, lp["ba_proj"], layer_idx=lp.get("_layer_idx"))
     q, k, v, z, b, a = fix_qkvz_ordering(qkvz, ba, dims)
 
     mixed = jnp.concatenate(
@@ -333,7 +334,8 @@ def _la_attention(
     core = gated_rms_norm(
         core.astype(x.dtype), z, lp["la_norm"], cfg.rms_norm_eps, plus_one=False
     )
-    out = linear(core.reshape(B, S, -1), lp["la_out_proj"])
+    out = linear(core.reshape(B, S, -1), lp["la_out_proj"],
+                 layer_idx=lp.get("_layer_idx"))
     if spec:
         # State/conv stay at the pre-window values; la_spec_commit
         # advances them by each row's committed prefix after the verify.
@@ -438,6 +440,7 @@ def _mlp(lp, x2d: jax.Array, cfg: ModelConfig, spec, mesh=None,
         return mlp_forward(
             x2d, lp["mlp_w13"], lp["mlp_w2"],
             swiglu_limit=cfg.swiglu_limit, gpt_oss=gpt_oss,
+            layer_idx=lp.get("_layer_idx"),
         )
     routing = compute_routing(
         x2d, lp["gate_w"], cfg, lp.get("gate_bias"),
@@ -545,7 +548,8 @@ def _mlp_shared(lp, x2d, cfg, gpt_oss, out):
     """Add the (replicated) shared-expert contribution to a routed-MoE
     output."""
     if "shared_w13" in lp:
-        shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"])
+        shared = mlp_forward(x2d, lp["shared_w13"], lp["shared_w2"],
+                             layer_idx=lp.get("_layer_idx"))
         if "shared_gate_w" in lp:
             sg = jax.nn.sigmoid(
                 linear(x2d, lp["shared_gate_w"]).astype(jnp.float32)
@@ -722,8 +726,15 @@ def run_pattern_scan(
     def make_lp(t, r):
         lp = {}
         for name, w in pattern_params[t].items():
-            if name in STACKED_KEYS:
-                lp[name] = w  # stays [L, E, ...]; kernel indexes
+            if name in STACKED_KEYS or isinstance(w, QTensor):
+                # Expert stacks AND quantized projections stay WHOLE:
+                # the MoE kernels and qmm_stacked_pallas index the rep
+                # scalar in-kernel. XLA's fused dequant-matvec over a
+                # dynamic-sliced quantized stack is VPU-capped — int8
+                # attention measured NO faster than bf16 on QCN's LA
+                # projections before this (benchmarks/decode_trace_qcn
+                # .json); the kernel reads packed bytes at HBM rate.
+                lp[name] = w
             else:
                 lp[name] = jax.tree_util.tree_map(
                     lambda l: jax.lax.dynamic_index_in_dim(

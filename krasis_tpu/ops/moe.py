@@ -275,12 +275,13 @@ def moe_forward(
 
 def mlp_forward(
     x: jax.Array,
-    w13: Weight,              # [H, 2I]
-    w2: Weight,               # [I, H]
+    w13: Weight,              # [(L,) H, 2I]
+    w2: Weight,               # [(L,) I, H]
     swiglu_limit: float = 0.0,
     gpt_oss: bool = False,
+    layer_idx=None,
 ) -> jax.Array:
     """Dense MLP / shared expert: swiglu(x @ w13) @ w2."""
-    h = linear(x, w13)
+    h = linear(x, w13, layer_idx=layer_idx)
     a = swiglu(h, swiglu_limit=swiglu_limit, gpt_oss=gpt_oss)
-    return linear(a, w2)
+    return linear(a, w2, layer_idx=layer_idx)

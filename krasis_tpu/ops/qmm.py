@@ -32,20 +32,37 @@ def qmm_ref(x: jax.Array, qt: QTensor, out_dtype=None, precision=None) -> jax.Ar
     ).astype(out_dtype or x.dtype)
 
 
-def linear(x: jax.Array, w: Weight, out_dtype=None) -> jax.Array:
-    """``x[..., K] @ w[K, N]`` for bf16 or quantized weights."""
+def linear(x: jax.Array, w: Weight, out_dtype=None,
+           layer_idx=None) -> jax.Array:
+    """``x[..., K] @ w[K, N]`` for bf16 or quantized weights.
+
+    A QTensor with a leading stack dim ([L, K(/2), N] — the
+    pattern-stacked attention/shared projections) is indexed by
+    `layer_idx`: on the decode path through the stacked Pallas kernel
+    (in-kernel index, no dynamic-slice copy), otherwise by slicing."""
     if isinstance(w, QTensor):
         lead = x.shape[:-1]
-        y = qmm(x.reshape(-1, x.shape[-1]), w, out_dtype=out_dtype)
+        y = qmm(x.reshape(-1, x.shape[-1]), w, out_dtype=out_dtype,
+                layer_idx=layer_idx)
         return y.reshape(*lead, y.shape[-1])
     y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=jnp.float32)
     return y.astype(out_dtype or x.dtype)
 
 
-def qmm(x: jax.Array, qt: QTensor, out_dtype=None) -> jax.Array:
+def qmm(x: jax.Array, qt: QTensor, out_dtype=None,
+        layer_idx=None) -> jax.Array:
     """[T, K] @ QTensor[K, N]. Dispatches to the Pallas kernel on TPU."""
     from . import qmm_pallas  # local import: keeps CPU tests torch-free
 
+    if qt.q.ndim == 3:
+        li = 0 if layer_idx is None else layer_idx
+        if qmm_pallas.available() and qmm_pallas.supported_stacked(x, qt):
+            return qmm_pallas.qmm_stacked_pallas(
+                x, qt, li, out_dtype=out_dtype or x.dtype)
+        qt = QTensor(
+            jax.lax.dynamic_index_in_dim(qt.q, li, 0, keepdims=False),
+            jax.lax.dynamic_index_in_dim(qt.scales, li, 0, keepdims=False),
+            qt.bits, qt.group_size)
     if qmm_pallas.available() and qmm_pallas.supported(x, qt):
         return qmm_pallas.qmm_pallas(x, qt, out_dtype=out_dtype or x.dtype)
     return qmm_ref(x, qt, out_dtype=out_dtype)

@@ -99,6 +99,85 @@ def _kernel_int8(x_ref, q_ref, s_ref, o_ref, *, gs: int, out_dtype):
     ).astype(out_dtype)
 
 
+def supported_stacked(x: jax.Array, qt: QTensor) -> bool:
+    """Layer-stacked variant: qt is [L, K(/2), N]; the layer index is
+    scalar-prefetched so the PATTERN-STACKED attention projections never
+    get dynamic-sliced or dequantized outside the kernel (XLA's fused
+    dequant-matvec for quantized stacks is VPU-capped — int8 measured
+    NO faster than bf16 on QCN's LA projections despite half the
+    bytes; this kernel reads the packed bytes at the same ~600 GB/s as
+    the lm_head qmm)."""
+    if x.ndim != 2 or qt.q.ndim != 3:
+        return False
+    if x.shape[0] > 32:
+        return False
+    K, N = qt.k_dim, qt.n_dim
+    if K > _MAX_K or K % qt.group_size or (qt.bits == 4 and K % 2):
+        return False
+    if N % 128:
+        return False
+    rows = K // 2 if qt.bits == 4 else K
+    Tp = max(8, -(-x.shape[0] // 8) * 8)
+    return _pick_tn(Tp, K, rows, qt.group_size) > 0
+
+
+def _kernel_int4_st(l_ref, x_ref, q_ref, s_ref, o_ref, *, gs, out_dtype):
+    _kernel_int4(x_ref, q_ref.at[0], s_ref.at[0], o_ref,
+                 gs=gs, out_dtype=out_dtype)
+
+
+def _kernel_int8_st(l_ref, x_ref, q_ref, s_ref, o_ref, *, gs, out_dtype):
+    _kernel_int8(x_ref, q_ref.at[0], s_ref.at[0], o_ref,
+                 gs=gs, out_dtype=out_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def qmm_stacked_pallas(x: jax.Array, qt: QTensor, layer_idx,
+                       out_dtype=jnp.bfloat16,
+                       interpret: bool = False) -> jax.Array:
+    """x[T,K] @ dequant(qt[layer_idx]) for a [L, K(/2), N] stack."""
+    T, K = x.shape
+    N = qt.n_dim
+    gs = qt.group_size
+    Tp = max(8, -(-T // 8) * 8)
+    if Tp != T:
+        x = jnp.pad(x, ((0, Tp - T), (0, 0)))
+    x = x.astype(jnp.bfloat16)
+
+    kern = _kernel_int4_st if qt.bits == 4 else _kernel_int8_st
+    rows = K // 2 if qt.bits == 4 else K
+    tn = _pick_tn(Tp, K, rows, gs) or _TN
+    layer_arr = jnp.reshape(jnp.asarray(layer_idx, jnp.int32), (1,))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pl.cdiv(N, tn),),
+        in_specs=[
+            pl.BlockSpec((Tp, K), lambda j, l: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, rows, tn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, K // gs, tn), lambda j, l: (l[0], 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((Tp, tn), lambda j, l: (0, j),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        functools.partial(kern, gs=gs, out_dtype=out_dtype),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tp, N), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tp * K * N,
+            bytes_accessed=rows * N + (K // gs) * N * 2 + Tp * K * 2
+            + Tp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(layer_arr, x, qt.q, qt.scales)
+    return out[:T]
+
+
 @functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
 def qmm_pallas(x: jax.Array, qt: QTensor, out_dtype=jnp.bfloat16,
                interpret: bool = False) -> jax.Array:

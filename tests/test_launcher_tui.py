@@ -78,16 +78,40 @@ def test_tui_flow_through_pty(tmp_path):
         env=env, cwd="/root/repo")
     os.close(slave)
 
-    def send(b: bytes, wait: float = 1.2):
-        time.sleep(wait)
+    # Marker-driven, not sleep-driven: fixed sleeps desync whenever the
+    # host is loaded (jax import alone can exceed any guess), sending
+    # keys before the screen that consumes them exists.
+    def wait_for(marker: bytes, timeout: float = 120.0) -> bytes:
+        buf = b""
+        deadline = time.time() + timeout
+        while time.time() < deadline:
+            r, _, _ = select.select([master], [], [], 0.5)
+            if r:
+                try:
+                    buf += os.read(master, 4096)
+                except OSError:
+                    break
+            if marker in buf:
+                return buf
+            if proc.poll() is not None:
+                break
+        raise AssertionError(
+            f"marker {marker!r} not seen; exit={proc.poll()} "
+            f"tail={buf[-400:]!r}")
+
+    def send(b: bytes):
+        time.sleep(0.3)            # let curses finish the repaint
         os.write(master, b)
 
     try:
-        send(b"\r", wait=12)      # screen 1: select the model
-        send(b"\r", wait=6)       # screen 2: hardware → continue
-        send(b"]", wait=4)        # screen 3: cycle expert_bits 4→8
-        send(b"s", wait=2)        # save + quit
-        deadline = time.time() + 60
+        wait_for(b"select model")          # screen 1 painted
+        send(b"\r")
+        wait_for(b"hardware")              # screen 2
+        send(b"\r")
+        wait_for(b"configure")             # screen 3 (settings editor)
+        send(b"]")                         # cycle expert_bits 4→8
+        send(b"s")                         # save + quit
+        deadline = time.time() + 120
         while proc.poll() is None and time.time() < deadline:
             r, _, _ = select.select([master], [], [], 0.5)
             if r:

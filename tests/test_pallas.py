@@ -31,6 +31,33 @@ def test_qmm_pallas_matches_ref(bits, T, K, N):
     )
 
 
+@pytest.mark.parametrize("bits", [4, 8])
+@pytest.mark.parametrize("layer", [0, 2])
+def test_qmm_stacked_pallas_matches_ref(bits, layer):
+    """Layer-stacked qmm (decode attention projections): in-kernel layer
+    index == slicing then dequantizing."""
+    from krasis_tpu.ops.qmm_pallas import qmm_stacked_pallas
+    from krasis_tpu.quant import QTensor
+
+    L, T, K, N = 3, 2, 256, 384
+    key = jax.random.PRNGKey(1)
+    kx, kw = jax.random.split(key)
+    w = jax.random.normal(kw, (L, K, N), jnp.float32) * 0.05
+    qts = [quantize(w[i], bits=bits, group_size=128) for i in range(L)]
+    qt = QTensor(jnp.stack([q.q for q in qts]),
+                 jnp.stack([q.scales for q in qts]), bits, 128)
+    x = jax.random.normal(kx, (T, K), jnp.float32) * 0.5
+
+    want = qmm_ref(x.astype(jnp.bfloat16), qts[layer],
+                   out_dtype=jnp.float32)
+    got = qmm_stacked_pallas(x, qt, layer, out_dtype=jnp.float32,
+                             interpret=True)
+    assert got.shape == (T, N)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+    )
+
+
 from krasis_tpu.ops.moe import moe_forward_gathered
 from krasis_tpu.ops.moe_pallas import moe_gathered_pallas
 from krasis_tpu.quant import random_qtensor

@@ -16,6 +16,7 @@ Usage: python benchmarks/probe_slots_saturation.py [slots...]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import threading
 import time
@@ -34,7 +35,14 @@ from krasis_tpu.runtime.scheduler import BatchScheduler
 
 PROMPT_LEN = 512
 DECODE = 128
-MAX_LEN = 1024
+# Some (slots, max_len) pairs reproducibly die with a TPU-backend
+# INTERNAL error in the measured phase on the axon relay (warmup fine;
+# grouped vs gathered MoE path makes no difference; churn innocent —
+# each bisected 2026-08-21). Observed failures: 32@1024, 64@2048 — both
+# max_len == 32*slots; 32@2048, 48@2048 pass. Relay error carries no HLO
+# context. Filed in ROUND5_RESULTS; per-config override below works
+# around it for the sweep.
+MAX_LEN = int(os.environ.get("KRASIS_PROBE_MAXLEN", "2048"))
 BLOCK = 32
 
 cfg = preset_config("deepseek-v2-lite")
@@ -103,6 +111,15 @@ for slots in (int(a) for a in (sys.argv[1:]
     print(f"[slots={slots}] {results[slots]}", flush=True)
     sched.shutdown()
 
-with open("/root/repo/benchmarks/slots_saturation.json", "w") as f:
-    json.dump(results, f, indent=1)
+out_path = "/root/repo/benchmarks/slots_saturation.json"
+# merge into any existing sweep results (the sweep runs in several
+# invocations because of the (slots, max_len) relay issue above)
+try:
+    with open(out_path) as f:
+        merged = json.load(f)
+except OSError:
+    merged = {}
+merged.update({str(k): dict(v, max_len=MAX_LEN) for k, v in results.items()})
+with open(out_path, "w") as f:
+    json.dump(merged, f, indent=1)
 print(json.dumps(results), flush=True)

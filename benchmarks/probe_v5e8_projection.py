@@ -141,15 +141,40 @@ def main() -> int:
               flush=True)
         return t_p, t_d
 
-    t10_p, t10_d = measure_engine(K_TOP)
-    t2_p, t2_d = measure_engine(2)
-
-    # linear pick model: t(k) = nonmoe + k * c
-    c_p = max((t10_p - t2_p) / (K_TOP - 2), 0.0)
-    c_d = max((t10_d - t2_d) / (K_TOP - 2), 0.0)
-    nonmoe_p = max(t2_p - 2 * c_p, 0.0)
-    nonmoe_d = max(t2_d - 2 * c_d, 0.0)
-    k_hot = K_TOP * stats["hottest_share_mean"]   # expected local picks
+    # 5-point fit (round-4 verdict item 9: the 2-point {2,10} fit assumed
+    # linearity in between — measure it). Least squares t(k) = nonmoe + k·c
+    # with per-point residuals reported so a reader can see the model error.
+    K_GRID = [2, 4, 6, 8, 10]
+    meas = {k: measure_engine(k) for k in K_GRID}
+    ks = np.array(K_GRID, np.float64)
+    tp = np.array([meas[k][0] for k in K_GRID])
+    td = np.array([meas[k][1] for k in K_GRID])
+    (c_p, nonmoe_p) = np.polyfit(ks, tp, 1)
+    (c_d, nonmoe_d) = np.polyfit(ks, td, 1)
+    c_p, c_d = max(c_p, 0.0), max(c_d, 0.0)
+    nonmoe_p, nonmoe_d = max(nonmoe_p, 0.0), max(nonmoe_d, 0.0)
+    res_p = tp - (nonmoe_p + c_p * ks)
+    res_d = td - (nonmoe_d + c_d * ks)
+    fit = {
+        "k_grid": K_GRID,
+        "prefill_s_chunk": [round(float(v), 4) for v in tp],
+        "decode_s_step": [round(float(v), 5) for v in td],
+        "residual_prefill_ms": [round(float(v) * 1e3, 2) for v in res_p],
+        "residual_decode_ms": [round(float(v) * 1e3, 3) for v in res_d],
+        "max_abs_residual_pct_prefill": round(
+            float(np.abs(res_p / tp).max()) * 100, 2),
+        "max_abs_residual_pct_decode": round(
+            float(np.abs(res_d / td).max()) * 100, 2),
+    }
+    print(f"[fit] prefill residuals {fit['residual_prefill_ms']} ms, "
+          f"decode residuals {fit['residual_decode_ms']} ms", flush=True)
+    t10_p, t10_d = meas[10]
+    t2_p, t2_d = meas[2]
+    # PRIMARY decode projection uses the p95 hottest-shard share (the
+    # straggler shard gates the step under synchronous EP): round-4 kept
+    # p95 as a caveat column; it is the headline now, mean as secondary.
+    k_hot = K_TOP * stats["hottest_share_p95"]
+    k_hot_mean = K_TOP * stats["hottest_share_mean"]
 
     # a2a bytes per chip per 2048-token chunk (dispatch+combine)
     distinct = EP * (1 - (1 - 1 / EP) ** K_TOP) * (EP - 1) / EP
@@ -167,8 +192,10 @@ def main() -> int:
         }
     for lat in (2e-6, 5e-6, 10e-6):
         t_step = nonmoe_d + k_hot * c_d + 2 * N_LAYERS * lat
+        t_step_mean = nonmoe_d + k_hot_mean * c_d + 2 * N_LAYERS * lat
         projection[f"decode_lat{int(lat * 1e6)}us"] = {
             "tok_s_per_stream": round(1 / t_step, 1),
+            "tok_s_per_stream_meanload": round(1 / t_step_mean, 1),
             "a2a_ms_per_step": round(2 * N_LAYERS * lat * 1e3, 2),
         }
 
@@ -186,8 +213,10 @@ def main() -> int:
             "decode_ms_per_pick": round(c_d * 1e3, 4),
             "nonmoe_prefill_s_chunk": round(nonmoe_p, 4),
             "nonmoe_decode_ms_step": round(nonmoe_d * 1e3, 3),
-            "hot_shard_picks_per_token": round(k_hot, 2),
+            "hot_shard_picks_per_token_p95": round(k_hot, 2),
+            "hot_shard_picks_per_token_mean": round(k_hot_mean, 2),
         },
+        "fit": fit,
         "heatmap": stats,
         "assumptions": {
             "shard_load_model": "t(k) linear in picks; hot shard sees "

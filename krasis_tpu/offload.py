@@ -73,6 +73,13 @@ class HostExpertStore:
         # hot-expert HBM cache, build_hot_params)
         self.heatmap: Dict[int, np.ndarray] = {}
         self.collect_heatmap = True
+        # cumulative host-compute accounting (benchmarks/probe_hot_experts
+        # reads these: through the relay the end-to-end tok/s is
+        # RTT-bound, so the host compute seconds saved per token is the
+        # number that transfers to a local-PCIe deployment)
+        self.host_calls = 0
+        self.host_time_s = 0.0
+        self.host_picks = 0
 
     # -- construction ------------------------------------------------
 
@@ -177,6 +184,8 @@ class HostExpertStore:
         topk_idx: np.ndarray, # [T, k] int32
         topk_w: np.ndarray,   # [T, k] f32
     ) -> np.ndarray:
+        import time as _time
+        t_host0 = _time.perf_counter()
         x = np.ascontiguousarray(x, np.float32)
         topk_idx = np.ascontiguousarray(topk_idx, np.int32)
         topk_w = np.ascontiguousarray(topk_w, np.float32)
@@ -196,8 +205,12 @@ class HostExpertStore:
             )
             if rc != 0:
                 raise RuntimeError(f"krasish_forward(layer={layer}) rc={rc}")
-            return out
-        return self._forward_np(layer, x, topk_idx, topk_w)
+        else:
+            out = self._forward_np(layer, x, topk_idx, topk_w)
+        self.host_calls += 1
+        self.host_picks += int((topk_idx >= 0).sum())
+        self.host_time_s += _time.perf_counter() - t_host0
+        return out
 
     def _dequant_np(self, q: np.ndarray, s_u16: np.ndarray, K: int,
                     gs: int) -> np.ndarray:

@@ -31,8 +31,26 @@ from .qmm import linear, Weight
 
 
 def _deq_stack(w, dtype):
-    """Dequantize an expert stack [E, K, N] (QTensor or plain array)."""
+    """Dequantize an expert stack [E, K, N] (QTensor or plain array).
+
+    Large stacks dequantize expert-by-expert (lax.map): whole-stack
+    dequant materializes an f32 [E, K/gs, gs, N] broadcast temp —
+    3.9 GB/layer for GPT-OSS-20B's 32×2880×5760 stack, the allocation
+    that kept that model from fitting residently on one 16 GiB chip
+    (benchmarks/suite_logs/gptoss20b-q4-fit16.log). Mapping bounds the
+    transient to one expert (~63 MB) while the bf16 output stack is the
+    only full-size buffer; this path only serves stacks the Pallas
+    kernels reject (e.g. biased GPT-OSS experts), so throughput of the
+    sequential map is acceptable where correctness-of-fit matters."""
     if isinstance(w, QTensor):
+        E = w.q.shape[0] if w.q.ndim >= 3 else 0
+        if E > 8:
+            def one(args):
+                q_e, s_e = args
+                return dequantize(
+                    QTensor(q=q_e, scales=s_e, bits=w.bits,
+                            group_size=w.group_size), dtype=dtype)
+            return jax.lax.map(one, (w.q, w.scales))
         return dequantize(w, dtype=dtype)
     return w.astype(dtype)
 

@@ -116,6 +116,12 @@ def supported_stacked(x: jax.Array, qt: QTensor) -> bool:
         return False
     if N % 128:
         return False
+    # The per-layer scale block [1, K/gs, N] is dynamically indexed on
+    # the layer dim, which pins dim 1 to sublane tiling: Mosaic rejects
+    # K/gs not divisible by 8 ("Slice shape along dimension 1 must be
+    # aligned to tiling (8)" — hit by GPT-OSS K=2880, gs=64 → 45).
+    if (K // qt.group_size) % 8:
+        return False
     rows = K // 2 if qt.bits == 4 else K
     Tp = max(8, -(-x.shape[0] // 8) * 8)
     return _pick_tn(Tp, K, rows, qt.group_size) > 0

@@ -263,6 +263,140 @@ def build_quality_checkpoint(
     return out
 
 
+def train_mtp_head(
+    ckpt: str,
+    steps: int = 400,
+    seed: int = 0,
+    batch: int = 8,
+    seq: int = 256,
+    lr: float = 1e-3,
+    log_every: int = 50,
+    force: bool = False,
+) -> str:
+    """Train + attach a DeepSeek-V3-layout MTP module to a quality
+    checkpoint (round-4 verdict item 8: the MTP spec row must run on
+    TRAINED weights like the ngram row, not only tests/test_mtp.py's
+    synthetic ones).
+
+    The module is the V3 recipe (reference models it for DeepSeek V3 /
+    Kimi; our loader reads the layout — models/loader._load_mtp,
+    tests/test_mtp_loader.py): one more decoder layer at index
+    num_hidden_layers whose input at position i is
+    ``eh_proj([enorm(emb(t_{i+1})) ; hnorm(h_i)])`` with ``h_i`` the
+    base model's final-norm hidden state, trained on the t+2 objective
+    with the base frozen and the lm_head shared. Tensors are appended to
+    model.safetensors under the V3 names and config.json gains
+    ``num_nextn_predict_layers: 1`` — the mmap weight cache re-keys
+    automatically (loader fingerprints name/size/mtime).
+
+    Exactness of spec decode never depends on this training (the draft
+    only sets the acceptance rate — models/mtp.py), but a trained head
+    makes the greedy-equality certificate exercise real accepts."""
+    import torch
+    import torch.nn.functional as F
+
+    meta_path = os.path.join(ckpt, "meta.json")
+    with open(meta_path) as f:
+        meta = json.load(f)
+    if meta.get("mtp_steps") and not force:
+        return ckpt
+
+    from safetensors.torch import load_file, save_file
+    from transformers import AutoTokenizer, Qwen3MoeForCausalLM
+    from transformers.models.qwen3_moe.modeling_qwen3_moe import (
+        Qwen3MoeDecoderLayer, Qwen3MoeRMSNorm)
+
+    from .prompts import load_domain
+
+    base = Qwen3MoeForCausalLM.from_pretrained(ckpt)
+    base.eval()
+    for p in base.parameters():
+        p.requires_grad_(False)
+    hf = base.config
+    H, L = hf.hidden_size, hf.num_hidden_layers
+
+    torch.manual_seed(seed + 101)
+    layer = Qwen3MoeDecoderLayer(hf, layer_idx=L)
+    enorm = Qwen3MoeRMSNorm(H, eps=hf.rms_norm_eps)
+    hnorm = Qwen3MoeRMSNorm(H, eps=hf.rms_norm_eps)
+    head_norm = Qwen3MoeRMSNorm(H, eps=hf.rms_norm_eps)
+    eh_proj = torch.nn.Linear(2 * H, H, bias=False)
+    mods = torch.nn.ModuleDict(dict(
+        layer=layer, enorm=enorm, hnorm=hnorm, head_norm=head_norm,
+        eh_proj=eh_proj))
+    mods.train()
+
+    tok = AutoTokenizer.from_pretrained(ckpt)
+    train_text = "\n\n".join(
+        load_domain(d)[: int(len(load_domain(d)) * TRAIN_FRACTION)]
+        for d in TRAIN_DOMAINS)
+    ids = np.asarray(tok(train_text)["input_ids"], np.int64)
+    rng = np.random.default_rng(seed + 101)
+    opt = torch.optim.AdamW(mods.parameters(), lr=lr, weight_decay=0.01)
+    S1 = seq - 1
+    causal = torch.full((S1, S1), float("-inf")).triu(1)[None, None]
+    pos = torch.arange(S1)[None].expand(batch, -1)
+
+    t0 = time.time()
+    losses: List[float] = []
+    with torch.enable_grad():
+        for step in range(steps):
+            starts = rng.integers(0, len(ids) - seq - 1, size=batch)
+            x = torch.from_numpy(np.stack([ids[s:s + seq] for s in starts]))
+            with torch.no_grad():
+                h = base.model(input_ids=x).last_hidden_state   # final-norm
+                emb = base.model.embed_tokens(x)
+            # position j (0..S-2) fuses emb(t_{j+1}) with h_j → predicts
+            # t_{j+2}; the last position has no target and is dropped.
+            inp = eh_proj(torch.cat(
+                [enorm(emb[:, 1:]), hnorm(h[:, :-1])], dim=-1))
+            pe = base.model.rotary_emb(inp, pos)
+            out = layer(inp, position_embeddings=pe,
+                        attention_mask=causal, position_ids=pos)
+            if isinstance(out, tuple):
+                out = out[0]
+            logits = base.lm_head(head_norm(out))[:, :-1]
+            loss = F.cross_entropy(
+                logits.reshape(-1, logits.shape[-1]).float(),
+                x[:, 2:].reshape(-1))
+            opt.zero_grad()
+            loss.backward()
+            torch.nn.utils.clip_grad_norm_(mods.parameters(), 1.0)
+            opt.step()
+            losses.append(float(loss.detach()))
+            if log_every and (step + 1) % log_every == 0:
+                print(f"[mtp-train] step {step + 1}/{steps} "
+                      f"loss={np.mean(losses[-log_every:]):.4f} "
+                      f"({time.time() - t0:.0f}s)", flush=True)
+
+    # ---- serialize under the V3 names the loader reads
+    mods.eval()
+    P = f"model.layers.{L}"
+    tensors = load_file(os.path.join(ckpt, "model.safetensors"))
+    tensors[f"{P}.enorm.weight"] = enorm.weight.detach().clone()
+    tensors[f"{P}.hnorm.weight"] = hnorm.weight.detach().clone()
+    tensors[f"{P}.eh_proj.weight"] = eh_proj.weight.detach().clone()
+    tensors[f"{P}.shared_head.norm.weight"] = head_norm.weight.detach().clone()
+    for k, v in layer.state_dict().items():
+        tensors[f"{P}.{k}"] = v.detach().clone()
+    save_file(tensors, os.path.join(ckpt, "model.safetensors"),
+              metadata={"format": "pt"})
+    cfg_path = os.path.join(ckpt, "config.json")
+    with open(cfg_path) as f:
+        cj = json.load(f)
+    cj["num_nextn_predict_layers"] = 1
+    with open(cfg_path, "w") as f:
+        json.dump(cj, f, indent=2)
+    meta.update(mtp_steps=steps,
+                mtp_final_loss=float(np.mean(losses[-20:])),
+                mtp_elapsed_s=round(time.time() - t0, 1))
+    with open(meta_path, "w") as f:
+        json.dump(meta, f, indent=2)
+    print(f"[mtp-train] done: loss {meta['mtp_final_loss']:.3f} in "
+          f"{meta['mtp_elapsed_s']}s", flush=True)
+    return ckpt
+
+
 # --------------------------------------------------------------------------
 # Matrix runner
 # --------------------------------------------------------------------------
@@ -555,6 +689,25 @@ def run_spec_exactness(ckpt: str, group_size: int = 128,
             "exact": match, "tokens": committed,
             "verdict": "accept" if match else "REJECT",
         }
+        # MTP on the trained checkpoint (round-4 verdict item 8): the
+        # trainer now attaches a V3-layout MTP module (train_mtp_head),
+        # so the strongest spec mode gets the same trained-weights
+        # greedy-equality certificate as the ngram row.
+        os.environ["KRASIS_TPU_SPEC_MODE"] = "mtp"
+        eng3 = _build_engine(ckpt, "q4", group_size, 512)
+        if eng3.spec_mode == "mtp":
+            match, committed = True, 0
+            for p, want in zip(prompts, vanilla):
+                r = eng3.generate(p, max_new_tokens=n_tokens,
+                                  sampling=greedy, stop_ids={-1})
+                committed += len(r.tokens)
+                if r.tokens != want:
+                    match = False
+            results["mtp"] = {
+                "exact": match, "tokens": committed,
+                "checkpoint": "trained",
+                "verdict": "accept" if match else "REJECT",
+            }
     finally:
         if old is None:
             os.environ.pop("KRASIS_TPU_SPEC_MODE", None)
@@ -651,11 +804,15 @@ def write_markdown(results: Sequence[Dict], path: str) -> None:
     if "spec" in res:
         lines += ["", "## Speculative decoding exactness", ""]
         for name, r in res["spec"].items():
+            extra = (" (trained ckpt, V3-layout MTP module — "
+                     "quality.train_mtp_head)"
+                     if r.get("checkpoint") == "trained" else "")
             lines.append(f"- `{name}`: greedy tokens identical with spec "
                          f"on/off over {r['tokens']} tokens → "
-                         f"**{r['verdict']}**")
-        lines.append("- `mtp`: exactness proven on synthetic weights "
-                     "(tests/test_mtp.py greedy-equality suite)")
+                         f"**{r['verdict']}**{extra}")
+        if "mtp" not in res["spec"]:
+            lines.append("- `mtp`: exactness proven on synthetic weights "
+                         "(tests/test_mtp.py greedy-equality suite)")
     with open(path, "w") as f:
         f.write("\n".join(lines) + "\n")
 
@@ -671,14 +828,52 @@ def main():
     ap.add_argument("--force-train", action="store_true")
     ap.add_argument("--train-only", action="store_true",
                     help="build the checkpoints (CPU) and exit")
+    ap.add_argument("--spec-only", action="store_true",
+                    help="re-run ONLY the spec-exactness rows on the "
+                         "seed-0 checkpoint (training the MTP head if "
+                         "absent), splice them into the latest saved "
+                         "matrix JSONs and regenerate QUALITY.md — no "
+                         "120K-token matrix re-run")
     ap.add_argument("--out", default="benchmarks/quality")
     args = ap.parse_args()
 
     os.makedirs(args.out, exist_ok=True)
+    if args.spec_only:
+        import glob
+
+        ckpt = build_quality_checkpoint(steps=args.steps,
+                                        seed=args.seeds[0])
+        train_mtp_head(ckpt)
+        spec = run_spec_exactness(ckpt, group_size=args.group_size)
+        print(json.dumps(spec, indent=2))
+        results = []
+        for seed in args.seeds:
+            found = sorted(glob.glob(
+                os.path.join(args.out, f"matrix_s{seed}_*.json")))
+            if not found and seed == args.seeds[0]:
+                # legacy single-seed artifact names (pre-v2 runs)
+                found = sorted(glob.glob(
+                    os.path.join(args.out, "matrix_2*.json")))
+            if not found:
+                continue
+            with open(found[-1]) as f:
+                res = json.load(f)
+            if seed == args.seeds[0]:
+                res["spec"] = spec
+                with open(found[-1], "w") as f:
+                    json.dump(res, f, indent=2)
+            results.append(res)
+        if results:
+            write_markdown(results, os.path.join(args.out, "QUALITY.md"))
+            print("wrote", os.path.join(args.out, "QUALITY.md"))
+        return
+
     results = []
     for seed in args.seeds:
         ckpt = build_quality_checkpoint(steps=args.steps, seed=seed,
                                         force=args.force_train)
+        if seed == args.seeds[0] and not args.no_spec:
+            train_mtp_head(ckpt)
         if args.train_only:
             continue
         res = run_matrix(ckpt, modes=args.modes, max_tokens=args.max_tokens,
